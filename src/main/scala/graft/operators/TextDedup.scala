@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora at training-data scale.
+  *
+  * Design for 100 TB: every variant reduces to hash-partitioned shuffles on
+  * compact keys (16-byte digests, 8-byte bucket ids) — never on the document
+  * text itself — so shuffle volume is O(rows × key), not O(corpus bytes).
+  * Candidate generation (LSH) is linear; only verification touches pairs, and
+  * only pairs that collided in a bucket.
+  */
+object TextDedup {
+
+  /** Exact dedup: group by content fingerprint, keep the lowest id.
+    * One shuffle on the 128-bit digest. Returns the surviving rows.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            normalized: Boolean = false): DataFrame = {
+    val fp = if (normalized) fingerprint(col(textCol)) else md5(col(textCol))
+    val keep = df.select(col(idCol), fp.as("__fp"))
+      .groupBy("__fp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-dup groups: fingerprint → (keeper id, group size). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH candidate pairs: shingle → minhash signature → banded
+    * buckets → self-join within buckets. Returns distinct (idA < idB) pairs.
+    *
+    * Scale: the explode produces rows×bands bucket rows; the self-join
+    * shuffles on the 8-byte bucket hash. Giant buckets (degenerate content)
+    * would quadratically blow up the join, so buckets above `maxBucketSize`
+    * are dropped — at 100 TB this cap is what keeps the worst key from
+    * dominating the stage (standard LSH practice; such buckets are
+    * near-identical boilerplate best handled by exact dedup first).
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+    val buckets = sig.select(col("id"),
+      posexplode(lshBuckets(col("sig"), rowsPerBand)).as(Seq("band", "bucket")))
+    val bounded = buckets.join(
+      buckets.groupBy("band", "bucket").count()
+        .where(col("count") <= maxBucketSize).drop("count"),
+      Seq("band", "bucket"), "left_semi")
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Verify candidate pairs with exact shingle-set Jaccard; keeps pairs with
+    * similarity >= threshold. Joins the (small) candidate set back to the
+    * corpus twice — each join is a shuffle on the id.
+    */
+  def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("__jid"),
+      shingleSet(col(textCol), shingleN).as("__set"))
+    val joined = candidates
+      .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    val union = size(array_union(col("set_a"), col("set_b"))).cast("double")
+    joined.select(col("id_a"), col("id_b"),
+      when(union > 0, round(inter / union, 6)).otherwise(lit(0.0)).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end MinHash near-dedup: LSH candidates + Jaccard verification. */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                     threshold: Double = 0.8): DataFrame =
+    jaccardVerify(minHashCandidates(df, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      df, idCol, textCol, shingleN, threshold)
+
+  /** All-pairs n-gram Jaccard via shingle inverted index (exact, no LSH):
+    * explode distinct shingles, self-join on shingle to count intersections,
+    * then derive the union from per-doc set sizes. Suited to moderate corpora
+    * or post-LSH verification; the shingle join shuffles on the shingle hash.
+    * Shingles shared by more than `maxPostings` docs are dropped from the
+    * index (stopword-gram protection — same role as the LSH bucket cap).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.2,
+                   maxPostings: Int = 10000): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("set"))
+      .where(size(col("set")) > 0)
+    val sizes = sets.select(col("id"), size(col("set")).as("sz"))
+    val postings = sets.select(col("id"), explode(col("set")).as("shingle"))
+    val bounded = postings.join(
+      postings.groupBy("shingle").count().where(col("count") <= maxPostings).drop("count"),
+      Seq("shingle"), "left_semi")
+    val inter = bounded.select(col("shingle"), col("id").as("id_a"))
+      .join(bounded.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature, banded into 4×16-bit
+    * chunks (pigeonhole: any pair within hamming distance 3 shares at least
+    * one exact chunk), verified by full hamming distance <= maxHamming.
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash64(tokens(col(textCol))).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
+    val bounded = chunks.join(
+      chunks.groupBy("chunk_idx", "chunk").count()
+        .where(col("count") <= maxBucketSize).drop("count"),
+      Seq("chunk_idx", "chunk"), "left_semi")
+    val a = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

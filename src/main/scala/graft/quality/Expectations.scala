@@ -1,0 +1,81 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Declarative range/existence validation — the reference's Great
+  * Expectations layer re-expressed as one Spark aggregation pass.
+  *
+  * Reference semantics: `run_great_expectations_on_parquet.py:223-277` with
+  * suites in `src/glue/resources/data_values_expectations.json` —
+  * `expect_column_values_to_be_between` (27 physiological range rules) and
+  * `expect_column_to_exist`. A rule yields pass/fail plus the count of
+  * unexpected values; nulls are not counted as unexpected (GE's default
+  * `mostly`-less semantics ignore nulls for `between`).
+  *
+  * Scale notes: all Between rules for a table fold into a single `agg(...)`
+  * over one scan — N rules cost one job, not N — and the projected column set
+  * is pruned to exactly the validated columns.
+  */
+object Expectations {
+
+  sealed trait Expectation { def column: String; def name: String }
+  final case class Between(column: String, lo: Double, hi: Double) extends Expectation {
+    val name = "expect_column_values_to_be_between"
+  }
+  final case class ColumnExists(column: String) extends Expectation {
+    val name = "expect_column_to_exist"
+  }
+
+  final case class Result(expectation: String, column: String,
+                          unexpectedCount: Long, passed: Boolean)
+
+  /** Run all expectations in a single pass; `ColumnExists` is resolved from
+    * the schema without touching data.
+    */
+  def run(df: DataFrame, rules: Seq[Expectation]): Seq[Result] = {
+    val (existRules, betweenRules) = rules.partition(_.isInstanceOf[ColumnExists])
+    val existResults = existRules.map { r =>
+      val ok = df.columns.contains(r.column)
+      Result(r.name, r.column, if (ok) 0L else 1L, ok)
+    }
+    val applicable = betweenRules.collect {
+      case b: Between if df.columns.contains(b.column) => b
+    }
+    val inapplicable = betweenRules.collect {
+      case b: Between if !df.columns.contains(b.column) =>
+        Result(b.name, b.column, 0L, passed = false)
+    }
+    val betweenResults = if (applicable.isEmpty) Nil else {
+      val aggs: Seq[Column] = applicable.zipWithIndex.map { case (b, i) =>
+        sum(when(col(b.column).isNotNull &&
+          (col(b.column) < lit(b.lo) || col(b.column) > lit(b.hi)), 1L)
+          .otherwise(0L)).as(s"u_$i")
+      }
+      val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+      applicable.zipWithIndex.map { case (b, i) =>
+        val u = if (row.isNullAt(i)) 0L else row.getLong(i)
+        Result(b.name, b.column, u, u == 0L)
+      }
+    }
+    existResults ++ betweenResults ++ inapplicable
+  }
+
+  /** Same validation as a lazy DataFrame (for SQL-oracle checking): one row
+    * per Between rule with the unexpected count — stays distributed, no
+    * driver collect.
+    */
+  def betweenReport(df: DataFrame, rules: Seq[Between]): DataFrame = {
+    val aggs = rules.map(b =>
+      sum(when(col(b.column).isNotNull &&
+        (col(b.column) < lit(b.lo) || col(b.column) > lit(b.hi)), 1L)
+        .otherwise(0L)).as(b.column))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (column, unexpected_count, passed)
+    val stacked = rules.map(b =>
+      s"'${b.column}', ${b.lo}D, ${b.hi}D, `${b.column}`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${rules.size}, $stacked) as (column_name, lo, hi, unexpected_count)")
+      .withColumn("passed", col("unexpected_count") === 0L)
+  }
+}
