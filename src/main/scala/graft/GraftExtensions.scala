@@ -1,0 +1,39 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native Catalyst expressions with the session, via
+  * `spark.sql.extensions=graft.GraftExtensions`. After registration the
+  * functions are callable from SQL and from Scala via
+  * `functions.call_function("graft_*", ...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: String, arity: Int,
+                 builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name expects $arity arguments")
+        builder(children)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_shingles", classOf[Shingles].getName, 2,
+      c => Shingles(c(0), c(1))))
+    ext.injectFunction(fn("graft_minhash", classOf[MinHashSig].getName, 3,
+      c => MinHashSig(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_simhash", classOf[SimHash].getName, 1,
+      c => SimHash(c(0))))
+    ext.injectFunction(fn("graft_dot", classOf[DotProduct].getName, 2,
+      c => DotProduct(c(0), c(1))))
+    ext.injectFunction(fn("graft_l2norm", classOf[L2Normalize].getName, 1,
+      c => L2Normalize(c(0))))
+    ext.injectFunction(fn("graft_cosine", classOf[CosineSim].getName, 2,
+      c => CosineSim(c(0), c(1))))
+    ext.injectFunction(fn("graft_hyperplane_lsh", classOf[HyperplaneLsh].getName, 3,
+      c => HyperplaneLsh(c(0), c(1), c(2))))
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent in-session registration of graft's native expressions —
+  * complements `spark.sql.extensions=graft.GraftExtensions` for sessions
+  * built without the config (e.g. a host harness passing us its session).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!spark.catalog.functionExists("graft_dot")) {
+      reg.createOrReplaceTempFunction("graft_shingles",
+        c => Shingles(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_minhash",
+        c => MinHashSig(c(0), c(1), c(2)), "internal")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        c => SimHash(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_dot",
+        c => DotProduct(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_l2norm",
+        c => L2Normalize(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_cosine",
+        c => CosineSim(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_hyperplane_lsh",
+        c => HyperplaneLsh(c(0), c(1), c(2)), "internal")
+    }
+  }
+}

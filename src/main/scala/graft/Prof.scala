@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(32)
+    val d = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"PROF $name = $r in ${(System.nanoTime()-t0)/1e9}s")
+    }
+    time("warmup count")(d.count())
+    time("tokens sum")(d.select(sum(size(tokens(col("text"))))).head())
+    time("shingleSet sum")(d.select(sum(size(shingleSet(col("text"), 4)))).head())
+    time("shingleSet x2")(d.select(sum(size(shingleSet(col("text"), 4)))).head())
+    time("minhash16")(d.select(sum(size(minHashSignature(shingleSet(col("text"),3),16)))).head())
+    time("explode count")(d.select(col("doc_id"), explode(shingleSet(col("text"),4)).as("s")).count())
+    val e = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+    time("emb count")(e.count())
+    import graft.functions.VectorFunctions._
+    time("normalize sum")(e.select(sum(size(normalize(col("embedding"))))).head())
+    time("hyperlsh16")(e.select(sum(hyperplaneLsh(col("embedding"),16))).head())
+    spark.stop()
+  }
+}

@@ -16,8 +16,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.read(s, dir, name)
+  }
 
   /** Exact, order-independent sum of a double column: accumulate as decimal,
     * surface as double.
@@ -210,7 +212,7 @@ object SparkEntry {
     "q23_minhash_buckets" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val sig = d.select(col("doc_id"),
-        minHashSignature(shingleSet(col("text"), 3), 16).as("sig"))
+        minHashFast(col("text"), 3, 16).as("sig"))
         .where(col("sig").isNotNull)
       sig.select(col("doc_id"),
         posexplode(lshBuckets(col("sig"), 4)).as(Seq("band", "bucket")))
@@ -219,7 +221,7 @@ object SparkEntry {
 
     "q24_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"), simHashFast(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -31,6 +31,7 @@ object Tables {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     spark
   }
 }

@@ -31,14 +31,37 @@ object TextFunctions {
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
 
+  // --- native fast paths (graft.expressions via GraftFunctions.register) ---
+
+  /** Native distinct word n-gram shingles — same strings as [[shingleSet]],
+    * ~1000x faster than the interpreted HOF pipeline.
+    */
+  def shingleSetFast(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** Native MinHash signature straight from text (null if < n tokens). */
+  def minHashFast(text: Column, n: Int, k: Int): Column =
+    call_function("graft_minhash", text, lit(n), lit(k))
+
+  /** Native 64-bit SimHash straight from text. */
+  def simHashFast(text: Column): Column = call_function("graft_simhash", text)
+
   /** MinHash signature: k independent min-hashes over the shingle set.
     * Hash family: xxhash64 seeded by the hash index (prepended as a column).
     * Null when the shingle set is empty.
+    *
+    * Single `aggregate` pass with a k-slot accumulator — NOT k separate
+    * `array_min(transform(...))` branches, which would duplicate the
+    * (expensive) shingle-producing subtree k times in the plan and blow the
+    * expression out of efficient evaluation.
     */
   def minHashSignature(shingles: Column, k: Int): Column =
     when(size(shingles) > 0,
-      array((0 until k).map(i =>
-        array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*))
+      aggregate(
+        shingles,
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+          (m, i) => least(m, xxhash64(i, s)))))
 
   /** LSH band buckets from a MinHash signature: bands of `rowsPerBand` rows,
     * each hashed to a single bucket id. Docs sharing any (band, bucket) pair

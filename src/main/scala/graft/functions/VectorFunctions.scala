@@ -15,6 +15,13 @@ object VectorFunctions {
 
   private def d(c: Column): Column = transform(c, _.cast("double"))
 
+  // --- native fast paths (graft.expressions via GraftFunctions.register) ---
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosineFast(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def normalizeFast(a: Column): Column = call_function("graft_l2norm", a)
+  def hyperplaneLshFast(vec: Column, nBits: Int, seed: Int = 42): Column =
+    call_function("graft_hyperplane_lsh", vec, lit(nBits), lit(seed))
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
 
@@ -46,14 +53,19 @@ object VectorFunctions {
     * executor can recompute it, and signatures are stable across runs.
     */
   def hyperplaneLsh(vec: Column, nBits: Int, seed: Int = 42): Column = {
-    val v = d(vec)
-    val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(seed), lit(b), i), lit(2000000L)).cast("double") / 1000000.0 - 1.0)),
-        lit(0.0), _ + _)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
+    // Single pass: fold the (value, dim) pairs once, accumulating all nBits
+    // projections in an array — avoids nBits copies of the vector subtree.
+    val paired = zip_with(d(vec), sequence(lit(0), size(vec) - 1),
+      (x, i) => struct(x.as("x"), i.as("i")))
+    val projs = aggregate(
+      paired,
+      array_repeat(lit(0.0), nBits),
+      (acc, e) => zip_with(acc, sequence(lit(0), lit(nBits - 1)),
+        (a, b) => a + e.getField("x") *
+          (pmod(xxhash64(lit(seed), b, e.getField("i")), lit(2000000L)).cast("double") / 1000000.0 - 1.0)))
+    aggregate(
+      zip_with(projs, sequence(lit(0), lit(nBits - 1)),
+        (p, b) => when(p >= 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (s, v) => s.bitwiseOR(v))
   }
 }

@@ -25,11 +25,11 @@ object Knn {
                  qId: String = "vec_id", cId: String = "vec_id",
                  qVec: String = "embedding", cVec: String = "embedding",
                  excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("q_id"), normalize(col(qVec)).as("q_vec")))
-    val c = corpus.select(col(cId).as("n_id"), normalize(col(cVec)).as("n_vec"))
+    val q = broadcast(queries.select(col(qId).as("q_id"), normalizeFast(col(qVec)).as("q_vec")))
+    val c = corpus.select(col(cId).as("n_id"), normalizeFast(col(cVec)).as("n_vec"))
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .select(col("q_id"), col("n_id"), round(dot(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .select(col("q_id"), col("n_id"), round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -48,8 +48,8 @@ object Knn {
           excludeSelf: Boolean = true): DataFrame = {
     val nBands = nBits / bandBits
     def withBands(df: DataFrame, id: String, vec: String, pfx: String): DataFrame = {
-      val sig = hyperplaneLsh(col(vec), nBits)
-      df.select(col(id).as(s"${pfx}_id"), normalize(col(vec)).as(s"${pfx}_vec"),
+      val sig = hyperplaneLshFast(col(vec), nBits)
+      df.select(col(id).as(s"${pfx}_id"), normalizeFast(col(vec)).as(s"${pfx}_vec"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
           .as(Seq("band_idx", "band")))
@@ -60,7 +60,7 @@ object Knn {
       .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .select("q_id", "q_vec", "n_id", "n_vec").distinct()
     val scored = cand.select(col("q_id"), col("n_id"),
-      round(dot(col("q_vec"), col("n_vec")), 6).as("sim"))
+      round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -73,8 +73,8 @@ object Knn {
                     nBits: Int = 16, bandBits: Int = 4,
                     maxBucketSize: Int = 10000): DataFrame = {
     val nBands = nBits / bandBits
-    val sig = hyperplaneLsh(col(vec), nBits)
-    val banded = corpus.select(col(id).as("id"), normalize(col(vec)).as("v"),
+    val sig = hyperplaneLshFast(col(vec), nBits)
+    val banded = corpus.select(col(id).as("id"), normalizeFast(col(vec)).as("v"),
       posexplode(array((0 until nBands).map(b =>
         shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band_idx", "band")))
@@ -86,7 +86,7 @@ object Knn {
     val b = bounded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band_idx", "band"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(dot(col("v_a"), col("v_b")), 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round(dotFast(col("v_a"), col("v_b")), 6).as("sim"))
       .distinct()
       .where(col("sim") >= threshold)
   }

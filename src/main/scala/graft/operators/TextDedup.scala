@@ -46,7 +46,7 @@ object TextDedup {
                         shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
                         maxBucketSize: Int = 1000): DataFrame = {
     val sig = df.select(col(idCol).as("id"),
-      minHashSignature(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
+      minHashFast(col(textCol), shingleN, numHashes).as("sig"))
       .where(col("sig").isNotNull)
     val buckets = sig.select(col("id"),
       posexplode(lshBuckets(col("sig"), rowsPerBand)).as(Seq("band", "bucket")))
@@ -68,7 +68,7 @@ object TextDedup {
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int, threshold: Double): DataFrame = {
     val sets = df.select(col(idCol).as("__jid"),
-      shingleSet(col(textCol), shingleN).as("__set"))
+      shingleSetFast(col(textCol), shingleN).as("__set"))
     val joined = candidates
       .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")
       .join(sets.withColumnRenamed("__jid", "id_b").withColumnRenamed("__set", "set_b"), "id_b")
@@ -96,7 +96,7 @@ object TextDedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.2,
                    maxPostings: Int = 10000): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("set"))
+    val sets = df.select(col(idCol).as("id"), shingleSetFast(col(textCol), shingleN).as("set"))
       .where(size(col("set")) > 0)
     val sizes = sets.select(col("id"), size(col("set")).as("sz"))
     val postings = sets.select(col("id"), explode(col("set")).as("shingle"))
@@ -122,7 +122,7 @@ object TextDedup {
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash64(tokens(col(textCol))).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), simHashFast(col(textCol)).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
