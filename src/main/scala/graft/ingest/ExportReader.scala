@@ -1,0 +1,93 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+/** Zip-export source (reference S1/S2: `process_record`,
+  * `s3_to_json.py:848-909`): enumerate an export archive's member files —
+  * skipping directories, `Manifest*`, and zero-byte entries — and read each
+  * NDJSON member into a schema-coerced DataFrame.
+  *
+  * Scale notes: one export zip is modest (the reference caps raw objects at
+  * ~80 GB compressed); members are extracted driver-side then read by Spark's
+  * parallel JSON datasource, so the heavy lifting (parse, transform, write)
+  * is distributed. For many archives at once, call this per archive and union
+  * — or read archives in parallel from a `binaryFile` scan when they are
+  * small enough to inflate in one task.
+  */
+object ExportReader {
+
+  final case class Member(name: String, size: Long, metadata: Option[Transforms.FileMetadata])
+
+  /** Reference member filter (`s3_to_json.py:865-871`, same in
+    * `dispatch/app.py:104-118`).
+    */
+  def listMembers(zipPath: String): Seq[Member] = {
+    val zf = new ZipFile(zipPath)
+    try {
+      zf.entries().asScala
+        .filterNot(_.isDirectory)
+        .filterNot(e => baseName(e.getName).startsWith("Manifest"))
+        .filterNot(_.getSize == 0)
+        .map(e => Member(e.getName, e.getSize, Transforms.parseFileName(e.getName)))
+        .toVector
+    } finally zf.close()
+  }
+
+  private def baseName(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+
+  /** Extract selected members to a temp dir; returns member → local path. */
+  def extract(zipPath: String, members: Seq[Member]): Map[String, String] = {
+    val dir = Files.createTempDirectory("graft_export_").toFile
+    val zf = new ZipFile(zipPath)
+    try {
+      members.map { m =>
+        val out = new File(dir, baseName(m.name))
+        val in = zf.getInputStream(zf.getEntry(m.name))
+        val os = new FileOutputStream(out)
+        try in.transferTo(os) finally { os.close(); in.close() }
+        m.name -> out.getAbsolutePath
+      }.toMap
+    } finally zf.close()
+  }
+
+  /** Read one export archive into per-routed-type DataFrames with universal
+    * properties injected (T1) and subtype re-injection (T2) applied. The
+    * caller supplies the declared schema per routed type (catalog-wins
+    * semantics: missing fields → null, mistyped → null via PERMISSIVE read).
+    */
+  def readExport(spark: SparkSession, zipPath: String, cohort: String,
+                 schemaFor: String => Option[StructType]): Map[String, DataFrame] = {
+    val members = listMembers(zipPath).filter(_.metadata.isDefined)
+    val paths = extract(zipPath, members)
+    members.groupBy(_.metadata.get.routedType).flatMap { case (routedType, ms) =>
+      schemaFor(routedType).map { schema =>
+        val dfs = ms.map { m =>
+          val meta = m.metadata.get
+          var df = spark.read.schema(schema).json(paths(m.name))
+          if (Transforms.subtypeInjectedTypes.contains(routedType) && meta.subtype.isDefined)
+            df = Transforms.withSubtype(df, meta.subtype.get)
+          Transforms.withUniversalProperties(df, meta.startDate, meta.endDate, cohort)
+        }
+        routedType -> dfs.reduce(_ unionByName _)
+      }
+    }
+  }
+
+  /** NDJSON dataset sink (reference S3, `write_file_to_json_dataset`,
+    * `s3_to_json.py:495-614`): partitioned by cohort, gzip, file-size bound
+    * via maxRecordsPerFile instead of manual part-file rolling.
+    */
+  def writeJsonDataset(df: DataFrame, path: String,
+                       maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("append")
+      .partitionBy("cohort")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .json(path)
+}

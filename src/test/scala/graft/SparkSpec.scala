@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for operator specs. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  override def afterAll(): Unit = {
+    // session shared across suites; do not stop
+    super.afterAll()
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = Tables.localSession(cores = 4)
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Near-dup corpus: docs 1/2 near-identical, 3/4 near-identical, others random-ish.
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "spark engines shuffle data across the cluster with hash partitioning by key"),
+    (4L, "spark engines shuffle data across the cluster with hash partitioning by keys"),
+    (5L, "completely unrelated text about cooking pasta with tomato sauce and basil"),
+    (6L, "another different document mentioning databases indexes and storage layouts"),
+    (7L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = TextDedup.exact(docs, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L, 4L, 5L, 6L)) // 7 deduped into 1
+  }
+
+  test("minhash LSH + jaccard verification finds planted near-dups") {
+    val pairs = TextDedup.minHashNearDup(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 7L))) // high-sim cluster found
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(5L, 6L)))
+  }
+
+  test("exact jaccard pairs agree with hand-computed similarity") {
+    val out = TextDedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // doc1 vs doc7 identical -> jaccard 1.0
+    assert(out((1L, 7L)) === 1.0)
+    // doc1 vs doc2: 14 tokens -> 12 shingles each, 11 shared -> 11/13
+    assert(math.abs(out((1L, 2L)) - 11.0 / 13.0) < 1e-6)
+  }
+
+  test("simhash near-dup candidates include planted pairs") {
+    // SimHash detects edits that are tiny relative to document length; build
+    // 400-token texts with one token changed (hamming stays near 0).
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val longDocs = Seq(
+      (1L, base), (2L, base.replace("tok17 ", "tok17x ")), (3L, base),
+      (4L, (1001 to 1400).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.simHashNearDup(longDocs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical -> hamming 0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH bucket cap drops degenerate mega-buckets instead of exploding") {
+    val degenerate = (1L to 50L).map(i => (i, "same same same same same same")).toDF("doc_id", "text")
+    val pairs = TextDedup.minHashCandidates(degenerate, "doc_id", "text",
+      shingleN = 3, numHashes = 16, rowsPerBand = 4, maxBucketSize = 10)
+    assert(pairs.count() === 0) // all buckets exceed the cap
+  }
+}

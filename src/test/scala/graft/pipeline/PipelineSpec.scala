@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.ingest.{ExportReader, Transforms}
+import graft.schema.TypeParser
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** End-to-end slice over a synthetic export zip — the reference's
+  * minimum-semantics path (SURVEY §7.2): zip → NDJSON members → schema read
+  * → dedup → tombstone anti-join → relationalize → parquet + counts.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def writeZip(dir: File): String = {
+    val zipPath = new File(dir, "export.zip").getAbsolutePath
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("Manifest.json", """{"files": 2}""") // filtered out
+    entry("HealthKitV2Electrocardiogram_20230512.json",
+      """{"ParticipantIdentifier":"p1","HealthKitECGSampleKey":"e1","AverageHeartRate":62,"SubSamples":[{"MicroVolts":1.5,"TimeSinceSampleStart":0.0},{"MicroVolts":2.5,"TimeSinceSampleStart":0.5}],"Source":{"Name":"watch"},"InsertedDate":"2023-05-11T00:00:00"}
+{"ParticipantIdentifier":"p1","HealthKitECGSampleKey":"e1","AverageHeartRate":63,"SubSamples":[{"MicroVolts":9.0,"TimeSinceSampleStart":0.0}],"Source":{"Name":"watch"},"InsertedDate":"2023-05-12T00:00:00"}
+{"ParticipantIdentifier":"p2","HealthKitECGSampleKey":"e2","AverageHeartRate":70,"SubSamples":[],"Source":{"Name":"phone"},"InsertedDate":"2023-05-12T00:00:00"}""")
+    entry("HealthKitV2Electrocardiogram_Deleted_20230512.json",
+      """{"ParticipantIdentifier":"p2","HealthKitECGSampleKey":"e2","DeletedDate":"2023-05-12T00:00:00"}""")
+    entry("empty.json", "") // zero-byte: filtered out
+    zos.close()
+    zipPath
+  }
+
+  private val ecgSchema = StructType(Seq(
+    StructField("ParticipantIdentifier", StringType),
+    StructField("HealthKitECGSampleKey", StringType),
+    StructField("AverageHeartRate", TypeParser.parse("int")),
+    StructField("SubSamples", TypeParser.parse("array<struct<MicroVolts:double,TimeSinceSampleStart:double>>")),
+    StructField("Source", TypeParser.parse("struct<Name:string>")),
+    StructField("InsertedDate", StringType)))
+
+  private val deletedSchema = StructType(Seq(
+    StructField("ParticipantIdentifier", StringType),
+    StructField("HealthKitECGSampleKey", StringType),
+    StructField("DeletedDate", StringType)))
+
+  test("zip -> dedup -> tombstone -> relationalize -> parquet, with counts") {
+    val tmp = Files.createTempDirectory("graft_pipe_").toFile
+    val zip = writeZip(tmp)
+
+    val members = ExportReader.listMembers(zip)
+    assert(members.map(m => new File(m.name).getName).toSet ===
+      Set("HealthKitV2Electrocardiogram_20230512.json",
+        "HealthKitV2Electrocardiogram_Deleted_20230512.json"))
+
+    val frames = ExportReader.readExport(spark, zip, "adults_v1", {
+      case "HealthKitV2Electrocardiogram" => Some(ecgSchema)
+      case "HealthKitV2Electrocardiogram_Deleted" => Some(deletedSchema)
+      case _ => None
+    })
+    assert(frames.keySet === Set("HealthKitV2Electrocardiogram",
+      "HealthKitV2Electrocardiogram_Deleted"))
+
+    val out = s"${tmp.getAbsolutePath}/out"
+    val result = JsonToParquet.run(spark, "HealthKitV2Electrocardiogram",
+      frames("HealthKitV2Electrocardiogram"),
+      Some(frames("HealthKitV2Electrocardiogram_Deleted")), out, "run1")
+
+    // dedup kept the later InsertedDate for e1; e2 removed by tombstone
+    val parent = spark.read.parquet(s"$out/parquet/dataset_healthkitv2electrocardiogram")
+    assert(parent.count() === 1)
+    val row = parent.collect().head
+    assert(row.getAs[Int]("AverageHeartRate") === 63)
+    assert(row.getAs[String]("Source_Name") === "watch")
+    assert(row.getAs[String]("cohort") === "adults_v1")
+
+    val child = spark.read.parquet(s"$out/parquet/dataset_healthkitv2electrocardiogram_subsamples")
+    assert(child.count() === 1)
+    assert(child.collect().head.getAs[Double]("MicroVolts") === 9.0)
+
+    // lineage counts: all four stages present
+    val counts = spark.read.option("header", "true")
+      .csv(s"$out/record_counts/dataset_healthkitv2electrocardiogram")
+    assert(counts.select("event").distinct().count() === 4)
+
+    // archive on rerun: previous output moved aside
+    JsonToParquet.run(spark, "HealthKitV2Electrocardiogram",
+      frames("HealthKitV2Electrocardiogram"),
+      Some(frames("HealthKitV2Electrocardiogram_Deleted")), out, "run2")
+    assert(Archiver.versions(spark,
+      s"$out/archive/dataset_healthkitv2electrocardiogram").nonEmpty)
+    val _ = result
+  }
+}

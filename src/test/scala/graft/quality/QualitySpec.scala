@@ -1,0 +1,56 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.operators.CompareDatasets
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expectations: between + exists, nulls not unexpected, single pass") {
+    val df = Seq(
+      (Some(60), "a"), (Some(200), "b"), (None, "c"), (Some(75), "d")
+    ).toDF("AverageHeartRate", "k")
+    val results = Expectations.run(df, Seq(
+      Expectations.Between("AverageHeartRate", 40, 180),
+      Expectations.ColumnExists("AverageHeartRate"),
+      Expectations.ColumnExists("Missing"),
+      Expectations.Between("AlsoMissing", 0, 1)))
+    val byCol = results.map(r => (r.column, r)).toMap
+    assert(byCol("AverageHeartRate").unexpectedCount === 1) // only 200 out of range
+    assert(!byCol("AverageHeartRate").passed)
+    assert(byCol("Missing").unexpectedCount === 1 && !byCol("Missing").passed)
+    assert(!byCol("AlsoMissing").passed)
+  }
+
+  test("compare: summary counts and mismatch rows") {
+    val left = Seq((1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)).toDF("k", "s", "v")
+    val right = Seq((1, "x", 10.0), (2, "y", 21.0), (4, "w", 40.0)).toDF("k", "s", "v")
+    val sum = CompareDatasets.summary(left, right, Seq("k"), Seq("s", "v")).collect().head
+    assert(sum.getAs[Long]("n_common") === 2)
+    assert(sum.getAs[Long]("n_left_only") === 1)
+    assert(sum.getAs[Long]("n_right_only") === 1)
+    assert(sum.getAs[Long]("n_mismatch_v") === 1)
+    assert(sum.getAs[Long]("n_mismatch_s") === 0)
+
+    val rows = CompareDatasets.mismatchRows(left, right, Seq("k"), Seq("s", "v"))
+      .select("k").as[Int].collect()
+    assert(rows.toSeq === Seq(2))
+  }
+
+  test("compare: duplicate key detection and column diff") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    assert(CompareDatasets.duplicateKeyRows(df, Seq("k")).count() === 2)
+    val cd = CompareDatasets.columnDiff(
+      Seq((1, "a")).toDF("k", "v1"), Seq((1, "a")).toDF("k", "v2"))
+    assert(cd.common === Seq("k") && cd.onlyLeft === Seq("v1") && cd.onlyRight === Seq("v2"))
+  }
+
+  test("exports filter builds OR-of-cohort-date predicates") {
+    val df = Seq(
+      ("adults_v1", "2023-05-12"), ("adults_v1", "2023-05-13"),
+      ("pediatric_v1", "2023-05-12")).toDF("cohort", "export_end_date")
+    val f = CompareDatasets.exportsFilter(Map(
+      "adults_v1" -> Seq("2023-05-12"), "pediatric_v1" -> Seq("2023-05-12")))
+    assert(df.where(f).count() === 2)
+  }
+}
