@@ -279,6 +279,27 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // --- sessionization (gap-based event-time sessions) ---
+    "q28_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > lit(1800L * 1000000000L), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // --- rollup / grouping sets ---
+    "q29_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     "q27_embed_neardup" -> ((s, dir) => {
       Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("id_a", "id_b")
@@ -478,6 +499,21 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q29_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q26_knn_classify" ->
       """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

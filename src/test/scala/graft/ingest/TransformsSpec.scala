@@ -55,6 +55,18 @@ class TransformsSpec extends SparkSpec {
     assert(rows === Set((Some(0), Some(62)), (Some(30), Some(63)), (None, None)))
   }
 
+  test("Garmin pivot config applies T5 per data type (incl. nested path)") {
+    import graft.ingest.GarminPivots
+    val df = Seq((Map("0" -> "62", "30" -> "63"))).toDF("TimeOffsetHeartRateSamples")
+    val out = GarminPivots("GarminDailySummary", df)
+    val rows = out.selectExpr("explode(TimeOffsetHeartRateSamples) e")
+      .select("e.OffsetInSeconds", "e.HeartRate").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows === Set((0, 62), (30, 63)))
+    // unconfigured type: no-op
+    assert(GarminPivots("FitbitSleepLogs", df).schema === df.schema)
+  }
+
   test("T6: filename metadata parse") {
     val m1 = Transforms.parseFileName("FitbitIntradayCombined_20230512.json").get
     assert(m1.dataType === "FitbitIntradayCombined" && m1.subtype.isEmpty)

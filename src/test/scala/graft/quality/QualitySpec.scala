@@ -45,6 +45,20 @@ class QualitySpec extends SparkSpec {
     assert(cd.common === Seq("k") && cd.onlyLeft === Seq("v1") && cd.onlyRight === Seq("v2"))
   }
 
+  test("full compare report renders sections and writes row CSVs") {
+    import graft.operators.CompareReport
+    val left = Seq((1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)).toDF("k", "s", "v")
+    val right = Seq((1, "x", 10.0), (2, "y", 21.0), (4, "w", 40.0)).toDF("k", "s", "v")
+    val rep = CompareReport.build(left, right, Seq("k"))
+    assert(rep.summaryText.contains("Rows in common: 2"))
+    assert(rep.summaryText.contains("Rows only in staging: 1"))
+    assert(rep.leftOnlyRows.count() === 1 && rep.rightOnlyRows.count() === 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    CompareReport.write(rep, out)
+    assert(new java.io.File(s"$out/comparison_report.txt").exists())
+    assert(spark.read.option("header", "true").csv(s"$out/rows_with_diffs").count() === 1)
+  }
+
   test("exports filter builds OR-of-cohort-date predicates") {
     val df = Seq(
       ("adults_v1", "2023-05-12"), ("adults_v1", "2023-05-13"),
