@@ -96,20 +96,24 @@ object TextDedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.2,
                    maxPostings: Int = 10000): DataFrame = {
+    // Carry each doc's set size through the explode instead of joining back
+    // to a sizes table afterwards: the corpus is scanned for postings only
+    // (plus the posting-cap count), and the final jaccard needs no extra
+    // joins — sz_a/sz_b ride along as grouping keys (functionally dependent
+    // on the ids). At scale this turns 5 corpus scans + 2 id-joins into 3
+    // scans and 0 id-joins.
     val sets = df.select(col(idCol).as("id"), shingleSetFast(col(textCol), shingleN).as("set"))
       .where(size(col("set")) > 0)
-    val sizes = sets.select(col("id"), size(col("set")).as("sz"))
-    val postings = sets.select(col("id"), explode(col("set")).as("shingle"))
+    val postings = sets.select(col("id"), size(col("set")).as("sz"),
+      explode(col("set")).as("shingle"))
     val bounded = postings.join(
       postings.groupBy("shingle").count().where(col("count") <= maxPostings).drop("count"),
       Seq("shingle"), "left_semi")
-    val inter = bounded.select(col("shingle"), col("id").as("id_a"))
-      .join(bounded.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+    val a = bounded.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = bounded.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .groupBy("id_a", "sz_a", "id_b", "sz_b").agg(count(lit(1)).as("n_inter"))
       .select(col("id_a"), col("id_b"),
         round(col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
