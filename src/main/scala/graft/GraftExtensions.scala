@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("graft_shingles", classOf[Shingles].getName, 2,
       c => Shingles(c(0), c(1))))
+    ext.injectFunction(fn("graft_shingles_all", classOf[Shingles].getName, 2,
+      c => Shingles(c(0), c(1), distinct = false)))
     ext.injectFunction(fn("graft_minhash", classOf[MinHashSig].getName, 3,
       c => MinHashSig(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_simhash", classOf[SimHash].getName, 1,

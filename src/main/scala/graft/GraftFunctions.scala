@@ -14,6 +14,8 @@ object GraftFunctions {
     if (!spark.catalog.functionExists("graft_dot")) {
       reg.createOrReplaceTempFunction("graft_shingles",
         c => Shingles(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_shingles_all",
+        c => Shingles(c(0), c(1), distinct = false), "internal")
       reg.createOrReplaceTempFunction("graft_minhash",
         c => MinHashSig(c(0), c(1), c(2)), "internal")
       reg.createOrReplaceTempFunction("graft_simhash",

@@ -279,6 +279,43 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // --- corpus statistics: top n-grams, tf-idf ---
+    "q30_top_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(shinglesAllFast(col("text"), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(20)
+    }),
+
+    "q31_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // small driver-side scalar, mirrors COUNT(*) in SQL
+      val terms = docs.select(col("doc_id"), explode(shinglesAllFast(col("text"), 1)).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "term")
+        .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3 && col("doc_id") < 30)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // --- deterministic train/val/test splitting (hash-mod assignment) ---
+    "q32_train_split" -> ((s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket.isin("c", "d"), "val")
+            .when(bucket.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
     // --- sessionization (gap-based event-time sessions) ---
     "q28_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -499,6 +536,33 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q30_top_ngrams" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i) WHERE len(ts) >= 3)
+        |SELECT ngram, COUNT(*) AS n FROM sh GROUP BY ngram
+        |ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "q31_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rnk FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, score FROM r
+        |WHERE rnk <= 3 AND doc_id < 30 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q32_train_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       lang, COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "q28_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

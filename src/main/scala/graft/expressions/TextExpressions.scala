@@ -81,16 +81,18 @@ private[expressions] object TextOps {
   }
 }
 
-/** graft_shingles(text, n) → array<string> of distinct word n-grams. */
-case class Shingles(left: Expression, right: Expression)
+/** graft_shingles(text, n) → array<string> of word n-grams — distinct set by
+  * default (Jaccard), every occurrence when distinct=false (corpus counts).
+  */
+case class Shingles(left: Expression, right: Expression, distinct: Boolean = true)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String = if (distinct) "graft_shingles" else "graft_shingles_all"
 
   override def nullSafeEval(text: Any, n: Any): Any = {
     val arr = TextOps.shingles(text.asInstanceOf[UTF8String].toString,
-      n.asInstanceOf[Int], distinct = true)
+      n.asInstanceOf[Int], distinct)
     new GenericArrayData(arr.map(UTF8String.fromString(_): Any))
   }
 

@@ -39,6 +39,10 @@ object TextFunctions {
   def shingleSetFast(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
 
+  /** Native non-distinct word n-grams (corpus frequency counting). */
+  def shinglesAllFast(text: Column, n: Int): Column =
+    call_function("graft_shingles_all", text, lit(n))
+
   /** Native MinHash signature straight from text (null if < n tokens). */
   def minHashFast(text: Column, n: Int, k: Int): Column =
     call_function("graft_minhash", text, lit(n), lit(k))

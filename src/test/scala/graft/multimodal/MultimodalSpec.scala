@@ -26,6 +26,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.columns.toSet === Set("media_id", "frame_idx", "offset_ms", "feature"))
   }
 
+  test("media features flow into ANN search (integration)") {
+    import graft.operators.Knn
+    import org.apache.spark.sql.functions.col
+    val corpus = Multimodal.syntheticCorpus(spark, 60)
+    val feats = Multimodal.extractFeatures(corpus, dim = 16)
+      .toDF().withColumnRenamed("feature", "embedding")
+      .withColumnRenamed("media_id", "vec_id")
+    val nn = Knn.bruteForce(feats.where(col("vec_id") < 3), feats, k = 4)
+    assert(nn.count() === 12) // 3 queries x 4 neighbors
+    assert(nn.where("sim > 1.000001 OR sim < -1.000001").count() === 0)
+  }
+
   test("resize clamps dimensions preserving aspect ratio metadata") {
     import spark.implicits._
     val df = Seq((1L, 1280, 960), (2L, 320, 240)).toDF("media_id", "width", "height")
