@@ -290,13 +290,14 @@ object SparkEntry {
 
     "q31_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count() // small driver-side scalar, mirrors COUNT(*) in SQL
+      val nDocs = docs.agg(count(lit(1)).as("n_docs")) // lazy scalar, broadcast by AQE
       val terms = docs.select(col("doc_id"), explode(shinglesAllFast(col("text"), 1)).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, "term")
-        .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
       scored.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3 && col("doc_id") < 30)

@@ -29,6 +29,21 @@ object DedupLatest {
       .drop("__graft_rn")
   }
 
+  /** Skew-resistant two-phase variant for pathological hot keys: phase 1
+    * takes the per-(key, salt) winner — the salt spreads one hot key over
+    * `saltBuckets` reducers — and phase 2 reduces the surviving
+    * `saltBuckets` candidates per key to the global winner. Same result as
+    * [[apply]] for any total `ordering`; use when one key holds a
+    * disproportionate share of rows (DESIGN.md "skew defenses").
+    */
+  def salted(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
+             saltBuckets: Int = 64): DataFrame = {
+    val salt = (rand(42) * saltBuckets).cast("int")
+    val phase1 = apply(df.withColumn("__graft_salt", salt),
+      keys :+ "__graft_salt", ordering)
+    apply(phase1, keys, ordering).drop("__graft_salt")
+  }
+
   /** Reference-faithful form: InsertedDate (if present) then export_end_date,
     * both descending.
     */
