@@ -29,6 +29,10 @@ object Tables {
       // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
       // rejects; read as LongType nanos and convert where needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per session: managed-table tests never collide with
+      // leftovers from an earlier JVM
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import java.io.{File, FileOutputStream}
@@ -77,6 +78,53 @@ object ExportReader {
         routedType -> dfs.reduce(_ unionByName _)
       }
     }
+  }
+
+  /** Distributed variant for MANY archives (the 100 TB ingest path): scan
+    * zips as `binaryFile` rows, inflate each archive inside its executor
+    * task, and emit (archive, member, line) NDJSON lines — then parse per
+    * routed type with the declared schema. One task per archive, no driver
+    * bottleneck; archives must individually fit in task memory (the
+    * reference caps exports at ~80 GB compressed, so shard bigger ones
+    * upstream).
+    */
+  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame = {
+    import spark.implicits._
+    val bytes = spark.read.format("binaryFile").load(zipGlob)
+      .select(col("path"), col("content"))
+    bytes.as[(String, Array[Byte])].flatMap { case (path, content) =>
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(content))
+      Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+        .filterNot(_.isDirectory)
+        .filterNot(e => e.getName.substring(e.getName.lastIndexOf('/') + 1)
+          .startsWith("Manifest"))
+        .flatMap { e =>
+          val member = e.getName
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(zis, "UTF-8"))
+          Iterator.continually(reader.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).map(line => (path, member, line)).toVector
+        }.toVector
+    }.toDF("archive", "member", "line")
+  }
+
+  /** Parse the lines of one routed type out of a distributed-read frame
+    * (routing rules = T6/T9: optional subtype segment, `_Deleted` marker).
+    */
+  def parseMembers(lines: DataFrame, routedType: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{from_json, regexp_extract, not}
+    val base = regexp_extract(col("member"), "([^/]+)$", 1)
+    val cond = if (routedType.endsWith("_Deleted")) {
+      val t = routedType.stripSuffix("_Deleted")
+      base.rlike(s"^${t}(_[A-Za-z0-9]+)*_Deleted_\\d{8}")
+    } else {
+      base.rlike(s"^${routedType}(_[A-Za-z0-9]+)*_\\d{8}") &&
+        not(base.contains("_Deleted_"))
+    }
+    lines.where(cond)
+      .select(from_json(col("line"), schema).as("r"))
+      .select("r.*")
   }
 
   /** NDJSON dataset sink (reference S3, `write_file_to_json_dataset`,

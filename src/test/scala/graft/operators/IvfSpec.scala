@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ingest.ExportReader
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF recalls brute-force neighbors on clustered vectors") {
+    // 3 well-separated clusters in 8 dims, 30 points each
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5))
+      a(axis) = 1.0f + 0.01f * i
+      a
+    }
+    val rows = for (axis <- Seq(0, 3, 6); i <- 0 until 30)
+      yield ((axis * 100 + i).toLong, v(axis, i))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.where("vec_id IN (0, 305, 610)")
+
+    val index = Ivf.build(corpus, nCells = 3)
+    val ivf = Ivf.query(index, queries, k = 5, nProbe = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(queries, corpus, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // nProbe=1 on clean clusters: perfect recall
+    assert(ivf === brute)
+  }
+
+  test("distributed zip ingest routes members and parses lines in executors") {
+    val tmp = Files.createTempDirectory("graft_dzip_").toFile
+    def writeZip(name: String, entries: (String, String)*): Unit = {
+      val zos = new ZipOutputStream(new FileOutputStream(new File(tmp, name)))
+      entries.foreach { case (n, c) =>
+        zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close()
+    }
+    writeZip("e1.zip",
+      "Manifest.json" -> "{}",
+      "TestFlat_20230512.json" -> "{\"GlobalKey\":\"a\"}\n{\"GlobalKey\":\"b\"}",
+      "TestFlat_Deleted_20230512.json" -> "{\"GlobalKey\":\"b\"}")
+    writeZip("e2.zip",
+      "TestFlat_20230513.json" -> "{\"GlobalKey\":\"c\"}")
+
+    val lines = ExportReader.readExportsDistributed(spark, s"${tmp.getAbsolutePath}/*.zip")
+    assert(lines.count() === 4) // Manifest filtered
+    val schema = StructType(Seq(StructField("GlobalKey", StringType)))
+    val flat = ExportReader.parseMembers(lines, "TestFlat", schema)
+    assert(flat.select("GlobalKey").as[String].collect().toSet === Set("a", "b", "c"))
+    val deleted = ExportReader.parseMembers(lines, "TestFlat_Deleted", schema)
+    assert(deleted.select("GlobalKey").as[String].collect().toSet === Set("b"))
+  }
+}
