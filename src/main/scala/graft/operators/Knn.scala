@@ -56,11 +56,13 @@ object Knn {
     }
     val qb = withBands(queries, qId, qVec, "q")
     val cb = withBands(corpus, cId, cVec, "n")
-    val cand = qb.join(cb, Seq("band_idx", "band"))
+    // Score per banded collision, then dedupe on the compact (q_id, n_id)
+    // pair — never shuffle the vectors themselves through a distinct.
+    val scored = qb.join(cb, Seq("band_idx", "band"))
       .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
-      .select("q_id", "q_vec", "n_id", "n_vec").distinct()
-    val scored = cand.select(col("q_id"), col("n_id"),
-      round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
+      .groupBy("q_id", "n_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -84,10 +86,12 @@ object Knn {
       Seq("band_idx", "band"), "left_semi")
     val a = bounded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bounded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("v").as("v_b"))
+    // threshold BEFORE the pair-dedup: the filter drops ~all banded
+    // collisions, so the distinct shuffles only surviving near-dup pairs
     a.join(b, Seq("band_idx", "band"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(dotFast(col("v_a"), col("v_b")), 6).as("sim"))
-      .distinct()
       .where(col("sim") >= threshold)
+      .distinct()
   }
 }

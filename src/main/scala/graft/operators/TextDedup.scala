@@ -139,7 +139,7 @@ object TextDedup {
     a.join(b, Seq("chunk_idx", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
