@@ -279,6 +279,57 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // --- SQL surface: correlated subquery through spark.sql over the lake ---
+    "q33_sql_subquery" -> ((s, dir) => {
+      Lake.open(s, dir, Seq("customer", "orders"))
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+          |     AND o_totalprice > 350000) AS n_big
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |                AND o_totalprice > 350000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- analytic window frame: exact running sum per user ---
+    "q34_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .where(col("user_id") < 10)
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // --- set operations ---
+    "q35_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
+    // --- pivot (wide per-category counts) ---
+    "q36_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(et =>
+        sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et"))
+      t(s, dir, "events").groupBy("user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("user_id")
+    }),
+
+    // --- histogram bucketing ---
+    "q37_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("int"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // --- corpus statistics: top n-grams, tf-idf ---
     "q30_top_ngrams" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -537,6 +588,42 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q33_sql_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey
+        |     AND o_totalprice > 350000) AS n_big
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q34_window_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "q35_except" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q37_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q30_top_ngrams" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
