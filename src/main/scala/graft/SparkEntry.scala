@@ -389,6 +389,47 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // --- multimodal: stub-decoded features through ANN (no SQL oracle:
+    // feature extraction is the library's deterministic stub codec) ---
+    "q38_multimodal_ann" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      GraftFunctions.register(s)
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticCorpus(s, 200), dim = 16)
+        .toDF().withColumnRenamed("feature", "embedding")
+        .withColumnRenamed("media_id", "vec_id")
+      Knn.bruteForce(feats.where(col("vec_id") < 5), feats, k = 3)
+        .select("q_id", "n_id", "rank", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // --- structured streaming surfaced as a query: AvailableNow windowed
+    // aggregation over the events table read as a file stream; the batch
+    // read of the streamed sink is returned (rows-only check - the final
+    // open window is intentionally unemitted under the watermark) ---
+    "q39_stream_hourly" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q39_").toString
+      // file streams take directories; expose the single-file table as one
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      java.nio.file.Files.createSymbolicLink(
+        inDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet"))
+      val stream = s.readStream
+        .schema(Tables.read(s, dir, "events").schema)
+        .parquet(inDir.toString)
+      val agg = graft.streaming.StreamingIngest
+        .windowedEventCounts(stream, window = "1 hour", watermark = "0 seconds")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("hour", "event_type")
+    }),
+
     "q27_embed_neardup" -> ((s, dir) => {
       Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("id_a", "id_b")
