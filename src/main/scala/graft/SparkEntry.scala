@@ -143,8 +143,11 @@ object SparkEntry {
     "q11_relationalize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val child = Relationalize(emb, "embeddings", Seq("vec_id"))("embeddings_embedding")
-      child.select(col("vec_id"), col("index").as("idx"),
-        round(col("embedding_val").cast("double"), 6).as("val"))
+      // Relationalize keeps parents of empty/null arrays (posexplode_outer);
+      // the SQL oracle's unnest is inner, so drop those placeholder rows here
+      child.where(col("index").isNotNull)
+        .select(col("vec_id"), col("index").as("idx"),
+          round(col("embedding_val").cast("double"), 6).as("val"))
         .orderBy("vec_id", "idx")
     }),
 
@@ -185,9 +188,9 @@ object SparkEntry {
     // --- JSON extraction (T3) ---
     "q15_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
-        .withColumn("k_mod", (get_json_object(col("props"), "$.k").cast("int") % 10))
+        .withColumn("k_mod", (get_json_object(col("props"), "$.k").try_cast("int") % 10))
         .groupBy("k_mod").agg(count(lit(1)).as("n"))
-        .orderBy("k_mod")
+        .orderBy(col("k_mod").asc_nulls_first)
     }),
 
     // --- LLM-pipeline: dedup ---
@@ -553,8 +556,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q15_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod ASC NULLS FIRST""".stripMargin,
 
     "q17_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

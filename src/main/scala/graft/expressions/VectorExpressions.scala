@@ -34,10 +34,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = VecOps.toDoubles(a.asInstanceOf[ArrayData], VecOps.elemType(left.dataType))
     val y = VecOps.toDoubles(b.asInstanceOf[ArrayData], VecOps.elemType(right.dataType))
+    require(x.length == y.length,
+      s"graft_dot: vector lengths differ (${x.length} vs ${y.length})")
     var s = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -78,12 +79,13 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = VecOps.toDoubles(a.asInstanceOf[ArrayData], VecOps.elemType(left.dataType))
     val y = VecOps.toDoubles(b.asInstanceOf[ArrayData], VecOps.elemType(right.dataType))
+    require(x.length == y.length,
+      s"graft_cosine: vector lengths differ (${x.length} vs ${y.length})")
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
     if (nx == 0.0 || ny == 0.0) null else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 

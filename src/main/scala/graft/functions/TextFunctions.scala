@@ -72,9 +72,11 @@ object TextFunctions {
     * are near-dup candidates.
     */
   def lshBuckets(signature: Column, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), (size(signature) / rowsPerBand).cast("int") - 1),
-      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))
-        .cast("array<string>").cast("string")))
+    when(size(signature) >= rowsPerBand,
+      transform(sequence(lit(0), (size(signature) / rowsPerBand).cast("int") - 1),
+        b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>").cast("string"))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 weighted by
     * each token-hash's bit, take the sign. Pure expression: one

@@ -48,7 +48,9 @@ object ExportReader {
     val zf = new ZipFile(zipPath)
     try {
       members.map { m =>
-        val out = new File(dir, baseName(m.name))
+        // keep full member paths unique — equal basenames in different
+        // archive folders must not overwrite each other
+        val out = new File(dir, m.name.replace('/', '_'))
         val in = zf.getInputStream(zf.getEntry(m.name))
         val os = new FileOutputStream(out)
         try in.transferTo(os) finally { os.close(); in.close() }

@@ -49,18 +49,35 @@ object CompareDatasets {
     df.join(counts, keys, "left_semi")
   }
 
-  /** One-row summary: counts of common / left-only / right-only keys and
-    * per-column exact-mismatch counts over common keys. Null-safe equality
+  /** One-row summary: counts of common / left-only / right-only rows and
+    * per-column exact-mismatch counts over common rows. Null-safe equality
     * (`<=>`) matches datacompy's NaN-equals-NaN exact compare.
+    *
+    * Duplicate keys pair positionally (datacompy's cumcount semantics): each
+    * side gets a per-key occurrence index — ordered by the compared columns
+    * for determinism — that joins alongside the key, so a key occurring
+    * twice on each side contributes exactly two compared row-pairs, never
+    * four. Side presence is tracked with explicit marker columns, so rows
+    * with null join keys (which can never match) are still counted as
+    * left-only / right-only instead of vanishing.
     */
   def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
               compareCols: Seq[String]): DataFrame = {
-    val l = left.select((keys ++ compareCols).map(c => col(c).as(s"l_$c")): _*)
-    val r = right.select((keys ++ compareCols).map(c => col(c).as(s"r_$c")): _*)
-    val joinCond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, p: String): DataFrame = {
+      df.select((keys ++ compareCols).map(c => col(c).as(s"${p}_$c")): _*)
+        .withColumn(s"${p}_dup_idx",
+          row_number().over(Window.partitionBy(keys.map(k => col(s"${p}_$k")): _*)
+            .orderBy(compareCols.map(c => col(s"${p}_$c")): _*)))
+        .withColumn(s"${p}_present", lit(1))
+    }
+    val l = side(left, "l")
+    val r = side(right, "r")
+    val joinCond = (keys.map(k => col(s"l_$k") === col(s"r_$k")) :+
+      (col("l_dup_idx") === col("r_dup_idx"))).reduce(_ && _)
     val joined = l.join(r, joinCond, "full_outer")
-    val inLeft = col(s"l_${keys.head}").isNotNull
-    val inRight = col(s"r_${keys.head}").isNotNull
+    val inLeft = col("l_present").isNotNull
+    val inRight = col("r_present").isNotNull
     val aggs: Seq[Column] =
       Seq(
         sum(when(inLeft && inRight, 1L).otherwise(0L)).as("n_common"),

@@ -71,7 +71,13 @@ object Relationalize {
       parentScalars.zip(parentNames).map { case ((_, c), n) => c.as(n) }: _*)
 
     // Child-table naming per reference: root + field path, lowercased.
-    def childName(p: Seq[String]): String = (rootName +: p).mkString("_").toLowerCase
+    // Distinct paths can flatten to the same name (`a.b` vs literal `a_b`);
+    // uniquify with a numeric suffix rather than silently overwriting.
+    def childName(p: Seq[String]): String = {
+      val base = (rootName +: p).mkString("_").toLowerCase
+      if (!out.contains(base)) base
+      else Iterator.from(2).map(i => s"${base}_$i").find(!out.contains(_)).get
+    }
 
     def emitChild(parent: DataFrame, carryCols: Seq[String], path: Seq[String],
                   arrayCol: Column, at: ArrayType): Unit = {

@@ -27,7 +27,13 @@ object JsonToParquet {
     val Read, DropDuplicates, DropDeletedSamples, Write = Value
   }
 
-  final case class JobResult(tables: Map[String, DataFrame], counts: DataFrame)
+  /** @param cleanup releases the cached post-dedup DataFrame; `run` calls it
+    *                 after the sinks, callers of `transform` own it otherwise
+    *                 (30 data types in one session would otherwise pin 30
+    *                 cached datasets in executor storage).
+    */
+  final case class JobResult(tables: Map[String, DataFrame], counts: DataFrame,
+                             cleanup: () => Unit = () => ())
 
   /** Run the transformation chain lazily (no sink): returns the parent +
     * child tables and the lineage-count DataFrame (A2: per-export_end_date
@@ -59,7 +65,7 @@ object JsonToParquet {
 
     counts = counts.unionByName(
       stageCounts(spark, tables(dataType.toLowerCase), dataType, Stage.Write))
-    JobResult(tables, counts)
+    JobResult(tables, counts, () => { deduped.unpersist(); () })
   }
 
   /** A2 — `groupBy(export_end_date).count()` tagged with type and stage
@@ -93,6 +99,7 @@ object JsonToParquet {
     result.counts.coalesce(1).write.mode("overwrite")
       .option("header", "true")
       .csv(s"$outputRoot/record_counts/dataset_${dataType.toLowerCase}")
+    result.cleanup()
     result
   }
 

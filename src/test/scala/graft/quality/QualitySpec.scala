@@ -37,6 +37,18 @@ class QualitySpec extends SparkSpec {
     assert(rows.toSeq === Seq(2))
   }
 
+  test("compare summary: dup keys pair positionally, null keys still counted") {
+    val left = Seq((Option(1), "a"), (Option(1), "b"), (Option.empty[Int], "n"))
+      .toDF("k", "v")
+    val right = Seq((Option(1), "a"), (Option(1), "b"))
+      .toDF("k", "v")
+    val s = CompareDatasets.summary(left, right, Seq("k"), Seq("v")).collect().head
+    assert(s.getAs[Long]("n_common") === 2)   // 2 pairs, not 4
+    assert(s.getAs[Long]("n_left_only") === 1) // the null-keyed row
+    assert(s.getAs[Long]("n_right_only") === 0)
+    assert(s.getAs[Long]("n_mismatch_v") === 0) // positional pairing aligns a-a, b-b
+  }
+
   test("compare: duplicate key detection and column diff") {
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     assert(CompareDatasets.duplicateKeyRows(df, Seq("k")).count() === 2)
