@@ -1,0 +1,56 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** The native expressions must agree with their HOF "executable
+  * specification" counterparts (and thereby with the DuckDB oracle SQL that
+  * mirrors the HOF formulations).
+  */
+class NativeConsistencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(100)
+
+  test("native shingles == HOF shingle set, elementwise") {
+    val diff = docs.select(
+      shingleSet(col("text"), 3).as("hof"),
+      shingleSetFast(col("text"), 3).as("fast"))
+      .where(not(col("hof") === col("fast")))
+    assert(diff.count() === 0)
+    // non-distinct variant preserves multiplicity and order
+    val diff2 = docs.select(
+      wordShingles(col("text"), 4).as("hof"),
+      shinglesAllFast(col("text"), 4).as("fast"))
+      .where(not(col("hof") === col("fast")))
+    assert(diff2.count() === 0)
+  }
+
+  test("native cosine == HOF cosine within double rounding") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").limit(30)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib"))
+    val bad = pairs.select(
+      cosine(col("va"), col("vb")).as("hof"),
+      cosineFast(col("va"), col("vb")).as("fast"))
+      .where(abs(col("hof") - col("fast")) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("edge cases: empty text, short docs, empty vectors") {
+    val edge = Seq("", "one", "one two", "  spaced   out  ").toDF("text")
+    val rows = edge.select(
+      shingleSetFast(col("text"), 3).as("sh"),
+      minHashFast(col("text"), 3, 8).as("mh"),
+      simHashFast(col("text")).as("simh")).collect()
+    assert(rows(0).getSeq[String](0).isEmpty && rows(0).isNullAt(1))
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).isNullAt(1))
+    assert(rows(2).getSeq[String](0).isEmpty && rows(2).isNullAt(1)) // 2 tokens < n
+    assert(rows(3).getSeq[String](0).isEmpty && rows(3).isNullAt(1)) // whitespace runs collapse
+    val _ = rows.map(_.getLong(2)) // simhash defined for all inputs
+  }
+}
