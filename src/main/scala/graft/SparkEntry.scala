@@ -325,6 +325,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // --- exact interpolated percentiles ---
+    "q40_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- histogram bucketing ---
     "q37_histogram" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -664,6 +675,13 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q40_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q37_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n

@@ -138,6 +138,12 @@ object Relationalize {
                 col(("__val" +: subSegs).map(x => s"`$x`").mkString(".")).as(nestedCol): _*)
             emitChild(nestedParent, carryCols :+ posCol, path ++ subSegs, col(nestedCol), a)
           }
+        case inner: ArrayType =>
+          // Array of arrays: recurse — the grandchild is keyed by both
+          // positions (Glue's `{path}.val.val` chain, underscore-named).
+          val renamed = exploded.withColumnRenamed("__val", s"${fieldPath}_val")
+          emitChild(renamed, carryCols :+ posCol, path :+ "val",
+            col(s"${fieldPath}_val"), inner)
         case _ =>
           // Array of scalars: single value column `{path}_val`.
           out += name -> exploded.withColumnRenamed("__val", s"${fieldPath}_val")

@@ -41,6 +41,16 @@ class NativeConsistencySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("graft_* functions are callable from SQL after registration") {
+    val r = spark.sql(
+      """SELECT graft_simhash('the quick brown fox') AS sh,
+        |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  size(graft_shingles('a b c d', 2)) AS ns""".stripMargin).collect().head
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Int]("ns") === 3)
+    assert(r.getAs[Long]("sh") != 0L)
+  }
+
   test("edge cases: empty text, short docs, empty vectors") {
     val edge = Seq("", "one", "one two", "  spaced   out  ").toDF("text")
     val rows = edge.select(

@@ -102,6 +102,20 @@ class RelationalizeSpec extends SparkSpec {
     assert(child.where("xs_val IS NOT NULL").count() === 3)
   }
 
+  test("array of arrays recurses to a doubly-indexed grandchild") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("Matrix", ArrayType(ArrayType(IntegerType)))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("a", Seq(Seq(1, 2), Seq(3)))), schema)
+    val tables = Relationalize(df, "t", Seq("id"))
+    val grand = tables("t_matrix_val")
+    assert(grand.columns.toSet === Set("id", "index", "index_2", "Matrix_val_val"))
+    val rows = grand.collect().map(r => (r.getAs[Int]("index"),
+      r.getAs[Int]("index_2"), r.getAs[Int]("Matrix_val_val"))).toSet
+    assert(rows === Set((0, 0, 1), (0, 1, 2), (1, 0, 3)))
+  }
+
   test("hasNestedFields") {
     assert(Relationalize.hasNestedFields(nestedSchema))
     assert(!Relationalize.hasNestedFields(StructType(Seq(StructField("a", StringType)))))
