@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => CosineSim(c(0), c(1))))
     ext.injectFunction(fn("graft_hyperplane_lsh", classOf[HyperplaneLsh].getName, 3,
       c => HyperplaneLsh(c(0), c(1), c(2))))
+    ext.injectFunction(fn("graft_minhash_merge", classOf[MinHashMergeAgg].getName, 1,
+      c => MinHashMergeAgg(c(0)).toAggregateExpression()))
   }
 }

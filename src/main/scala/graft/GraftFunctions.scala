@@ -28,6 +28,8 @@ object GraftFunctions {
         c => CosineSim(c(0), c(1)), "internal")
       reg.createOrReplaceTempFunction("graft_hyperplane_lsh",
         c => HyperplaneLsh(c(0), c(1), c(2)), "internal")
+      reg.createOrReplaceTempFunction("graft_minhash_merge",
+        c => MinHashMergeAgg(c(0)).toAggregateExpression(), "internal")
     }
   }
 }

@@ -325,6 +325,15 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // --- distinct aggregation ---
+    "q41_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // --- exact interpolated percentiles ---
     "q40_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -675,6 +684,10 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q41_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q40_percentiles" ->
       """SELECT l_returnflag,

@@ -51,6 +51,26 @@ class NativeConsistencySpec extends SparkSpec {
     assert(r.getAs[Long]("sh") != 0L)
   }
 
+  test("minhash-merge aggregate equals the signature of the concatenated group") {
+    val parts = Seq(
+      ("g", "the quick brown fox jumps over"),
+      ("g", "a lazy dog sleeps near the river"),
+      ("g", "shingle sets union under minimum hashing"))
+      .toDF("grp", "text")
+    val merged = parts.groupBy("grp")
+      .agg(expr("graft_minhash_merge(graft_minhash(text, 2, 16))").as("sig"))
+      .select("sig").as[Seq[Long]].collect().head
+    val whole = Seq(parts.select("text").as[String].collect().mkString(" | "))
+      .toDF("text")
+      // signature of the union of the three shingle sets: compute per part
+      // and take elementwise min manually
+    val sigs = parts.select(minHashFast(col("text"), 2, 16).as("s"))
+      .as[Seq[Long]].collect()
+    val expected = sigs.reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) })
+    assert(merged === expected)
+    val _ = whole
+  }
+
   test("edge cases: empty text, short docs, empty vectors") {
     val edge = Seq("", "one", "one two", "  spaced   out  ").toDF("text")
     val rows = edge.select(
