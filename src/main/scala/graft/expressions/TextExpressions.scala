@@ -2,11 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-
-import java.util.Locale
 
 /** Native Catalyst expressions for the text-pipeline hot path.
   *
@@ -39,10 +38,13 @@ private[expressions] object TextOps {
   }
 
   /** Space-joined word n-grams — exact same strings as the HOF/SQL
-    * formulation (`ts[i] || ' ' || ts[i+1] ...`).
+    * formulation (`ts[i] || ' ' || ts[i+1] ...`). Callers pass text already
+    * lowercased via `UTF8String.toLowerCase`, the same routine `lower()`
+    * uses, so the native path can never diverge from the spec formulation
+    * (String.toLowerCase with a default JVM locale would, e.g. tr_TR dotless i).
     */
   def shingles(text: String, n: Int, distinct: Boolean): Array[String] = {
-    val toks = tokenize(text.toLowerCase(Locale.ROOT))
+    val toks = tokenize(text)
     if (toks.length < n) return Array.empty
     val m = toks.length - n + 1
     val out = new Array[String](m)
@@ -79,6 +81,22 @@ private[expressions] object TextOps {
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
     mix64(h ^ mix64(seed))
   }
+
+  /** Argument-type validation at analysis time (AbstractDataType /
+    * ExpectsInputTypes are private[sql], so spelled out): SQL misuse like
+    * `graft_shingles(text, 3L)` fails with an AnalysisException instead of an
+    * executor-side ClassCastException.
+    */
+  def checkArgs(name: String, args: Seq[(DataType, DataType => Boolean, String)]): TypeCheckResult = {
+    args.zipWithIndex.collectFirst {
+      case ((dt, ok, want), i) if !ok(dt) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name: argument ${i + 1} expects $want, got ${dt.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  val isString: DataType => Boolean = _.isInstanceOf[StringType]
+  val isInt: DataType => Boolean = _ == IntegerType
 }
 
 /** graft_shingles(text, n) → array<string> of word n-grams — distinct set by
@@ -87,11 +105,15 @@ private[expressions] object TextOps {
 case class Shingles(left: Expression, right: Expression, distinct: Boolean = true)
   extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextOps.checkArgs(prettyName, Seq(
+      (left.dataType, TextOps.isString, "string"),
+      (right.dataType, TextOps.isInt, "int")))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = if (distinct) "graft_shingles" else "graft_shingles_all"
 
   override def nullSafeEval(text: Any, n: Any): Any = {
-    val arr = TextOps.shingles(text.asInstanceOf[UTF8String].toString,
+    val arr = TextOps.shingles(text.asInstanceOf[UTF8String].toLowerCase.toString,
       n.asInstanceOf[Int], distinct)
     new GenericArrayData(arr.map(UTF8String.fromString(_): Any))
   }
@@ -108,11 +130,16 @@ case class Shingles(left: Expression, right: Expression, distinct: Boolean = tru
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextOps.checkArgs(prettyName, Seq(
+      (first.dataType, TextOps.isString, "string"),
+      (second.dataType, TextOps.isInt, "int"),
+      (third.dataType, TextOps.isInt, "int")))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(text: Any, n: Any, k: Any): Any = {
-    val sh = TextOps.shingles(text.asInstanceOf[UTF8String].toString,
+    val sh = TextOps.shingles(text.asInstanceOf[UTF8String].toLowerCase.toString,
       n.asInstanceOf[Int], distinct = false)
     if (sh.isEmpty) return null
     val kk = k.asInstanceOf[Int]
@@ -137,13 +164,16 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
 }
 
 /** graft_simhash(text) → 64-bit SimHash of the token multiset. */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextOps.checkArgs(prettyName, Seq((child.dataType, TextOps.isString, "string")))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(text: Any): Any = {
     val toks = TextOps.tokenize(
-      text.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT))
+      text.asInstanceOf[UTF8String].toLowerCase.toString)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,12 +23,28 @@ private[expressions] object VecOps {
   }
 
   @inline def elemType(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
+
+  /** array<float> | array<double> — the two embedding layouts we accept;
+    * anything else is an analysis error rather than an executor-side CCE.
+    */
+  val isVector: DataType => Boolean = {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  def checkVectors(name: String, args: (DataType, Boolean)*): TypeCheckResult =
+    graft.expressions.TextOps.checkArgs(name, args.map {
+      case (dt, true) => (dt, isVector, "array<float> or array<double>")
+      case (dt, false) => (dt, graft.expressions.TextOps.isInt, "int")
+    })
 }
 
 /** graft_dot(a, b) → double dot product (arrays must be same length). */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkVectors(prettyName, (left.dataType, true), (right.dataType, true))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -47,7 +64,10 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** graft_l2norm(a) → array<double> unit-normalized; null for zero vectors. */
-case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFallback {
+case class L2Normalize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkVectors(prettyName, (child.dataType, true))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_l2norm"
   override def nullable: Boolean = true
@@ -72,6 +92,8 @@ case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFa
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkVectors(prettyName, (left.dataType, true), (right.dataType, true))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
   override def nullable: Boolean = true
@@ -99,6 +121,9 @@ case class CosineSim(left: Expression, right: Expression)
 case class HyperplaneLsh(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkVectors(prettyName,
+      (first.dataType, true), (second.dataType, false), (third.dataType, false))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_lsh"
 

@@ -48,9 +48,12 @@ object ExportReader {
     val zf = new ZipFile(zipPath)
     try {
       members.map { m =>
-        // keep full member paths unique — equal basenames in different
-        // archive folders must not overwrite each other
-        val out = new File(dir, m.name.replace('/', '_'))
+        // mirror the member's directory structure — flattening '/'→'_' would
+        // collide distinct members like a/b_c.json and a_b/c.json
+        val out = new File(dir, m.name)
+        require(out.getCanonicalPath.startsWith(dir.getCanonicalPath + File.separator),
+          s"zip entry escapes extraction dir: ${m.name}")
+        Files.createDirectories(out.getParentFile.toPath)
         val in = zf.getInputStream(zf.getEntry(m.name))
         val os = new FileOutputStream(out)
         try in.transferTo(os) finally { os.close(); in.close() }

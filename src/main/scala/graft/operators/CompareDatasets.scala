@@ -65,10 +65,14 @@ object CompareDatasets {
               compareCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, p: String): DataFrame = {
+      // when there are no compared columns (sides share only the key),
+      // duplicate rows within a key are indistinguishable — any stable
+      // ordering works, and an empty orderBy would be an AnalysisException
+      val dupOrder = if (compareCols.nonEmpty) compareCols else keys
       df.select((keys ++ compareCols).map(c => col(c).as(s"${p}_$c")): _*)
         .withColumn(s"${p}_dup_idx",
           row_number().over(Window.partitionBy(keys.map(k => col(s"${p}_$k")): _*)
-            .orderBy(compareCols.map(c => col(s"${p}_$c")): _*)))
+            .orderBy(dupOrder.map(c => col(s"${p}_$c")): _*)))
         .withColumn(s"${p}_present", lit(1))
     }
     val l = side(left, "l")

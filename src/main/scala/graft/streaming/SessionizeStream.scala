@@ -52,8 +52,12 @@ object SessionizeStream {
             }
             if (cur != null) {
               state.update(cur)
-              // close the open session once the watermark passes last + gap
-              state.setTimeoutTimestamp(cur.last + gapMs)
+              // close the open session once the watermark passes last + gap;
+              // clamped above the current watermark — a late event (older than
+              // watermark - gap) would otherwise put the timeout at/behind the
+              // watermark, which Spark rejects and the query dies
+              state.setTimeoutTimestamp(
+                math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator

@@ -51,6 +51,22 @@ class NativeConsistencySpec extends SparkSpec {
     assert(r.getAs[Long]("sh") != 0L)
   }
 
+  test("wrong argument types fail at analysis, not execution") {
+    // long literal where int is expected, and non-array args to vector math
+    for (bad <- Seq(
+        "SELECT graft_shingles(text, 3L) FROM __nc_docs",
+        "SELECT graft_minhash(text, 3, '16') FROM __nc_docs",
+        "SELECT graft_simhash(42)",
+        "SELECT graft_dot('a', 'b')",
+        "SELECT graft_cosine(array(1.0D), 7)",
+        "SELECT graft_l2norm('nope')",
+        "SELECT graft_hyperplane_lsh(array(1.0D), 16L, 42)")) {
+      docs.createOrReplaceTempView("__nc_docs")
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.toLowerCase.contains("expects"), s"for: $bad → ${e.getMessage}")
+    }
+  }
+
   test("minhash-merge aggregate equals the signature of the concatenated group") {
     val parts = Seq(
       ("g", "the quick brown fox jumps over"),

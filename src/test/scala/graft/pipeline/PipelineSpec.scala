@@ -95,4 +95,22 @@ class PipelineSpec extends SparkSpec {
       s"$out/archive/dataset_healthkitv2electrocardiogram").nonEmpty)
     val _ = result
   }
+
+  test("extract keeps members distinct when flattened names would collide") {
+    val tmp = Files.createTempDirectory("graft_zipcollide_").toFile
+    val zipPath = new File(tmp, "c.zip").getAbsolutePath
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // both flatten to a_b_c.json under '/'→'_' renaming
+    entry("a/b_c.json", "one")
+    entry("a_b/c.json", "two")
+    zos.close()
+    val members = ExportReader.listMembers(zipPath)
+    val paths = ExportReader.extract(zipPath, members)
+    assert(paths.size === 2 && paths.values.toSet.size === 2)
+    assert(Files.readString(new File(paths("a/b_c.json")).toPath) === "one")
+    assert(Files.readString(new File(paths("a_b/c.json")).toPath) === "two")
+  }
 }

@@ -49,6 +49,15 @@ class QualitySpec extends SparkSpec {
     assert(s.getAs[Long]("n_mismatch_v") === 0) // positional pairing aligns a-a, b-b
   }
 
+  test("compare summary works when sides share only the key columns") {
+    val left = Seq(1, 2, 3, 3).toDF("k")
+    val right = Seq(2, 3, 4).toDF("k")
+    val s = CompareDatasets.summary(left, right, Seq("k"), Seq.empty).collect().head
+    assert(s.getAs[Long]("n_common") === 2)
+    assert(s.getAs[Long]("n_left_only") === 2) // 1 and the second 3
+    assert(s.getAs[Long]("n_right_only") === 1)
+  }
+
   test("compare: duplicate key detection and column diff") {
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     assert(CompareDatasets.duplicateKeyRows(df, Seq("k")).count() === 2)
