@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosineFast
 import graft.operators._
 import graft.quality.Expectations
 import org.apache.spark.sql.expressions.Window
@@ -426,9 +427,11 @@ object SparkEntry {
     }),
 
     // --- structured streaming surfaced as a query: AvailableNow windowed
-    // aggregation over the events table read as a file stream; the batch
-    // read of the streamed sink is returned (rows-only check - the final
-    // open window is intentionally unemitted under the watermark) ---
+    // aggregation over the events table read as a file stream. A sentinel
+    // event 2 hours past the real maximum advances the watermark so every
+    // real window closes and is emitted in append mode; the sentinel's own
+    // window stays open and never reaches the sink, so the result equals
+    // the batch hourly aggregation and is fully oracle-checkable ---
     "q39_stream_hourly" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q39_").toString
       // file streams take directories; expose the single-file table as one
@@ -437,8 +440,17 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         inDir.resolve("events.parquet"),
         java.nio.file.Paths.get(dir, "events.parquet"))
+      val batch = Tables.read(s, dir, "events")
+      val maxTs = batch.agg(max("ts")).head.getLong(0)
+      batch.limit(1)
+        .withColumn("ts", lit(maxTs + 2L * 3600L * 1000000000L))
+        .withColumn("event_type", lit("__sentinel"))
+        .write.parquet(s"$tmp/sentinel")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/sentinel"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p, inDir.resolve("zz_sentinel.parquet")))
       val stream = s.readStream
-        .schema(Tables.read(s, dir, "events").schema)
+        .schema(batch.schema)
         .parquet(inDir.toString)
       val agg = graft.streaming.StreamingIngest
         .windowedEventCounts(stream, window = "1 hour", watermark = "0 seconds")
@@ -453,6 +465,76 @@ object SparkEntry {
       s.read.parquet(s"$tmp/out").orderBy("hour", "event_type")
     }),
 
+    // --- as-of join (time-series alignment): each purchase aligned to the
+    // user's latest click at-or-before it (union + running-last window; one
+    // shuffle, no range blowup — see operators/AsOfJoin) ---
+    "q42_asof_join" -> ((s, dir) => {
+      // microsecond timestamps on both engines: DuckDB's native TIMESTAMP is
+      // µs, so it truncates the parquet ns values on read
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("click_ts_us"))
+        .agg(max("value").as("click_value"))
+      AsOfJoin.latestPrior(purchases, clicks, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "click_ts_us")
+        .where(col("asof_click_ts_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_click_ts_us").as("click_ts_us"),
+          col("asof_click_value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // --- banded range join: click/purchase pairs within 1 hour, same user
+    // (bucket-explode equi join instead of a nested-loop theta join) ---
+    "q43_band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id"), expr("ts DIV 1000").as("a_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id"), expr("ts DIV 1000").as("b_ts"))
+      BandJoin.within(clicks, purchases, Seq("user_id"),
+          aTs = "a_ts", bTs = "b_ts", width = 3600L * 1000000L)
+        .select(col("a_id"), col("b_id"), (col("b_ts") - col("a_ts")).as("diff_us"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // --- resample + gap-fill: dense hourly per-user series with zero-filled
+    // empty buckets (sequence()+explode grid, no driver calendar) ---
+    "q44_resample" -> ((s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      Resample.gapFill(
+          t(s, dir, "events").where(col("user_id") < 20),
+          keys = Seq("user_id"), tsCol = "ts", step = hourNs,
+          aggs = Seq(
+            "n" -> count(lit(1)),
+            "sum_value" -> sum(col("value").cast("decimal(18,4)")).cast("double")),
+          fills = Seq("n" -> lit(0L), "sum_value" -> lit(0.0)))
+        .select(col("user_id"),
+          date_format(expr("timestamp_micros(bucket_start DIV 1000)"),
+            "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "hour")
+    }),
+
+    // --- exact cosine similarity pairs: sampled probes against the full
+    // corpus (broadcast nested loop over the tiny probe side; the corpus
+    // never shuffles) — the exact baseline the LSH paths (q25/q27)
+    // approximate ---
+    "q45_cosine_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val corpus = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      corpus.join(broadcast(probes), col("id_a") =!= col("id_b"))
+        .withColumn("sim", round(cosineFast(col("ea"), col("eb")), 6))
+        .where(col("sim") >= 0.3)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q27_embed_neardup" -> ((s, dir) => {
       Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("id_a", "id_b")
@@ -464,6 +546,52 @@ object SparkEntry {
     * semantics DuckDB cannot reproduce → driver records rows-only checks.
     */
   def oracleSql: Map[String, String] = Map(
+    "q39_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS click_ts_us, MAX(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, r.click_ts_us, r.click_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND r.click_ts_us <= l.ts_us
+        |ORDER BY event_id""".stripMargin,
+
+    "q43_band_join" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_ts FROM events
+        |           WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT a_id, b_id, b_ts - a_ts AS diff_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND abs(a.a_ts - b.b_ts) <= CAST(3600 AS BIGINT) * 1000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q44_resample" ->
+      """WITH agg AS (SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 20) t
+        |  GROUP BY user_id)
+        |SELECT grid.user_id AS user_id, strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
+        |FROM grid LEFT JOIN agg ON grid.user_id = agg.user_id AND grid.h = agg.h
+        |ORDER BY grid.user_id, hour""".stripMargin,
+
+    "q45_cosine_pairs" ->
+      """WITH q AS (SELECT vec_id AS id_a, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ea
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS id_b, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eb
+        |      FROM embeddings)
+        |SELECT id_a, id_b, round(list_cosine_similarity(ea, eb), 6) AS sim
+        |FROM q, c WHERE id_a <> id_b
+        |  AND round(list_cosine_similarity(ea, eb), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded range join: all pairs `(a, b)` sharing `keys` with
+  * `|a.ts - b.ts| <= width` — proximity matching over event streams (e.g.
+  * click↔purchase attribution within an hour) without a cartesian or an
+  * un-plannable theta join.
+  *
+  * Spark-first plan: both sides bucket their timestamp by `width`; a pair
+  * within `width` can only differ by at most one bucket, so side `a` is
+  * expanded to its 3 candidate buckets (a cheap 3× explode of the SMALLER
+  * projection, ids + ts only) and equi-joined on `(keys, bucket)`, then the
+  * exact band predicate filters false candidates. Each qualifying pair
+  * appears exactly once because `b` keeps its single true bucket. The join
+  * is a plain equi shuffle join — broadcast-able when one side is small,
+  * AQE-skew-splittable, prunable — instead of the BroadcastNestedLoopJoin
+  * Spark would pick for the raw inequality predicate.
+  *
+  * Inputs must have disjoint non-key column names (project/alias first);
+  * timestamps are numeric (e.g. epoch nanos), `width` inclusive.
+  */
+object BandJoin {
+
+  def within(a: DataFrame, b: DataFrame, keys: Seq[String],
+             aTs: String, bTs: String, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val overlap = a.columns.filterNot(keys.contains)
+      .intersect(b.columns.filterNot(keys.contains))
+    require(overlap.isEmpty, s"non-key columns collide: ${overlap.mkString(",")}")
+
+    val bucket = (ts: String) => floor(col(ts) / width).cast("long")
+    val aExp = a.withColumn("__bucket",
+      explode(array(bucket(aTs) - 1, bucket(aTs), bucket(aTs) + 1)))
+    val bExp = b.withColumn("__bucket", bucket(bTs))
+
+    aExp.join(bExp, keys :+ "__bucket")
+      .where(abs(col(aTs) - col(bTs)) <= width)
+      .drop("__bucket")
+  }
+}
