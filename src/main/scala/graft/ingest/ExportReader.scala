@@ -85,34 +85,17 @@ object ExportReader {
     }
   }
 
-  /** Distributed variant for MANY archives (the 100 TB ingest path): scan
-    * zips as `binaryFile` rows, inflate each archive inside its executor
-    * task, and emit (archive, member, line) NDJSON lines — then parse per
-    * routed type with the declared schema. One task per archive, no driver
-    * bottleneck; archives must individually fit in task memory (the
-    * reference caps exports at ~80 GB compressed, so shard bigger ones
-    * upstream).
+  /** Distributed variant for MANY archives (the 100 TB ingest path):
+    * delegate to the DataSource V2 zip source — planning lists only central
+    * directories, members are bin-packed into size-bounded partitions, and
+    * readers stream lines without ever materializing an archive as a row
+    * value (a `binaryFile` scan would). Emits (archive, member, line); parse
+    * per routed type with `parseMembers`.
     */
-  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame = {
-    import spark.implicits._
-    val bytes = spark.read.format("binaryFile").load(zipGlob)
-      .select(col("path"), col("content"))
-    bytes.as[(String, Array[Byte])].flatMap { case (path, content) =>
-      val zis = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(content))
-      Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory)
-        .filterNot(e => e.getName.substring(e.getName.lastIndexOf('/') + 1)
-          .startsWith("Manifest"))
-        .flatMap { e =>
-          val member = e.getName
-          val reader = new java.io.BufferedReader(
-            new java.io.InputStreamReader(zis, "UTF-8"))
-          Iterator.continually(reader.readLine()).takeWhile(_ != null)
-            .filter(_.nonEmpty).map(line => (path, member, line)).toVector
-        }.toVector
-    }.toDF("archive", "member", "line")
-  }
+  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame =
+    spark.read.format("graft.sources.ZipLineSource")
+      .option("path", zipGlob)
+      .load()
 
   /** Parse the lines of one routed type out of a distributed-read frame
     * (routing rules = T6/T9: optional subtype segment, `_Deleted` marker).
