@@ -456,11 +456,18 @@ object SparkEntry {
         .windowedEventCounts(stream, window = "1 hour", watermark = "0 seconds")
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"))
-      val q = agg.writeStream.format("parquet")
-        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // stateful ops pin the state-store layout to shuffle.partitions at
+      // first plan; (window, type) state is small, so fewer, fatter state
+      // partitions cut per-batch store setup/commit overhead
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        agg.writeStream.format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.read.parquet(s"$tmp/out").orderBy("hour", "event_type")
     }),

@@ -55,42 +55,53 @@ object CompareDatasets {
     *
     * Duplicate keys pair positionally (datacompy's cumcount semantics): each
     * side gets a per-key occurrence index — ordered by the compared columns
-    * for determinism — that joins alongside the key, so a key occurring
-    * twice on each side contributes exactly two compared row-pairs, never
-    * four. Side presence is tracked with explicit marker columns, so rows
-    * with null join keys (which can never match) are still counted as
-    * left-only / right-only instead of vanishing.
+    * for determinism — so a key occurring twice on each side contributes
+    * exactly two compared row-pairs, never four. Rows with null join keys
+    * (which can never match) are counted as left-only / right-only.
+    *
+    * Plan shape: both sides UNION into one tagged stream; one window pass
+    * assigns the per-key occurrence index, and one groupBy on
+    * `(key, dup_idx)` pairs the two sides via max-of-struct — 2 shuffles
+    * total (window + pairing groupBy), versus the naive formulation's two
+    * per-side windows plus a re-shuffling full-outer join (4). At 100 TB the
+    * saved shuffle is a full pass over both datasets.
     */
   def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
               compareCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def side(df: DataFrame, p: String): DataFrame = {
-      // when there are no compared columns (sides share only the key),
-      // duplicate rows within a key are indistinguishable — any stable
-      // ordering works, and an empty orderBy would be an AnalysisException
-      val dupOrder = if (compareCols.nonEmpty) compareCols else keys
-      df.select((keys ++ compareCols).map(c => col(c).as(s"${p}_$c")): _*)
-        .withColumn(s"${p}_dup_idx",
-          row_number().over(Window.partitionBy(keys.map(k => col(s"${p}_$k")): _*)
-            .orderBy(dupOrder.map(c => col(s"${p}_$c")): _*)))
-        .withColumn(s"${p}_present", lit(1))
-    }
-    val l = side(left, "l")
-    val r = side(right, "r")
-    val joinCond = (keys.map(k => col(s"l_$k") === col(s"r_$k")) :+
-      (col("l_dup_idx") === col("r_dup_idx"))).reduce(_ && _)
-    val joined = l.join(r, joinCond, "full_outer")
-    val inLeft = col("l_present").isNotNull
-    val inRight = col("r_present").isNotNull
+    // when there are no compared columns (sides share only the key),
+    // duplicate rows within a key are indistinguishable — any stable
+    // ordering works, and an empty orderBy would be an AnalysisException
+    val dupOrder = if (compareCols.nonEmpty) compareCols else keys
+    def tagged(df: DataFrame, side: Int): DataFrame =
+      df.select((keys ++ compareCols).map(col) :+ lit(side).as("__side"): _*)
+    val unioned = tagged(left, 0).unionByName(tagged(right, 1))
+
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val w = Window.partitionBy((keys.map(col) :+ col("__side")): _*)
+      .orderBy(dupOrder.map(col): _*)
+    val indexed = unioned.withColumn("__dup_idx",
+      when(nullKey, monotonically_increasing_id()).otherwise(row_number().over(w)))
+
+    // pair the sides: per (key, dup_idx) each side contributes <=1 row
+    // (null-key rows get unique ids above, so they never pair); the struct
+    // marker distinguishes "row absent" from "value is null"
+    def packed(side: Int) =
+      max(when(col("__side") === side,
+        struct(lit(1).as("p") +: compareCols.map(col): _*))).as(s"__s$side")
+    val paired = indexed.groupBy(keys.map(col) :+ col("__dup_idx"): _*)
+      .agg(packed(0), packed(1))
+    val inLeft = col("__s0").isNotNull
+    val inRight = col("__s1").isNotNull
     val aggs: Seq[Column] =
       Seq(
         sum(when(inLeft && inRight, 1L).otherwise(0L)).as("n_common"),
         sum(when(inLeft && !inRight, 1L).otherwise(0L)).as("n_left_only"),
         sum(when(!inLeft && inRight, 1L).otherwise(0L)).as("n_right_only")) ++
         compareCols.map(c =>
-          sum(when(inLeft && inRight && !(col(s"l_$c") <=> col(s"r_$c")), 1L)
+          sum(when(inLeft && inRight && !(col(s"__s0.$c") <=> col(s"__s1.$c")), 1L)
             .otherwise(0L)).as(s"n_mismatch_$c"))
-    joined.agg(aggs.head, aggs.tail: _*)
+    paired.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-key mismatch detail over common keys: key cols + one boolean per
