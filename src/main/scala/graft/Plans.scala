@@ -11,7 +11,7 @@ object Plans {
       pushed.foreach(l => println("  " + l))
       println("  wscg spans: " + plan.linesIterator.count(_.contains("WholeStageCodegen")))
     }
-    Seq("q01_pricing_summary","q02_filter_pushdown","q03_join_revenue","q04_broadcast_join","q05_anti_join","q07_dedup_latest","q22_jaccard_pairs","q25_ann_topk").foreach(show)
+    Seq("q01_pricing_summary","q02_filter_pushdown","q03_join_revenue","q04_broadcast_join","q05_anti_join","q07_dedup_latest","q22_jaccard_pairs","q25_ann_topk","q42_asof_join","q43_band_join","q44_resample","q45_cosine_pairs","q12_compare_diff").foreach(show)
     spark.stop()
   }
 }

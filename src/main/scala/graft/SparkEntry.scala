@@ -413,6 +413,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q46_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("user_mod"), col("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+    }),
+
+    "q47_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
     // --- multimodal: stub-decoded features through ANN (no SQL oracle:
     // feature extraction is the library's deterministic stub codec) ---
     "q38_multimodal_ann" -> ((s, dir) => {
@@ -588,6 +603,18 @@ object SparkEntry {
         |  COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
         |FROM grid LEFT JOIN agg ON grid.user_id = agg.user_id AND grid.h = agg.h
         |ORDER BY grid.user_id, hour""".stripMargin,
+
+    "q46_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod, COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin,
+
+    "q47_intersect" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
 
     "q45_cosine_pairs" ->
       """WITH q AS (SELECT vec_id AS id_a, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ea
