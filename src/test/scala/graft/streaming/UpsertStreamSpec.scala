@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+import java.io.File
+import java.nio.file.Files
+
+class UpsertStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", StringType),
+    StructField("seq", LongType),
+    StructField(UpsertStream.DeleteCol, BooleanType)))
+
+  test("micro-batched changes maintain a latest-wins snapshot with tombstones") {
+    val tmp = Files.createTempDirectory("graft_upstream_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    def write(name: String, lines: String*): Unit =
+      Files.writeString(new File(in, name).toPath, lines.mkString("\n"))
+
+    // initial inserts, an update (same key, higher seq), and a tombstone
+    write("b0.ndjson",
+      """{"k":1,"v":"a","seq":1}""",
+      """{"k":2,"v":"b","seq":1}""",
+      """{"k":3,"v":"c","seq":1}""")
+    write("b1.ndjson",
+      """{"k":2,"v":"b2","seq":2}""",
+      """{"k":2,"v":"b1-late","seq":1}""",
+      """{"k":3,"seq":3,"__deleted":true}""",
+      """{"k":4,"v":"d","seq":2}""")
+
+    val snap = s"$tmp/snap"
+    UpsertStream.run(spark, in.getAbsolutePath, schema, snap, s"$tmp/ckpt",
+      keys = Seq("k"), orderingCol = "seq")
+
+    val cur = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur === Map(1L -> "a", 2L -> "b2", 4L -> "d")) // 3 deleted, 2 updated
+
+    // a second run over newly-landed changes resumes from the checkpoint
+    write("b2.ndjson", """{"k":1,"seq":9,"__deleted":true}""")
+    UpsertStream.run(spark, in.getAbsolutePath, schema, snap, s"$tmp/ckpt",
+      keys = Seq("k"), orderingCol = "seq")
+    val cur2 = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur2 === Map(2L -> "b2", 4L -> "d"))
+  }
+}
