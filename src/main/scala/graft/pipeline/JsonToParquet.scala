@@ -112,4 +112,28 @@ object JsonToParquet {
     val crawlerCols = df.columns.filter(_.startsWith("partition_"))
     if (crawlerCols.isEmpty) df else df.drop(crawlerCols.toIndexedSeq: _*)
   }
+
+  /** Scan with a malformed-record audit trail: PERMISSIVE parse keeps the
+    * raw text of any line that failed the declared schema in a corrupt
+    * column (the "corrupt-record column for audit" noted in SURVEY §4's
+    * schema-conflict row — the reference only *logs* transform fallbacks,
+    * `s3_to_json.py:291-348`). Returns (clean rows, corrupt raw lines).
+    * The source is cached because Spark disallows filtering a JSON scan on
+    * the corrupt column alone; the cache is the caller's to release.
+    */
+  def scanAudited(spark: SparkSession, path: String,
+                  schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corruptCol = "_corrupt_record"
+    val df = spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val crawlerCols = df.columns.filter(_.startsWith("partition_"))
+    val base = if (crawlerCols.isEmpty) df else df.drop(crawlerCols.toIndexedSeq: _*)
+    (base.where(col(corruptCol).isNull).drop(corruptCol),
+      base.where(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_line")))
+  }
 }

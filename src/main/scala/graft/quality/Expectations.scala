@@ -61,6 +61,37 @@ object Expectations {
     existResults ++ betweenResults ++ inapplicable
   }
 
+  /** Parse a Great-Expectations-style suite config (the reference's
+    * `data_values_expectations.json` shape,
+    * `run_great_expectations_on_parquet.py:223-277`): a JSON object mapping
+    * data type → `{"expectations": [{"expectation_type": ..., "kwargs":
+    * {"column": ..., "min_value": ..., "max_value": ...}}]}`. Unknown
+    * expectation types raise — a silently dropped rule is a validation hole.
+    */
+  def fromJson(json: String): Map[String, Seq[Expectation]] = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(json)
+    root.properties().asScala.map { e =>
+      val rules = Option(e.getValue.get("expectations")).toSeq
+        .flatMap(_.elements().asScala)
+        .map { r =>
+          val kind = r.get("expectation_type").asText()
+          val kw = r.get("kwargs")
+          kind match {
+            case "expect_column_values_to_be_between" =>
+              Between(kw.get("column").asText(),
+                kw.get("min_value").asDouble(), kw.get("max_value").asDouble())
+            case "expect_column_to_exist" =>
+              ColumnExists(kw.get("column").asText())
+            case other =>
+              throw new IllegalArgumentException(s"unsupported expectation_type: $other")
+          }
+        }
+      e.getKey -> rules
+    }.toMap
+  }
+
   /** Same validation as a lazy DataFrame (for SQL-oracle checking): one row
     * per Between rule with the unexpected count — stays distributed, no
     * driver collect.

@@ -96,6 +96,24 @@ class PipelineSpec extends SparkSpec {
     val _ = result
   }
 
+  test("audited scan splits clean rows from corrupt raw lines") {
+    val tmp = Files.createTempDirectory("graft_audit_").toFile
+    Files.writeString(new File(tmp, "d.ndjson").toPath,
+      """{"a": "ok1", "b": 1}
+        |this is not json
+        |{"a": "ok2", "b": 2}
+        |{"a": "bad-b", "b": [}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("a", StringType),
+      StructField("b", org.apache.spark.sql.types.IntegerType)))
+    val (clean, corrupt) = graft.pipeline.JsonToParquet.scanAudited(
+      spark, tmp.getAbsolutePath, schema)
+    assert(clean.count() === 2)
+    assert(clean.columns.toSeq === Seq("a", "b"))
+    val bad = corrupt.collect().map(_.getString(0)).toSet
+    assert(bad.size === 2 && bad.exists(_.contains("not json")))
+  }
+
   test("extract keeps members distinct when flattened names would collide") {
     val tmp = Files.createTempDirectory("graft_zipcollide_").toFile
     val zipPath = new File(tmp, "c.zip").getAbsolutePath

@@ -88,4 +88,29 @@ class QualitySpec extends SparkSpec {
       "adults_v1" -> Seq("2023-05-12"), "pediatric_v1" -> Seq("2023-05-12")))
     assert(df.where(f).count() === 2)
   }
+
+  test("expectation suites load from the GE-style JSON config shape") {
+    val suites = Expectations.fromJson(
+      """{"fitbitdailydata": {"expectations": [
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "Steps", "min_value": 0, "max_value": 100000}},
+        |  {"expectation_type": "expect_column_to_exist",
+        |   "kwargs": {"column": "ParticipantIdentifier"}}
+        |]}}""".stripMargin)
+    assert(suites("fitbitdailydata") === Seq(
+      Expectations.Between("Steps", 0.0, 100000.0),
+      Expectations.ColumnExists("ParticipantIdentifier")))
+    // an unknown rule type must fail loudly, not validate nothing
+    intercept[IllegalArgumentException] {
+      Expectations.fromJson(
+        """{"t": {"expectations": [
+          |  {"expectation_type": "expect_table_row_count_to_equal",
+          |   "kwargs": {"value": 1}}]}}""".stripMargin)
+    }
+    // parsed rules drive the one-pass engine
+    val df = Seq(5.0, 150000.0).toDF("Steps")
+    val results = Expectations.run(df, suites("fitbitdailydata")
+      .filter(_.column == "Steps"))
+    assert(results.head.unexpectedCount === 1 && !results.head.passed)
+  }
 }
