@@ -213,14 +213,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "q23_minhash_buckets" -> ((s, dir) => {
+    // hash-exact oracle: graft.expressions.OracleHashSql emulates the
+    // native 64-bit hash chain in DuckDB HUGEINT space
+    "q23_minhash_sig" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sig = d.select(col("doc_id"),
-        minHashFast(col("text"), 3, 16).as("sig"))
+      d.select(col("doc_id"), minHashFast(col("text"), 3, 16).as("sig"))
         .where(col("sig").isNotNull)
-      sig.select(col("doc_id"),
-        posexplode(lshBuckets(col("sig"), 4)).as(Seq("band", "bucket")))
-        .orderBy("doc_id", "band")
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "minhash")))
+        .orderBy("doc_id", "j")
     }),
 
     "q24_simhash" -> ((s, dir) => {
@@ -564,10 +564,15 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for hash-based ops (q23, q24, q27) whose
-    * semantics DuckDB cannot reproduce → driver records rows-only checks.
+    * same parquet tables. q23/q24's hash semantics are reproduced in SQL by
+    * [[graft.expressions.OracleHashSql]]; only the LSH-bucketed cosine
+    * (q27) and the stub-codec multimodal path (q38, no DuckDB-visible input)
+    * remain rows-only checks.
     */
   def oracleSql: Map[String, String] = Map(
+    "q23_minhash_sig" -> graft.expressions.OracleHashSql.minhashSig(3, 16),
+    "q24_simhash" -> graft.expressions.OracleHashSql.simhash(),
+
     "q39_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n

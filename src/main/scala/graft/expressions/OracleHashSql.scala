@@ -1,0 +1,105 @@
+package graft.expressions
+
+/** DuckDB SQL generators reproducing the native hash chain
+  * ([[TextOps.hashString]] / [[TextOps.mix64]]) so the MinHash and SimHash
+  * queries are hash-exact oracle-checkable instead of rows-only.
+  *
+  * DuckDB has no wrapping 64-bit arithmetic (BIGINT/UBIGINT overflow raises),
+  * so the chain is emulated in non-negative HUGEINT "u64" space:
+  * `mod 2^64` after adds, a hi/lo split multiply (each partial < 2^97, well
+  * inside HUGEINT), xor via round-trip to signed BIGINT, and `>>> n` as
+  * floor division. Multi-step `mix64` needs let-bindings, which SQL lacks —
+  * each step is a CTE layer (`SELECT * REPLACE`). The seed constants
+  * (`mix64(0)`, `j * GOLDEN2`) are computed HERE from the same JVM code the
+  * native expressions run, so the oracle can never drift from the engine.
+  *
+  * Token/shingle folding assumes BMP text (codepoint == UTF-16 unit, so
+  * DuckDB `unicode(c)` matches Java `charAt`); supplementary-plane text
+  * would need a surrogate split. The driver corpora are BMP-only.
+  */
+object OracleHashSql {
+
+  private val U = "18446744073709551616" // 2^64
+  private val U32 = "4294967296" // 2^32
+
+  private def mul(a: String, b: String): String =
+    s"((((($a) % $U32) * $b) % $U + (((($a) // $U32) * $b) % $U32) * $U32) % $U)"
+
+  /** u64 HUGEINT → signed BIGINT (two's complement). */
+  private def toSigned(a: String): String =
+    s"CAST(($a) - CASE WHEN ($a) >= 9223372036854775808 THEN CAST($U AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+
+  private def xor(a: String, b: String): String = {
+    val x = s"xor(${toSigned(a)}, ${toSigned(b)})"
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $U ELSE CAST($x AS HUGEINT) END)"
+  }
+
+  /** Four CTE layers applying [[TextOps.mix64]] to column `c` of CTE `src`. */
+  private def mixCte(prefix: String, src: String, c: String): String =
+    s"""${prefix}1 AS (SELECT * REPLACE (($c + 11400714819323198485) % $U AS $c) FROM $src),
+       |${prefix}2 AS (SELECT * REPLACE (${mul(xor(c, s"$c // 1073741824"), "13787848793156543929")} AS $c) FROM ${prefix}1),
+       |${prefix}3 AS (SELECT * REPLACE (${mul(xor(c, s"$c // 134217728"), "10723151780598845931")} AS $c) FROM ${prefix}2),
+       |${prefix}4 AS (SELECT * REPLACE (${xor(c, s"$c // 2147483648")} AS $c) FROM ${prefix}3)""".stripMargin
+
+  private def u64(x: Long): java.math.BigInteger = {
+    val b = java.math.BigInteger.valueOf(x)
+    if (x < 0) b.add(java.math.BigInteger.ONE.shiftLeft(64)) else b
+  }
+
+  /** Per-string polynomial fold (Java semantics) as a list_reduce over
+    * codepoints, yielding u64 HUGEINT column `v`.
+    */
+  private def foldCte(src: String, strCol: String): String =
+    s"""SELECT $strCol, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |    list_transform(regexp_extract_all($strCol, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, c) -> (31*h + c) % $U) AS v FROM $src""".stripMargin
+
+  private val m0 = u64(TextOps.mix64(0L)).toString
+
+  /** Oracle for `posexplode(graft_minhash(text, n, k))`:
+    * (doc_id, j, minhash) — min over shingles of
+    * `mix64(hashString(shingle, 0) ^ j*GOLDEN2)` under SIGNED comparison.
+    */
+  def minhashSig(n: Int, k: Int): String = {
+    val gram = (0 until n).map(i => if (i == 0) "ts[i]" else s"ts[i+$i]").mkString(" || ' ' || ")
+    val seedRows = (0 until k)
+      .map(j => s"(CAST($j AS INT), CAST(${u64(j * 0xC2B2AE3D27D4EB4FL)} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, $gram AS s
+       |       FROM tok, UNNEST(generate_series(1, len(ts) - ${n - 1})) AS u(i) WHERE len(ts) >= $n),
+       |str AS (${foldCte("(SELECT DISTINCT s FROM sh) t", "s")}),
+       |x0 AS (SELECT s, ${xor("v", m0)} AS v FROM str),
+       |${mixCte("b", "x0", "v")},
+       |seeds AS (SELECT * FROM (VALUES $seedRows) AS t(j, jk)),
+       |hx0 AS (SELECT sh.doc_id, seeds.j, ${xor("b4.v", "seeds.jk")} AS v
+       |        FROM sh JOIN b4 USING (s) CROSS JOIN seeds),
+       |${mixCte("m", "hx0", "v")}
+       |SELECT doc_id, j, MIN(${toSigned("v")}) AS minhash
+       |FROM m4 GROUP BY doc_id, j ORDER BY doc_id, j""".stripMargin
+  }
+
+  /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority
+    * (tie → 0), bits reassembled into a signed 64-bit value.
+    */
+  def simhash(): String = {
+    val bitRows = (0 until 64)
+      .map(b => s"($b, CAST(${java.math.BigInteger.ONE.shiftLeft(b)} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tk FROM documents),
+       |tstr AS (${foldCte("(SELECT DISTINCT tk FROM dtok) t", "tk")}),
+       |x0 AS (SELECT tk, ${xor("v", m0)} AS v FROM tstr),
+       |${mixCte("b", "x0", "v")},
+       |bits AS (SELECT * FROM (VALUES $bitRows) AS t(b, p)),
+       |cnt AS (SELECT d.doc_id, bits.b,
+       |          SUM(CASE WHEN (h.v // bits.p) % 2 = 1 THEN 1 ELSE -1 END) AS c
+       |        FROM dtok d JOIN b4 h USING (tk) CROSS JOIN bits
+       |        GROUP BY d.doc_id, bits.b),
+       |sig AS (SELECT cnt.doc_id,
+       |          SUM(CASE WHEN cnt.c > 0 THEN bits.p ELSE CAST(0 AS HUGEINT) END) AS v
+       |        FROM cnt JOIN bits USING (b) GROUP BY cnt.doc_id)
+       |SELECT d.doc_id, COALESCE(${toSigned("sig.v")}, 0) AS simhash
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}
