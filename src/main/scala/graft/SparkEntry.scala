@@ -572,6 +572,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q23_minhash_sig" -> graft.expressions.OracleHashSql.minhashSig(3, 16),
     "q24_simhash" -> graft.expressions.OracleHashSql.simhash(),
+    "q27_embed_neardup" -> graft.expressions.OracleHashSql
+      .hyperplaneCosineNearDup(seed = 42, nBits = 16, bandBits = 4, dim = 64,
+        threshold = 0.3),
 
     "q39_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

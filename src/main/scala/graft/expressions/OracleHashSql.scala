@@ -79,6 +79,49 @@ object OracleHashSql {
        |FROM m4 GROUP BY doc_id, j ORDER BY doc_id, j""".stripMargin
   }
 
+  /** Oracle for `Knn.cosineNearDup` (hyperplane-LSH near-duplicate pairs):
+    * the deterministic hyperplane components
+    * `((mix64(seed*G1 + bit*G2 + dim) >>> 11) / 2^53) * 2 - 1` are computed
+    * here and embedded as double literals (Java `Double.toString` round-trips,
+    * DuckDB parses to the identical double), projections/norms/dots are
+    * sequential `list_reduce` folds matching the JVM loop order exactly, so
+    * even the sign decisions at bucket boundaries agree bit-for-bit.
+    *
+    * The `maxBucketSize` degeneracy cap is a no-op at oracle scale (≤500
+    * vectors per band at sf0.01 vs the 10000 cap) and is omitted.
+    */
+  def hyperplaneCosineNearDup(seed: Int, nBits: Int, bandBits: Int, dim: Int,
+                              threshold: Double): String = {
+    def weight(b: Int, i: Int): Double = {
+      val h = TextOps.mix64(seed.toLong * 0x9E3779B97F4A7C15L + b.toLong * 0xC2B2AE3D27D4EB4FL + i)
+      ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val wlists = (0 until nBits).map(b =>
+      (0 until dim).map(i => weight(b, i).toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT $wlists::DOUBLE[][] AS wl),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
+       |nrm AS (SELECT vec_id, x, sqrt(list_reduce(list_prepend(0.0, list_transform(x, v -> v*v)), (a,v) -> a+v)) AS nv FROM e),
+       |n AS (SELECT vec_id, list_transform(x, v -> v/nv) AS nx FROM nrm WHERE nv > 0),
+       |bit AS (SELECT e.vec_id, b.b,
+       |         CASE WHEN list_reduce(list_prepend(0.0,
+       |            list_transform(generate_series(1, $dim), k -> e.x[k] * w.wl[b.b+1][k])),
+       |            (a,v) -> a+v) >= 0 THEN 1 ELSE 0 END AS s
+       |        FROM e CROSS JOIN w CROSS JOIN (SELECT unnest(generate_series(0,${nBits - 1})) AS b) b),
+       |band AS (SELECT vec_id, b // $bandBits AS band_idx, SUM(s * (2 ** (b % $bandBits))) AS band_val
+       |         FROM bit GROUP BY vec_id, b // $bandBits),
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |         WHERE a.vec_id < b.vec_id),
+       |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+       |sims AS (SELECT id_a, id_b,
+       |          round(list_reduce(list_prepend(0.0,
+       |            list_transform(generate_series(1, $dim), k -> na.nx[k] * nb.nx[k])),
+       |            (a,v) -> a+v), 6) AS sim
+       |         FROM pairs JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+       |SELECT id_a, id_b, sim FROM sims WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority
     * (tie → 0), bits reassembled into a signed 64-bit value.
     */
