@@ -428,8 +428,9 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
-    // --- multimodal: stub-decoded features through ANN (no SQL oracle:
-    // feature extraction is the library's deterministic stub codec) ---
+    // --- multimodal: stub-decoded features through ANN; the deterministic
+    // stub codec + synthetic corpus are reproduced in SQL by OracleHashSql,
+    // so even this path is hash-exact oracle-checked ---
     "q38_multimodal_ann" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       GraftFunctions.register(s)
@@ -563,11 +564,12 @@ object SparkEntry {
     })
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. q23/q24's hash semantics are reproduced in SQL by
-    * [[graft.expressions.OracleHashSql]]; only the LSH-bucketed cosine
-    * (q27) and the stub-codec multimodal path (q38, no DuckDB-visible input)
-    * remain rows-only checks.
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables — every declared query has one. The hash-based queries
+    * (q23 MinHash, q24 SimHash, q27 hyperplane-LSH cosine, q38 multimodal
+    * stub) get their 64-bit hash chains, float32 codec arithmetic, and LSH
+    * sign decisions reproduced in SQL by
+    * [[graft.expressions.OracleHashSql]].
     */
   def oracleSql: Map[String, String] = Map(
     "q23_minhash_sig" -> graft.expressions.OracleHashSql.minhashSig(3, 16),
@@ -575,6 +577,8 @@ object SparkEntry {
     "q27_embed_neardup" -> graft.expressions.OracleHashSql
       .hyperplaneCosineNearDup(seed = 42, nBits = 16, bandBits = 4, dim = 64,
         threshold = 0.3),
+    "q38_multimodal_ann" -> graft.expressions.OracleHashSql
+      .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
 
     "q39_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

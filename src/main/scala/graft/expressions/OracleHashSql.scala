@@ -122,6 +122,44 @@ object OracleHashSql {
        |SELECT id_a, id_b, sim FROM sims WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for the multimodal ANN query: the synthetic corpus
+    * ([[graft.multimodal.Multimodal.syntheticCorpus]]) derives entirely from
+    * `range(n)`, which DuckDB regenerates with `generate_series`; the stub
+    * codec's strided signed-byte fold runs in u64 HUGEINT space, its float32
+    * output chain in DuckDB REAL (true IEEE binary32, verified equal to JVM
+    * float ops), and the brute-force ANN in double — so even the stubbed
+    * media path is hash-exact end to end.
+    */
+  def multimodalAnn(nMedia: Int, dim: Int, nQueries: Int, k: Int): String = {
+    val h0Rows = (0 until dim)
+      .map(i => s"($i, CAST(${u64(1125899906842597L ^ (i * 0x9E3779B97F4A7C15L))} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${nMedia - 1})) AS id),
+       |corp AS (SELECT id, 256 + (id % 512) AS len FROM ids),
+       |dims AS (SELECT * FROM (VALUES $h0Rows) AS t(i, h0)),
+       |feat AS (SELECT c.id, d.i,
+       |    list_reduce(list_prepend(d.h0,
+       |      list_transform(generate_series(d.i, c.len - 1, $dim),
+       |        j -> CAST(CASE WHEN (c.id*31 + j) % 256 >= 128 THEN (c.id*31 + j) % 256 - 256
+       |                       ELSE (c.id*31 + j) % 256 END AS HUGEINT))),
+       |      (h, b) -> ((31*h + b) % $U + $U) % $U) AS h
+       |  FROM corp c CROSS JOIN dims d),
+       |fv AS (SELECT id, i,
+       |    CAST((CAST(h % 65536 AS REAL) / CAST(65535 AS REAL)) * CAST(2 AS REAL) - CAST(1 AS REAL) AS DOUBLE) AS v
+       |  FROM feat),
+       |vecs AS (SELECT id, list_transform(list_sort(list_zip(list(i), list(v)), 'ASC'), p -> p[2]) AS x
+       |         FROM (SELECT id, i, v FROM fv) GROUP BY id),
+       |nrm AS (SELECT id, x, sqrt(list_reduce(list_prepend(0.0, list_transform(x, v -> v*v)), (a,v) -> a+v)) AS nv FROM vecs),
+       |n AS (SELECT id, list_transform(x, v -> v/nv) AS nx FROM nrm WHERE nv > 0),
+       |q AS (SELECT id AS q_id, nx AS qx FROM n WHERE id < $nQueries),
+       |s AS (SELECT q_id, n.id AS n_id,
+       |        round(list_reduce(list_prepend(0.0,
+       |          list_transform(generate_series(1, $dim), k -> q.qx[k] * n.nx[k])), (a,v) -> a+v), 6) AS sim
+       |      FROM q CROSS JOIN n WHERE q.q_id <> n.id),
+       |r AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INT) AS rank FROM s)
+       |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority
     * (tie → 0), bits reassembled into a signed 64-bit value.
     */
