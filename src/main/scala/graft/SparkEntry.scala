@@ -428,6 +428,18 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // --- dedup clustering: near-dup pairs → connected components with a
+    // canonical min-id representative (iterative label propagation; the
+    // oracle closes the same edge set with a recursive CTE) ---
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 4, threshold = 0.05)
+      ConnectedComponents.components(s, docs.select("doc_id"), pairs,
+          idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal: stub-decoded features through ANN; the deterministic
     // stub codec + synthetic corpus are reproduced in SQL by OracleHashSql,
     // so even this path is hash-exact oracle-checked ---
@@ -579,6 +591,24 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |          WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.05),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q39_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
