@@ -428,6 +428,32 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // --- hopping (sliding) windows: 1-hour windows every 15 min via the
+    // built-in window() generator (each event lands in 4 windows) ---
+    "q49_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // --- retention cohorts: users bucketed by first-seen day, activity
+    // counted per day-offset from that cohort day ---
+    "q50_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("to_date(timestamp_micros(ts DIV 1000))").as("d"))
+      val first = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // --- dedup clustering: near-dup pairs → connected components with a
     // canonical min-id representative (iterative label propagation; the
     // oracle closes the same edge set with a recursive CTE) ---
@@ -591,6 +617,22 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q49_hopping_window" ->
+      """WITH w AS (SELECT event_type,
+        |        to_timestamp(epoch(date_trunc('hour', ts)) + (CAST(floor((epoch(ts) - epoch(date_trunc('hour', ts))) / 900) AS BIGINT) - u.k) * 900) AS win_start
+        |      FROM events, UNNEST(generate_series(0, 3)) AS u(k))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q50_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(first.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(ev.d - first.cohort_day AS INT) AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q48_dedup_clusters" ->
       """WITH RECURSIVE
