@@ -38,8 +38,10 @@ object AsOfJoin {
                   tolerance: Option[Long] = None): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val leftRest = left.columns.filterNot(keys.contains).toSeq
-    require(leftRest.intersect(payload).isEmpty || leftTs != rightTs,
-      s"left/right non-key columns may not collide: ${leftRest.intersect(payload)}")
+    // the output appends `asof_<payload>` columns — they must not collide
+    // with names the left frame already has
+    val clash = payload.map("asof_" + _).intersect(left.columns.toSeq)
+    require(clash.isEmpty, s"output columns would collide: ${clash.mkString(",")}")
 
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
 object Resample {
 
   def gapFill(df: DataFrame, keys: Seq[String], tsCol: String, step: Long,
-              aggs: Seq[(String, Column)], fills: Seq[(String, Column)]): DataFrame = {
+              aggs: Seq[(String, Column)], fills: Seq[(String, Column)],
+              maxBucketsPerKey: Long = 10000000L): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
     val bucket = (floor(col(tsCol) / step) * step).cast("long")
 
@@ -34,10 +35,16 @@ object Resample {
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
+    // a single corrupt timestamp (epoch 0 in a 2024 dataset) would make one
+    // key's grid span decades — fail loudly instead of exploding the job
+    val hiChecked = when((col("__hi") - col("__lo")) / step <= maxBucketsPerKey, col("__hi"))
+      .otherwise(raise_error(concat(
+        lit(s"gapFill: key span exceeds $maxBucketsPerKey buckets: "),
+        concat_ws(",", keys.map(col): _*))).cast("long"))
     val grid = df.groupBy(keys.map(col): _*)
       .agg(min(bucket).as("__lo"), max(bucket).as("__hi"))
       .select(keys.map(col) :+
-        explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__bucket"): _*)
+        explode(sequence(col("__lo"), hiChecked, lit(step))).as("__bucket"): _*)
 
     val fillMap = fills.toMap
     val joined = grid.join(perBucket, keys :+ "__bucket", "left")

@@ -64,6 +64,24 @@ class TemporalJoinSpec extends SparkSpec {
     assert(n === 4)
   }
 
+  test("resample fails loudly when one key's span would explode the grid") {
+    val df = Seq(("u1", 0L, 1.0), ("u1", 10000000000L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Resample.gapFill(df, Seq("k"), "ts", step = 1L,
+        aggs = Seq("n" -> count(lit(1))), fills = Seq("n" -> lit(0L)),
+        maxBucketsPerKey = 1000L).count()
+    }
+    assert(e.getMessage.contains("exceeds") || e.getCause != null)
+  }
+
+  test("asof rejects output-name collisions") {
+    val l = Seq(("u1", 5L, "x")).toDF("k", "lts", "asof_reading")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestPrior(l, right, Seq("k"), "lts", "rts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("resample gap-fills the per-key grid with defaults") {
     val df = Seq(("u1", 0L, 1.0), ("u1", 25L, 2.0), ("u2", 100L, 5.0))
       .toDF("k", "ts", "v")
