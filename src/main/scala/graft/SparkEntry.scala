@@ -707,6 +707,7 @@ object SparkEntry {
         |      FROM embeddings)
         |SELECT id_a, id_b, round(list_cosine_similarity(ea, eb), 6) AS sim
         |FROM q, c WHERE id_a <> id_b
+        |  AND isfinite(list_cosine_similarity(ea, eb))
         |  AND round(list_cosine_similarity(ea, eb), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -40,8 +40,11 @@ private[expressions] object TextOps {
   /** Space-joined word n-grams — exact same strings as the HOF/SQL
     * formulation (`ts[i] || ' ' || ts[i+1] ...`). Callers pass text already
     * lowercased via `UTF8String.toLowerCase`, the same routine `lower()`
-    * uses, so the native path can never diverge from the spec formulation
-    * (String.toLowerCase with a default JVM locale would, e.g. tr_TR dotless i).
+    * uses, so the native path equals the engine's `lower()` BY CONSTRUCTION
+    * — they cannot diverge from each other. (UTF8String's own non-ASCII
+    * slow path delegates to the default-locale String.toLowerCase, so
+    * engine-vs-DuckDB oracle parity for non-ASCII text additionally assumes
+    * a root-like JVM locale — the deployment default here.)
     */
   def shingles(text: String, n: Int, distinct: Boolean): Array[String] = {
     val toks = tokenize(text)

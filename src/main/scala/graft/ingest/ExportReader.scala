@@ -85,17 +85,45 @@ object ExportReader {
     }
   }
 
-  /** Distributed variant for MANY archives (the 100 TB ingest path):
-    * delegate to the DataSource V2 zip source — planning lists only central
-    * directories, members are bin-packed into size-bounded partitions, and
-    * readers stream lines without ever materializing an archive as a row
-    * value (a `binaryFile` scan would). Emits (archive, member, line); parse
-    * per routed type with `parseMembers`.
+  /** Distributed variant for MANY archives (the 100 TB ingest path). Local
+    * filesystems go through the DataSource V2 zip source — planning lists
+    * only central directories, members are bin-packed into size-bounded
+    * partitions, and readers stream lines without ever materializing an
+    * archive as a row value. Remote Hadoop filesystems (s3a/hdfs/...) fall
+    * back to a `binaryFile` scan with executor-side inflation: any FS the
+    * session's Hadoop conf can reach works, at the cost of holding one
+    * archive's bytes per task (the reference caps exports at ~80 GB
+    * compressed; shard bigger ones upstream). Emits (archive, member, line);
+    * parse per routed type with `parseMembers`.
     */
-  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame =
-    spark.read.format("graft.sources.ZipLineSource")
-      .option("path", zipGlob)
-      .load()
+  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(zipGlob).toUri.getScheme)
+      .getOrElse("file")
+    if (scheme == "file") {
+      spark.read.format("graft.sources.ZipLineSource")
+        .option("path", zipGlob)
+        .load()
+    } else {
+      import spark.implicits._
+      spark.read.format("binaryFile").load(zipGlob)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])].flatMap { case (path, content) =>
+          val zis = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(content))
+          Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+            .filterNot(_.isDirectory)
+            .filterNot(e => e.getName.substring(e.getName.lastIndexOf('/') + 1)
+              .startsWith("Manifest"))
+            .flatMap { e =>
+              val member = e.getName
+              val reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(zis, "UTF-8"))
+              Iterator.continually(reader.readLine()).takeWhile(_ != null)
+                .filter(_.nonEmpty).map(line => (path, member, line)).toVector
+            }.toVector
+        }.toDF("archive", "member", "line")
+    }
+  }
 
   /** Parse the lines of one routed type out of a distributed-read frame
     * (routing rules = T6/T9: optional subtype segment, `_Deleted` marker).

@@ -30,7 +30,12 @@ object BandJoin {
       .intersect(b.columns.filterNot(keys.contains))
     require(overlap.isEmpty, s"non-key columns collide: ${overlap.mkString(",")}")
 
-    val bucket = (ts: String) => floor(col(ts) / width).cast("long")
+    // exact integer floor-bucket via `div` — a double division of raw int64
+    // nanos (~1.7e18 > 2^53) would round by ~128 ns and drop true pairs at
+    // bucket boundaries ((ts - pmod) is an exact multiple, so truncating
+    // `div` equals floor for either sign)
+    val bucket = (ts: String) =>
+      expr(s"($ts - pmod($ts, ${width}L)) div ${width}L")
     val aExp = a.withColumn("__bucket",
       explode(array(bucket(aTs) - 1, bucket(aTs), bucket(aTs) + 1)))
     val bExp = b.withColumn("__bucket", bucket(bTs))

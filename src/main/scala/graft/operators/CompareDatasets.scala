@@ -80,8 +80,14 @@ object CompareDatasets {
     val nullKey = keys.map(col(_).isNull).reduce(_ || _)
     val w = Window.partitionBy((keys.map(col) :+ col("__side")): _*)
       .orderBy(dupOrder.map(col): _*)
+    // null join keys can never match, but groupBy treats nulls as equal —
+    // give null-key rows side-disjoint indexes (even left, odd right) so
+    // they never pair. Deterministic (window row_number), unlike a
+    // monotonically_increasing_id, whose values change on stage retry and
+    // would re-route rows across reduce partitions mid-recovery.
+    val rn = row_number().over(w)
     val indexed = unioned.withColumn("__dup_idx",
-      when(nullKey, monotonically_increasing_id()).otherwise(row_number().over(w)))
+      when(nullKey, rn * 2 + col("__side")).otherwise(rn))
 
     // pair the sides: per (key, dup_idx) each side contributes <=1 row
     // (null-key rows get unique ids above, so they never pair); the struct

@@ -52,6 +52,11 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // silently returning half-propagated labels would hand callers wrong
+    // dedup groups — fail loudly like the rest of the library
+    require(converged,
+      s"connected components did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it)")
     labels.select(col("id").as(idCol), col("lbl").as("component"))
   }
 }

@@ -29,7 +29,9 @@ object Resample {
               aggs: Seq[(String, Column)], fills: Seq[(String, Column)],
               maxBucketsPerKey: Long = 10000000L): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
-    val bucket = (floor(col(tsCol) / step) * step).cast("long")
+    // exact integer floor-bucket — double division of int64 nanos loses
+    // ~128 ns of precision and mis-buckets boundary-adjacent events
+    val bucket = (col(tsCol) - pmod(col(tsCol), lit(step))).cast("long")
 
     val perBucket = df.groupBy((keys.map(col) :+ bucket.as("__bucket")): _*)
       .agg(aggs.head._2.as(aggs.head._1),

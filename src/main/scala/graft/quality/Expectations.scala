@@ -80,8 +80,12 @@ object Expectations {
           val kw = r.get("kwargs")
           kind match {
             case "expect_column_values_to_be_between" =>
+              // GE allows one-sided bounds: a missing or null bound is open
+              def bound(name: String, default: Double): Double =
+                Option(kw.get(name)).filterNot(_.isNull).map(_.asDouble()).getOrElse(default)
               Between(kw.get("column").asText(),
-                kw.get("min_value").asDouble(), kw.get("max_value").asDouble())
+                bound("min_value", Double.NegativeInfinity),
+                bound("max_value", Double.PositiveInfinity))
             case "expect_column_to_exist" =>
               ColumnExists(kw.get("column").asText())
             case other =>

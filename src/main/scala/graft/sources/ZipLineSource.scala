@@ -87,7 +87,9 @@ object ZipLineSource {
       bin.size += m.compressedSize
       bin.ms += m
     }
-    bins.map(_.ms.toSeq).toSeq
+    // group each bin by archive so the reader holds one ZipFile open per
+    // archive instead of reopening on every interleaved member
+    bins.map(_.ms.sortBy(m => (m.archive, m.member)).toSeq).toSeq
   }
 }
 
