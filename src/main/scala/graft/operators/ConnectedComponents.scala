@@ -31,17 +31,22 @@ object ConnectedComponents {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"),
+        lit(true).as("changed"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = sym.join(labels, sym("src") === labels("id"))
+      // frontier propagation: only labels that changed last round can lower
+      // a neighbor's label, so each round joins the (shrinking) frontier —
+      // after round one that is the dup-cluster vertices, not the corpus
+      val frontier = labels.where(col("changed"))
+      val neighborMin = sym.join(frontier, sym("src") === frontier("id"))
         .select(col("dst").as("id"), col("lbl"))
         .groupBy("id").agg(min("lbl").as("nmin"))
       // carry a changed flag so convergence is a scan of the materialized
       // round, not another join against the previous labels
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.drop("changed").join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           (col("nmin").isNotNull && col("nmin") < col("lbl")).as("changed"))
