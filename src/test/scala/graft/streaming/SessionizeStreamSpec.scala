@@ -80,4 +80,57 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(sessions.contains((1L, 1L)))
     assert(sessions.contains((7L, 1L)))
   }
+
+  test("streaming sessionization agrees with the batch lag-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // real event data: sf0.001 events as NDJSON, plus a far-future sentinel
+    // so every real session's event-time timeout fires before the stream ends
+    val ev = graft.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts")
+    val tmp = Files.createTempDirectory("graft_sess_xcheck_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.coalesce(1).write.json(s"$tmp/data")
+    new File(s"$tmp/data").listFiles.filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        val dst = new File(in, "a_" + f.getName)
+        Files.copy(f.toPath, dst.toPath); assert(dst.setLastModified(1000000L))
+      }
+    write2(in, "zz_sentinel.ndjson",
+      s"""{"user_id":-1,"ts":${maxTs + 24L * 3600 * 1000000000L}}""", 2000000L)
+
+    val gapMs = 30L * 60 * 1000
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType)))
+    SessionizeStream.run(spark, in.getAbsolutePath, schema, s"$tmp/out",
+      s"$tmp/ckpt", gapMs, maxFilesPerTrigger = 1000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .where(col("user_id") >= 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // batch reference — the q28-style lag/gap formulation over the same data
+    // compare at µs like the stream (timestamp_micros(ts DIV 1000))
+    val w = Window.partitionBy("user_id").orderBy(col("tus").asc)
+    val batch = ev.withColumn("tus", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag("tus", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("tus") - col("prev_ts") > lit(gapMs * 1000L), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(streamed === batch)
+  }
+
+  private def write2(dir: File, name: String, content: String, mtime: Long): Unit = {
+    val f = new File(dir, name)
+    Files.writeString(f.toPath, content)
+    assert(f.setLastModified(mtime))
+  }
 }
