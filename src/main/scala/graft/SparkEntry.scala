@@ -428,6 +428,22 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // --- deterministic stratified sampling: per-language rates via md5
+    // buckets — reproducible corpus downsampling with no rand() (the same
+    // trick as q32's splits, generalized to per-stratum rates) ---
+    "q51_stratified_sample" -> ((s, dir) => {
+      val rates = Map("en" -> 80, "fr" -> 50, "es" -> 50, "de" -> 30, "zh" -> 20)
+      val bucket = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":strat"))), 1, 4), 16, 10).cast("long") % 100)
+      val rateCol = rates.foldLeft(lit(0)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit(r)).otherwise(acc)
+      }
+      t(s, dir, "documents")
+        .where(bucket < rateCol)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -617,6 +633,15 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q51_stratified_sample" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4) AS INT) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'fr' THEN 50 WHEN 'es' THEN 50
+        |                         WHEN 'de' THEN 30 WHEN 'zh' THEN 20 ELSE 0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q49_hopping_window" ->
       """WITH w AS (SELECT event_type,
