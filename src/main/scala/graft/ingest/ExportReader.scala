@@ -91,10 +91,12 @@ object ExportReader {
     * partitions, and readers stream lines without ever materializing an
     * archive as a row value. Remote Hadoop filesystems (s3a/hdfs/...) fall
     * back to a `binaryFile` scan with executor-side inflation: any FS the
-    * session's Hadoop conf can reach works, at the cost of holding one
-    * archive's bytes per task (the reference caps exports at ~80 GB
-    * compressed; shard bigger ones upstream). Emits (archive, member, line);
-    * parse per routed type with `parseMembers`.
+    * session's Hadoop conf can reach works, holding one archive's
+    * COMPRESSED bytes per task while the inflation streams (lines are
+    * consumed lazily, never materialized per archive). binaryFile caps a
+    * single file at 2 GB — localize or shard bigger remote archives (the
+    * zip source has no such cap on local paths). Emits
+    * (archive, member, line); parse per routed type with `parseMembers`.
     */
   def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame = {
     val scheme = Option(new org.apache.hadoop.fs.Path(zipGlob).toUri.getScheme)
@@ -110,17 +112,19 @@ object ExportReader {
         .as[(String, Array[Byte])].flatMap { case (path, content) =>
           val zis = new java.util.zip.ZipInputStream(
             new java.io.ByteArrayInputStream(content))
+          // fully lazy: flatMap consumes sequentially, so each member's
+          // lines stream through one reader — nothing archive-sized is
+          // ever materialized on the heap
           Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
             .filterNot(_.isDirectory)
-            .filterNot(e => e.getName.substring(e.getName.lastIndexOf('/') + 1)
-              .startsWith("Manifest"))
+            .filterNot(e => baseName(e.getName).startsWith("Manifest"))
             .flatMap { e =>
               val member = e.getName
               val reader = new java.io.BufferedReader(
                 new java.io.InputStreamReader(zis, "UTF-8"))
               Iterator.continually(reader.readLine()).takeWhile(_ != null)
-                .filter(_.nonEmpty).map(line => (path, member, line)).toVector
-            }.toVector
+                .filter(_.nonEmpty).map(line => (path, member, line))
+            }
         }.toDF("archive", "member", "line")
     }
   }

@@ -35,7 +35,7 @@ object BandJoin {
     // bucket boundaries ((ts - pmod) is an exact multiple, so truncating
     // `div` equals floor for either sign)
     val bucket = (ts: String) =>
-      expr(s"($ts - pmod($ts, ${width}L)) div ${width}L")
+      expr(s"(`$ts` - pmod(`$ts`, ${width}L)) div ${width}L")
     val aExp = a.withColumn("__bucket",
       explode(array(bucket(aTs) - 1, bucket(aTs), bucket(aTs) + 1)))
     val bExp = b.withColumn("__bucket", bucket(bTs))

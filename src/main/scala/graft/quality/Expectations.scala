@@ -106,9 +106,12 @@ object Expectations {
         (col(b.column) < lit(b.lo) || col(b.column) > lit(b.hi)), 1L)
         .otherwise(0L)).as(b.column))
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (column, unexpected_count, passed)
+    // unpivot to (column, unexpected_count, passed); infinite bounds (from
+    // one-sided GE rules) have no bare SQL literal — cast from string
+    def dlit(x: Double): String =
+      if (x.isInfinite || x.isNaN) s"CAST('$x' AS DOUBLE)" else s"${x}D"
     val stacked = rules.map(b =>
-      s"'${b.column}', ${b.lo}D, ${b.hi}D, `${b.column}`").mkString(", ")
+      s"'${b.column}', ${dlit(b.lo)}, ${dlit(b.hi)}, `${b.column}`").mkString(", ")
     wide.selectExpr(
       s"stack(${rules.size}, $stacked) as (column_name, lo, hi, unexpected_count)")
       .withColumn("passed", col("unexpected_count") === 0L)

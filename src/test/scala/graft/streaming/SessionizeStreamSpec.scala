@@ -113,14 +113,15 @@ class SessionizeStreamSpec extends SparkSpec {
         sum("n_events").as("n_events"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
 
-    // batch reference — the q28-style lag/gap formulation over the same data
-    // compare at µs like the stream (timestamp_micros(ts DIV 1000))
-    val w = Window.partitionBy("user_id").orderBy(col("tus").asc)
-    val batch = ev.withColumn("tus", expr("ts DIV 1000"))
-      .withColumn("prev_ts", lag("tus", 1).over(w))
+    // batch reference — the q28-style lag/gap formulation over the same
+    // data at MILLISECOND precision: the stream's gap math runs on
+    // java.sql.Timestamp.getTime, which truncates micros to ms
+    val w = Window.partitionBy("user_id").orderBy(col("tms").asc)
+    val batch = ev.withColumn("tms", expr("ts DIV 1000000"))
+      .withColumn("prev_ts", lag("tms", 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("tus") - col("prev_ts") > lit(gapMs * 1000L), 1L).otherwise(0L))
+          col("tms") - col("prev_ts") > lit(gapMs), 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
