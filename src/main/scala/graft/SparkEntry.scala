@@ -529,16 +529,19 @@ object SparkEntry {
       // stateful ops pin the state-store layout to shuffle.partitions at
       // first plan; (window, type) state is small, so fewer, fatter state
       // partitions cut per-batch store setup/commit overhead
+      // the first micro-batch plans asynchronously after start(), so the
+      // conf must stay at 8 until the query terminates — restoring right
+      // after start() races the batch that pins the state layout
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        agg.writeStream.format("parquet")
+      try {
+        val q = agg.writeStream.format("parquet")
           .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
       s.read.parquet(s"$tmp/out").orderBy("hour", "event_type")
     }),
 

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first plan: both sides bucket their timestamp by `width`; a pair
   * within `width` can only differ by at most one bucket, so side `a` is
-  * expanded to its 3 candidate buckets (a cheap 3× explode of the SMALLER
-  * projection, ids + ts only) and equi-joined on `(keys, bucket)`, then the
-  * exact band predicate filters false candidates. Each qualifying pair
+  * expanded to its 3 candidate buckets and equi-joined on `(keys, bucket)`,
+  * then the exact band predicate filters false candidates. The 3× explode
+  * carries ALL of `a`'s columns — pass the narrower side (or a pre-projected
+  * `a` plus a post-join lookup) as `a` when columns are wide; the explode
+  * multiplies `a`'s full shuffle volume. Each qualifying pair
   * appears exactly once because `b` keeps its single true bucket. The join
   * is a plain equi shuffle join — broadcast-able when one side is small,
   * AQE-skew-splittable, prunable — instead of the BroadcastNestedLoopJoin

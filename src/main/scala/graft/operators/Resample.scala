@@ -30,8 +30,16 @@ object Resample {
               maxBucketsPerKey: Long = 10000000L): DataFrame = {
     require(step > 0, s"step must be positive, got $step")
     // exact integer floor-bucket — double division of int64 nanos loses
-    // ~128 ns of precision and mis-buckets boundary-adjacent events
-    val bucket = (col(tsCol) - pmod(col(tsCol), lit(step))).cast("long")
+    // ~128 ns of precision and mis-buckets boundary-adjacent events.
+    // A null timestamp would form a __bucket group the grid (min/max ignore
+    // nulls) never contains — silently dropped rows; fail loudly instead,
+    // in-plan, with no extra validation pass
+    val bucket = when(col(tsCol).isNotNull,
+        col(tsCol) - pmod(col(tsCol), lit(step)))
+      .otherwise(raise_error(concat(
+        lit(s"gapFill: null $tsCol for key "),
+        concat_ws(",", keys.map(k => col(k).cast("string")): _*))).cast("long"))
+      .cast("long")
 
     val perBucket = df.groupBy((keys.map(col) :+ bucket.as("__bucket")): _*)
       .agg(aggs.head._2.as(aggs.head._1),

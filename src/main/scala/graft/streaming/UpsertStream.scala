@@ -1,6 +1,9 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import graft.operators.Upsert
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -32,6 +35,10 @@ object UpsertStream {
   /** Marker column: a change row with `__deleted = true` is a tombstone. */
   val DeleteCol = "__deleted"
 
+  /** Ties a snapshotDir to the checkpoint lineage that writes it (see
+    * [[guardLineage]]). */
+  private val LineageMarker = "_graft_checkpoint"
+
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           snapshotDir: String, checkpointDir: String,
           keys: Seq[String], orderingCol: String): StreamingQuery = {
@@ -39,6 +46,7 @@ object UpsertStream {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == 0L) guardLineage(spark, snapshotDir, checkpointDir)
         val hasDeleteCol = batch.columns.contains(DeleteCol)
         val upserts =
           (if (hasDeleteCol) batch.where(!coalesce(col(DeleteCol), lit(false)))
@@ -68,15 +76,72 @@ object UpsertStream {
   def current(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
     currentBefore(spark, snapshotDir, maxExclusive = None)
 
+  // versions resolve through the Hadoop FileSystem of snapshotDir's scheme —
+  // the snapshots are written via DataFrame.write (any Hadoop FS), so listing
+  // them with java.io.File would silently see an empty dir on s3a/hdfs and
+  // every merge would start from scratch
   private def currentBefore(spark: SparkSession, snapshotDir: String,
                             maxExclusive: Option[Long]): Option[DataFrame] = {
-    val dir = new java.io.File(snapshotDir)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .flatMap(f => f.getName.stripPrefix("v").toLongOption.map(_ -> f))
+    val versions = completeVersions(spark, snapshotDir)
       .filter { case (v, _) => maxExclusive.forall(v < _) }
     if (versions.isEmpty) None
-    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getAbsolutePath))
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+  }
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def completeVersions(spark: SparkSession,
+                               snapshotDir: String): Array[(Long, Path)] = {
+    val (filesystem, root) = fs(spark, snapshotDir)
+    if (!filesystem.exists(root)) Array.empty
+    else filesystem.listStatus(root)
+      .filter(st => st.isDirectory &&
+        filesystem.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st =>
+        st.getPath.getName.stripPrefix("v").toLongOption
+          .filter(_ => st.getPath.getName.startsWith("v")).map(_ -> st.getPath))
+  }
+
+  /** Batch 0 with snapshot versions already present is ambiguous: a retry of
+    * batch 0 under the SAME checkpoint (fine — v0 is overwritten idempotently)
+    * or a FRESH checkpoint pointed at an existing snapshotDir (data loss:
+    * every merge would read "latest below 0" = nothing, while `current()`
+    * keeps serving the stale versions). A marker file recording the owning
+    * checkpoint distinguishes the two; a mismatch fails loudly instead of
+    * silently re-deriving the snapshot from scratch. */
+  private def guardLineage(spark: SparkSession, snapshotDir: String,
+                           checkpointDir: String): Unit = {
+    val (filesystem, root) = fs(spark, snapshotDir)
+    val marker = new Path(root, LineageMarker)
+    val owner: Option[String] =
+      if (!filesystem.exists(marker)) None
+      else {
+        val in = filesystem.open(marker)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    owner match {
+      case Some(o) if o == checkpointDir => () // batch-0 retry, same lineage
+      case Some(o) => throw new IllegalStateException(
+        s"snapshotDir $snapshotDir is owned by checkpoint $o but this query " +
+          s"uses checkpoint $checkpointDir; a fresh checkpoint over an " +
+          "existing snapshot would silently merge from an empty base. " +
+          "Resume the original checkpoint or start a new snapshotDir.")
+      case None if completeVersions(spark, snapshotDir).nonEmpty =>
+        throw new IllegalStateException(
+          s"snapshotDir $snapshotDir already holds snapshot versions but has " +
+            "no lineage marker; refusing to rebuild it from batch 0 " +
+            "(existing versions would be ignored by merges yet still win in " +
+            "current()). Start a new snapshotDir or restore the checkpoint.")
+      case None =>
+        filesystem.mkdirs(root)
+        val out = filesystem.create(marker, true)
+        try out.write(checkpointDir.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+    }
   }
 }

@@ -82,6 +82,48 @@ class TemporalJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asof rejects reserved internal column names") {
+    val l = Seq(("u1", 5L, "x")).toDF("k", "lts", "__side")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestPrior(l, right, Seq("k"), "lts", "rts")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("asof sliced variant matches the windowed one on a hot key") {
+    // one hot key with 500 interleaved rows spanning many slices, plus the
+    // small fixture — slice width 7 cuts the hot key into ~30 slices, several
+    // of them left-only (carry must bridge right-free slices)
+    val hotLeft = (0 until 250).map(i => ("hot", i * 2L + 1L, s"h$i"))
+    val hotRight = (0 until 100).map(i => ("hot", i * 5L, i.toDouble))
+    val l = left.union(hotLeft.toDF("k", "lts", "id"))
+    val r = right.union(hotRight.toDF("k", "rts", "reading"))
+    val expect = AsOfJoin.latestPrior(l, r, Seq("k"), "lts", "rts")
+      .select("k", "lts", "id", "asof_rts", "asof_reading")
+      .collect().toSet
+    val sliced = AsOfJoin.latestPriorSliced(l, r, Seq("k"), "lts", "rts",
+        sliceWidth = 7L)
+      .select("k", "lts", "id", "asof_rts", "asof_reading")
+      .collect().toSet
+    assert(sliced === expect)
+    // tolerance path too
+    val expectTol = AsOfJoin.latestPrior(l, r, Seq("k"), "lts", "rts",
+        tolerance = Some(3L)).select("id", "asof_rts").collect().toSet
+    val slicedTol = AsOfJoin.latestPriorSliced(l, r, Seq("k"), "lts", "rts",
+        sliceWidth = 7L, tolerance = Some(3L))
+      .select("id", "asof_rts").collect().toSet
+    assert(slicedTol === expectTol)
+  }
+
+  test("resample fails loudly on null timestamps instead of dropping rows") {
+    val df = Seq(("u1", Some(0L), 1.0), ("u1", None, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Resample.gapFill(df, Seq("k"), "ts", step = 10L,
+        aggs = Seq("n" -> count(lit(1))), fills = Seq("n" -> lit(0L))).count()
+    }
+    assert(e.getMessage.contains("null") || e.getCause != null)
+  }
+
   test("resample gap-fills the per-key grid with defaults") {
     val df = Seq(("u1", 0L, 1.0), ("u1", 25L, 2.0), ("u2", 100L, 5.0))
       .toDF("k", "ts", "v")

@@ -47,5 +47,31 @@ class UpsertStreamSpec extends SparkSpec {
     val cur2 = UpsertStream.current(spark, snap).get
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(cur2 === Map(2L -> "b2", 4L -> "d"))
+
+    // a FRESH checkpoint pointed at the existing snapshot must fail loudly:
+    // its batch 0 would otherwise merge from an empty base (silent data loss)
+    // while current() kept serving the stale versions
+    val e = intercept[Exception] {
+      UpsertStream.run(spark, in.getAbsolutePath, schema, snap,
+        s"$tmp/ckpt_fresh", keys = Seq("k"), orderingCol = "seq")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("checkpoint"))))
+  }
+
+  test("snapshot versions resolve through the Hadoop FileSystem API") {
+    // a version dir written through the Hadoop FS (no java.io.File involved)
+    val tmp = Files.createTempDirectory("graft_upfs_").toFile
+    val snap = s"$tmp/snap"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$snap/v3")
+    Seq((1L, "b")).toDF("k", "v").write.parquet(s"$snap/v7")
+    // incomplete version: no _SUCCESS -> must be ignored
+    Seq((1L, "c")).toDF("k", "v").write.parquet(s"$snap/v9")
+    new File(s"$snap/v9/_SUCCESS").delete()
+    val cur = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur === Map(1L -> "b"))
   }
 }
