@@ -17,9 +17,9 @@ import scala.jdk.CollectionConverters._
   * Scale notes: one export zip is modest (the reference caps raw objects at
   * ~80 GB compressed); members are extracted driver-side then read by Spark's
   * parallel JSON datasource, so the heavy lifting (parse, transform, write)
-  * is distributed. For many archives at once, call this per archive and union
-  * — or read archives in parallel from a `binaryFile` scan when they are
-  * small enough to inflate in one task.
+  * is distributed. For many archives at once use [[readExportsDistributed]],
+  * which plans members from ranged central-directory reads on any Hadoop
+  * filesystem and streams them executor-side.
   */
 object ExportReader {
 
@@ -85,49 +85,20 @@ object ExportReader {
     }
   }
 
-  /** Distributed variant for MANY archives (the 100 TB ingest path). Local
-    * filesystems go through the DataSource V2 zip source — planning lists
-    * only central directories, members are bin-packed into size-bounded
-    * partitions, and readers stream lines without ever materializing an
-    * archive as a row value. Remote Hadoop filesystems (s3a/hdfs/...) fall
-    * back to a `binaryFile` scan with executor-side inflation: any FS the
-    * session's Hadoop conf can reach works, holding one archive's
-    * COMPRESSED bytes per task while the inflation streams (lines are
-    * consumed lazily, never materialized per archive). binaryFile caps a
-    * single file at 2 GB — localize or shard bigger remote archives (the
-    * zip source has no such cap on local paths). Emits
-    * (archive, member, line); parse per routed type with `parseMembers`.
+  /** Distributed variant for MANY archives (the 100 TB ingest path), on ANY
+    * Hadoop filesystem — file, hdfs, s3a, ... One code path: the DataSource
+    * V2 zip source plans each archive from 2-3 ranged reads of its tail
+    * (EOCD + central directory, the reference S9 trick), bin-packs members
+    * into size-bounded partitions, and readers seek straight to each
+    * member's data and stream lines through one inflater buffer. No archive
+    * is ever downloaded whole, no 2 GB-per-file cap, task memory bounded
+    * regardless of archive size. Emits (archive, member, line); parse per
+    * routed type with `parseMembers`.
     */
-  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame = {
-    val scheme = Option(new org.apache.hadoop.fs.Path(zipGlob).toUri.getScheme)
-      .getOrElse("file")
-    if (scheme == "file") {
-      spark.read.format("graft.sources.ZipLineSource")
-        .option("path", zipGlob)
-        .load()
-    } else {
-      import spark.implicits._
-      spark.read.format("binaryFile").load(zipGlob)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])].flatMap { case (path, content) =>
-          val zis = new java.util.zip.ZipInputStream(
-            new java.io.ByteArrayInputStream(content))
-          // fully lazy: flatMap consumes sequentially, so each member's
-          // lines stream through one reader — nothing archive-sized is
-          // ever materialized on the heap
-          Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
-            .filterNot(_.isDirectory)
-            .filterNot(e => baseName(e.getName).startsWith("Manifest"))
-            .flatMap { e =>
-              val member = e.getName
-              val reader = new java.io.BufferedReader(
-                new java.io.InputStreamReader(zis, "UTF-8"))
-              Iterator.continually(reader.readLine()).takeWhile(_ != null)
-                .filter(_.nonEmpty).map(line => (path, member, line))
-            }
-        }.toDF("archive", "member", "line")
-    }
-  }
+  def readExportsDistributed(spark: SparkSession, zipGlob: String): DataFrame =
+    spark.read.format("graft.sources.ZipLineSource")
+      .option("path", zipGlob)
+      .load()
 
   /** Parse the lines of one routed type out of a distributed-read frame
     * (routing rules = T6/T9: optional subtype segment, `_Deleted` marker).

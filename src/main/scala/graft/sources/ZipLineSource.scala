@@ -1,5 +1,8 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -8,26 +11,25 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import java.util.zip.ZipFile
-import scala.jdk.CollectionConverters._
-
 /** DataSource V2 zip-archive line source — the engine-native version of the
   * reference's zip ingest (S1/S2 `process_record`, `s3_to_json.py:848-909`;
-  * S9's central-directory listing, `raw_sync/app.py:237-306`).
+  * S9's ranged-GET central-directory listing, `raw_sync/app.py:237-306`).
   *
   * `spark.read.format("graft.sources.ZipLineSource").option("path", glob)`
-  * yields `(archive, member, line)` rows. Planning reads ONLY each archive's
-  * central directory (ZipFile seeks the EOCD — no full decompress, the same
-  * trick S9 plays with ranged GETs); members are bin-packed into input
-  * partitions by compressed size so a thousand tiny members don't become a
-  * thousand tasks, and each reader STREAMS its member's lines — unlike a
-  * `binaryFile` scan, no whole archive is ever materialized as a row value,
-  * so a 1000-executor cluster can chew through arbitrarily many exports with
-  * task memory bounded by one inflater buffer.
+  * yields `(archive, member, line)` rows from ANY Hadoop filesystem —
+  * file, hdfs, s3a, ... Planning reads ONLY each archive's tail: the EOCD +
+  * central directory via 2-3 positioned reads per archive
+  * ([[ZipCentralDirectory]]), never the archive body, so a 100 GB export on
+  * s3a is planned from ~65 KB of ranged bytes. Members are bin-packed into
+  * input partitions by compressed size so a thousand tiny members don't
+  * become a thousand tasks, and each reader seeks straight to its member's
+  * data and STREAMS lines through one inflater — no whole archive (or whole
+  * member) is ever materialized, so task memory is one 64 KB inflater buffer
+  * regardless of archive size.
   *
-  * Options: `path` (file/glob, required), `maxBytesPerPartition` (compressed
+  * Options: `path` (path/glob, required), `maxBytesPerPartition` (compressed
   * bytes per input partition, default 128 MiB), `memberRegex` (planning-time
-  * member filter — pushdown before any byte of data is read).
+  * member filter — pushdown before any byte of member data is read).
   * Reference member hygiene (skip directories, `Manifest*`, empty entries)
   * is always applied.
   */
@@ -46,34 +48,41 @@ object ZipLineSource {
     StructField("member", StringType, nullable = false),
     StructField("line", StringType, nullable = false)))
 
-  /** One member of one archive, located at planning time. */
-  final case class MemberRef(archive: String, member: String, compressedSize: Long)
+  /** One member of one archive, fully located at planning time: the reader
+    * needs only (offset, size, method) — one seek, zero listing calls.
+    */
+  final case class MemberRef(archive: String, member: String,
+                             compressedSize: Long, method: Int,
+                             localHeaderOffset: Long)
 
-  /** Expand a local path/glob the same way the JSON datasource would. */
-  def expandGlob(pattern: String): Seq[String] = {
-    val path = new org.apache.hadoop.fs.Path(pattern)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  /** Expand a path/glob through the filesystem its scheme names. Returns
+    * fully-qualified URIs so executors resolve the same filesystem.
+    */
+  def expandGlob(pattern: String, conf: Configuration): Seq[String] = {
+    val path = new Path(pattern)
+    val fs = path.getFileSystem(conf)
     val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
     matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
       else Seq(st)
-    }.map(_.getPath.toUri.getPath).sorted
+    }.map(st => fs.makeQualified(st.getPath).toString).sorted
   }
 
-  /** Central-directory-only member listing with the reference's filter. */
-  def listMembers(archive: String, memberRegex: Option[String]): Seq[MemberRef] = {
-    val zf = new ZipFile(archive)
-    try {
-      zf.entries().asScala
-        .filterNot(_.isDirectory)
-        .filterNot { e =>
-          e.getName.substring(e.getName.lastIndexOf('/') + 1).startsWith("Manifest")
-        }
-        .filterNot(_.getSize == 0)
-        .filter(e => memberRegex.forall(r => e.getName.matches(r)))
-        .map(e => MemberRef(archive, e.getName, math.max(e.getCompressedSize, 0L)))
-        .toVector
-    } finally zf.close()
+  /** Central-directory-only member listing with the reference's filter
+    * (skip directories, `Manifest*` basenames, empty members).
+    */
+  def listMembers(archive: String, conf: Configuration,
+                  memberRegex: Option[String]): Seq[MemberRef] = {
+    val p = new Path(archive)
+    ZipCentralDirectory.list(p.getFileSystem(conf), p)
+      .filterNot(_.name.endsWith("/"))
+      .filterNot { e =>
+        e.name.substring(e.name.lastIndexOf('/') + 1).startsWith("Manifest")
+      }
+      .filterNot(_.uncompressedSize == 0)
+      .filter(e => memberRegex.forall(r => e.name.matches(r)))
+      .map(e => MemberRef(archive, e.name, math.max(e.compressedSize, 0L),
+        e.method, e.localHeaderOffset))
   }
 
   /** First-fit-decreasing bin packing of members into partitions. */
@@ -87,8 +96,8 @@ object ZipLineSource {
       bin.size += m.compressedSize
       bin.ms += m
     }
-    // group each bin by archive so the reader holds one ZipFile open per
-    // archive instead of reopening on every interleaved member
+    // group each bin by archive so the reader holds one archive stream open
+    // per archive instead of reopening on every interleaved member
     bins.map(_.ms.sortBy(m => (m.archive, m.member)).toSeq).toSeq
   }
 }
@@ -112,37 +121,73 @@ class ZipScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def toBatch: Batch = this
   override def description(): String = s"ZipScan(${options.get("path")})"
 
+  // the session's Hadoop conf carries FS credentials/impls (spark.hadoop.*);
+  // a bare `new Configuration()` would lose them on both driver and executors
+  private def hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val pattern = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("ZipLineSource requires option 'path'"))
     val maxBytes = Option(options.get("maxBytesPerPartition"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val memberRegex = Option(options.get("memberRegex"))
-    val members = ZipLineSource.expandGlob(pattern)
-      .flatMap(a => ZipLineSource.listMembers(a, memberRegex))
+    val conf = hadoopConf
+    val archives = ZipLineSource.expandGlob(pattern, conf)
+    // tail reads are latency-bound on object stores — list archives in
+    // parallel like Spark's own InMemoryFileIndex does for file listing
+    val members: Seq[ZipLineSource.MemberRef] =
+      if (archives.size <= 1)
+        archives.flatMap(a => ZipLineSource.listMembers(a, conf, memberRegex))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(archives.size, 16))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(archives.map { a =>
+            new java.util.concurrent.Callable[Seq[ZipLineSource.MemberRef]] {
+              override def call(): Seq[ZipLineSource.MemberRef] =
+                ZipLineSource.listMembers(a, conf, memberRegex)
+            }
+          }.asJava).asScala.toSeq.flatMap(_.get())
+        } finally pool.shutdown()
+      }
     ZipLineSource.pack(members, maxBytes)
       .map(ms => ZipInputPartition(ms.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ZipReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the driver's Hadoop conf to executors as plain entries (the
+    // Configuration class itself is not Serializable)
+    import scala.jdk.CollectionConverters._
+    val entries = hadoopConf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    new ZipReaderFactory(entries)
+  }
 }
 
 final case class ZipInputPartition(members: Array[ZipLineSource.MemberRef])
   extends InputPartition
 
-class ZipReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZipPartitionReader(partition.asInstanceOf[ZipInputPartition].members)
+class ZipReaderFactory(confEntries: Array[(String, String)])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new ZipPartitionReader(partition.asInstanceOf[ZipInputPartition].members, conf)
+  }
 }
 
 /** Streams one partition's members line-by-line; holds at most one open
-  * archive handle and one inflater stream at a time.
+  * archive stream and one inflater at a time, seeking directly to each
+  * member's planned offset — no listing calls, no local copies.
   */
-class ZipPartitionReader(members: Array[ZipLineSource.MemberRef])
+class ZipPartitionReader(members: Array[ZipLineSource.MemberRef],
+                         conf: Configuration)
   extends PartitionReader[InternalRow] {
 
   private var idx = -1
-  private var zf: ZipFile = _
+  private var archiveIn: FSDataInputStream = _
   private var openArchive: String = _
   private var reader: java.io.BufferedReader = _
   private var current: InternalRow = _
@@ -152,13 +197,16 @@ class ZipPartitionReader(members: Array[ZipLineSource.MemberRef])
     idx += 1
     if (idx >= members.length) return false
     val m = members(idx)
-    if (zf == null || openArchive != m.archive) {
-      if (zf != null) zf.close()
-      zf = new ZipFile(m.archive)
+    if (archiveIn == null || openArchive != m.archive) {
+      if (archiveIn != null) archiveIn.close()
+      val p = new Path(m.archive)
+      archiveIn = p.getFileSystem(conf).open(p)
       openArchive = m.archive
     }
+    val entry = ZipCentralDirectory.Entry(m.member, m.method,
+      m.compressedSize, uncompressedSize = 1L, m.localHeaderOffset)
     reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-      zf.getInputStream(zf.getEntry(m.member)), "UTF-8"))
+      ZipCentralDirectory.openMember(archiveIn, entry), "UTF-8"))
     true
   }
 
@@ -184,6 +232,6 @@ class ZipPartitionReader(members: Array[ZipLineSource.MemberRef])
 
   override def close(): Unit = {
     if (reader != null) reader.close()
-    if (zf != null) zf.close()
+    if (archiveIn != null) archiveIn.close()
   }
 }
