@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => HyperplaneLsh(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_minhash_merge", classOf[MinHashMergeAgg].getName, 1,
       c => MinHashMergeAgg(c(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kmin", classOf[TopKMinAgg].getName, 2,
+      c => TopKMinAgg(c(0), c(1)).toAggregateExpression()))
   }
 }

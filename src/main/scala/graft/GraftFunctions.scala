@@ -30,6 +30,8 @@ object GraftFunctions {
         c => HyperplaneLsh(c(0), c(1), c(2)), "internal")
       reg.createOrReplaceTempFunction("graft_minhash_merge",
         c => MinHashMergeAgg(c(0)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_kmin",
+        c => TopKMinAgg(c(0), c(1)).toAggregateExpression(), "internal")
     }
   }
 }

@@ -18,8 +18,14 @@ object Knn {
   /** Exact brute-force top-k by cosine similarity.
     *
     * `queries` is broadcast (it must be small — the typical "find neighbors
-    * of these N probes" shape). Per-partition pre-top-k bounds the final
-    * shuffle to queries×k×partitions rows instead of queries×corpus.
+    * of these N probes" shape). The ranking aggregates with `graft_kmin`
+    * (a k-capped heap `TypedImperativeAggregate`): map-side partial
+    * aggregation reduces every task to ≤k candidates per query BEFORE the
+    * shuffle, so the exchange carries queries×partitions heap rows (≤k
+    * entries each) instead of queries×corpus scored rows — the difference
+    * between shuffling kilobytes and shuffling the corpus at 10⁹ rows.
+    * Ordering matches `row_number() over (order by sim desc, n_id asc)`:
+    * the heap key is the lexicographic struct `(-sim, n_id)`.
     */
   def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
                  qId: String = "vec_id", cId: String = "vec_id",
@@ -30,8 +36,12 @@ object Knn {
     val scored = c.crossJoin(q)
       .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .select(col("q_id"), col("n_id"), round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val topk = scored.groupBy("q_id").agg(
+      call_function("graft_kmin",
+        struct((-col("sim")).as("o"), col("n_id"), col("sim")), lit(k)).as("tk"))
+    topk.select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** LSH-bucketed ANN: restrict candidates to corpus vectors sharing a
