@@ -15,12 +15,33 @@ class ConnectedComponentsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
-  test("a long chain converges within the diameter bound") {
-    val n = 12L
+  test("pointer jumping converges a chain in ~log2(diameter) rounds") {
+    val n = 64L
     val vertices = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val out = ConnectedComponents.components(spark, vertices, edges, "id", "a", "b")
+    val (out, rounds) = ConnectedComponents.componentsAndRounds(
+      spark, vertices, edges, "id", "a", "b")
+    assert(out.as[(Long, Long)].collect().toMap.values.toSet === Set(1L))
+    // diameter 63: plain propagation needs 63 rounds; each jump round at
+    // least doubles reach, so log2(63)≈6 plus slack for the convergence scan
+    assert(rounds <= 9, s"expected ~log2 rounds, took $rounds")
+    // and without the jump it degrades to the diameter (sanity check the
+    // rounds counter itself)
+    val (_, plainRounds) = ConnectedComponents.componentsAndRounds(
+      spark, vertices, edges, "id", "a", "b", maxIter = 70, pointerJump = false)
+    assert(plainRounds > rounds)
+  }
+
+  test("reliable checkpointing produces identical components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    val vertices = (1L to 8L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = ConnectedComponents.components(spark, vertices, edges, "id", "a", "b",
+        checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap
-    assert(out.values.toSet === Set(1L))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // rounds actually hit the reliable checkpoint dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 }
