@@ -23,8 +23,41 @@ object Ivf {
   final case class Index(centroids: DataFrame, assigned: DataFrame,
                          nCells: Int)
 
-  /** Build the index: KMeans centroids (trained on up to `trainSample`
-    * rows) + cell assignment for every corpus vector.
+  /** Deterministic per-partition reservoir sample of ≤ `maxRows` rows with
+    * NO pre-count pass: each of the P input partitions keeps at most
+    * ⌈maxRows/P⌉ rows via a seeded reservoir, in one lazy narrow pass —
+    * unlike `df.sample(fraction)`, which needs a full `count()` job first to
+    * compute the fraction (a whole extra corpus scan at 100 TB). Partitions
+    * smaller than their quota contribute everything they have (mild skew
+    * toward small partitions — fine for sketching/training uses). Genuine
+    * per-partition imperative logic, hence the one RDD hop.
+    */
+  def boundedSample(df: DataFrame, maxRows: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = df.rdd
+    val perPart = math.max(1, maxRows / math.max(1, rdd.getNumPartitions))
+    val sampled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+      val buf = new Array[org.apache.spark.sql.Row](perPart)
+      var n = 0
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) buf(n) = r
+        else {
+          val j = rnd.nextInt(n + 1)
+          if (j < perPart) buf(j) = r
+        }
+        n += 1
+      }
+      buf.iterator.take(math.min(n, perPart))
+    }
+    spark.createDataFrame(sampled, schema)
+  }
+
+  /** Build the index: KMeans centroids (trained on up to ~`trainSample`
+    * rows, sampled without a pre-count) + cell assignment for every corpus
+    * vector.
     */
   def build(corpus: DataFrame, nCells: Int, id: String = "vec_id",
             vec: String = "embedding", trainSample: Int = 100000,
@@ -34,11 +67,9 @@ object Ivf {
       .withColumn("features", array_to_vector(
         // KMeans wants double vectors
         transform(col("emb"), _.cast("double"))))
-    val n = withVec.count()
-    val train = if (n > trainSample)
-      withVec.sample(withReplacement = false, trainSample.toDouble / n, seed) else withVec
+    val train = boundedSample(withVec.select("features"), trainSample, seed)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .fit(train.select("features"))
+      .fit(train)
     val assigned = model.transform(withVec)
       .select(col("id"), col("emb"), col("prediction").as("cell"))
     import spark.implicits._

@@ -32,6 +32,24 @@ class IvfSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("boundedSample: bounded, deterministic, and runs NO job when built") {
+    val df = (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s").repartition(8)
+    val a = Ivf.boundedSample(df, maxRows = 80, seed = 7L).collect().map(_.getLong(0))
+    val b = Ivf.boundedSample(df, maxRows = 80, seed = 7L).collect().map(_.getLong(0))
+    assert(a.length <= 80 && a.length >= 8) // every partition contributes
+    assert(a.toSeq === b.toSeq) // seeded reservoir is reproducible
+    assert(a.distinct.length === a.length)
+
+    // the sampling step itself must be lazy — a DataFrame whose evaluation
+    // throws only blows up if boundedSample runs a pre-pass (the count()
+    // job the old fraction-based sample needed)
+    val poisoned = spark.createDataFrame(
+      df.rdd.map[org.apache.spark.sql.Row](_ =>
+        throw new IllegalStateException("sampling ran a job")),
+      df.schema)
+    Ivf.boundedSample(poisoned, maxRows = 10) // must not throw
+  }
+
   test("distributed zip ingest routes members and parses lines in executors") {
     val tmp = Files.createTempDirectory("graft_dzip_").toFile
     def writeZip(name: String, entries: (String, String)*): Unit = {
