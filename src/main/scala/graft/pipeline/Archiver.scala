@@ -6,9 +6,14 @@ import org.apache.spark.sql.SparkSession
 /** Dataset archiver (reference S6, `archive_existing_datasets`,
   * `/root/reference/src/glue/jobs/json_to_parquet.py:304-367`): before a
   * table is overwritten, move the previous output under
-  * `archive/{yyyy_MM_dd}_{runId}/` — poor man's time travel via filesystem
-  * rename (O(files) metadata ops, no data copy on HDFS-like stores; a real
-  * deployment would adopt a table format with versioning instead).
+  * `archive/{yyyy_MM_dd}_{runId}/` via filesystem rename.
+  *
+  * NOTE: rename is O(files) metadata ops on HDFS but a full COPY on object
+  * stores, and readers can observe the window between archive and rewrite.
+  * [[JsonToParquet.run]] therefore publishes through [[Snapshots]]
+  * (versioned dirs, `_SUCCESS`-gated readers — crash-safe, rename-free);
+  * this operator remains for explicit move-aside archival on rename-capable
+  * filesystems.
   */
 object Archiver {
 

@@ -80,21 +80,31 @@ object JsonToParquet {
       .withColumn("event", lit(stage.toString))
   }
 
-  /** Full job with sinks: archive previous output, write each table
-    * partitioned by cohort, store counts as CSV (reference
+  /** Full job with sinks: write each table as a NEW snapshot version
+    * (partitioned by cohort), store counts as CSV (reference
     * `store_record_counts`).
+    *
+    * The version history under each table root replaces the reference's
+    * archive-then-overwrite rename dance ([[Archiver]]): a crash mid-write
+    * leaves readers on the previous complete version ([[Snapshots]] —
+    * `_SUCCESS`-gated resolution, atomic on object stores where rename is
+    * not). Read the published table with
+    * `Snapshots.read(spark, s"$outputRoot/parquet/dataset_$name")`.
+    * `keepVersions` bounds the history (None = keep all, the reference's
+    * archive-forever behavior).
     */
   def run(spark: SparkSession, dataType: String, input: DataFrame,
           deleted: Option[DataFrame], outputRoot: String, runId: String,
-          maxRecordsPerFile: Long = 1000000L): JobResult = {
+          maxRecordsPerFile: Long = 1000000L,
+          keepVersions: Option[Int] = None): JobResult = {
     val result = transform(spark, dataType, input, deleted)
     result.tables.foreach { case (name, df) =>
       val target = s"$outputRoot/parquet/dataset_$name"
-      Archiver.archive(spark, target, s"$outputRoot/archive/dataset_$name", runId)
-      val writer = df.write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-      (if (df.columns.contains("cohort")) writer.partitionBy("cohort") else writer)
-        .parquet(target)
+      Snapshots.writeNew(df, target) { w =>
+        val sized = w.option("maxRecordsPerFile", maxRecordsPerFile)
+        if (df.columns.contains("cohort")) sized.partitionBy("cohort") else sized
+      }
+      keepVersions.foreach(k => Snapshots.prune(spark, target, k))
     }
     result.counts.coalesce(1).write.mode("overwrite")
       .option("header", "true")

@@ -76,13 +76,12 @@ object UpsertStream {
   def current(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
     currentBefore(spark, snapshotDir, maxExclusive = None)
 
-  // versions resolve through the Hadoop FileSystem of snapshotDir's scheme —
-  // the snapshots are written via DataFrame.write (any Hadoop FS), so listing
-  // them with java.io.File would silently see an empty dir on s3a/hdfs and
-  // every merge would start from scratch
+  // versions resolve through the shared Snapshots protocol (Hadoop FS API —
+  // java.io.File listing would silently see an empty dir on s3a/hdfs and
+  // every merge would start from scratch)
   private def currentBefore(spark: SparkSession, snapshotDir: String,
                             maxExclusive: Option[Long]): Option[DataFrame] = {
-    val versions = completeVersions(spark, snapshotDir)
+    val versions = graft.pipeline.Snapshots.versions(spark, snapshotDir, completeOnly = true)
       .filter { case (v, _) => maxExclusive.forall(v < _) }
     if (versions.isEmpty) None
     else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
@@ -94,16 +93,8 @@ object UpsertStream {
   }
 
   private def completeVersions(spark: SparkSession,
-                               snapshotDir: String): Array[(Long, Path)] = {
-    val (filesystem, root) = fs(spark, snapshotDir)
-    if (!filesystem.exists(root)) Array.empty
-    else filesystem.listStatus(root)
-      .filter(st => st.isDirectory &&
-        filesystem.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap(st =>
-        st.getPath.getName.stripPrefix("v").toLongOption
-          .filter(_ => st.getPath.getName.startsWith("v")).map(_ -> st.getPath))
-  }
+                               snapshotDir: String): Seq[(Long, Path)] =
+    graft.pipeline.Snapshots.versions(spark, snapshotDir, completeOnly = true)
 
   /** Batch 0 with snapshot versions already present is ambiguous: a retry of
     * batch 0 under the SAME checkpoint (fine — v0 is overwritten idempotently)

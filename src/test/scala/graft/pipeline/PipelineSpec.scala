@@ -71,14 +71,16 @@ class PipelineSpec extends SparkSpec {
       Some(frames("HealthKitV2Electrocardiogram_Deleted")), out, "run1")
 
     // dedup kept the later InsertedDate for e1; e2 removed by tombstone
-    val parent = spark.read.parquet(s"$out/parquet/dataset_healthkitv2electrocardiogram")
+    val parentRoot = s"$out/parquet/dataset_healthkitv2electrocardiogram"
+    val parent = Snapshots.read(spark, parentRoot)
     assert(parent.count() === 1)
     val row = parent.collect().head
     assert(row.getAs[Int]("AverageHeartRate") === 63)
     assert(row.getAs[String]("Source_Name") === "watch")
     assert(row.getAs[String]("cohort") === "adults_v1")
 
-    val child = spark.read.parquet(s"$out/parquet/dataset_healthkitv2electrocardiogram_subsamples")
+    val child = Snapshots.read(spark,
+      s"$out/parquet/dataset_healthkitv2electrocardiogram_subsamples")
     assert(child.count() === 1)
     assert(child.collect().head.getAs[Double]("MicroVolts") === 9.0)
 
@@ -87,13 +89,52 @@ class PipelineSpec extends SparkSpec {
       .csv(s"$out/record_counts/dataset_healthkitv2electrocardiogram")
     assert(counts.select("event").distinct().count() === 4)
 
-    // archive on rerun: previous output moved aside
+    // rerun publishes a NEW version; history retains the previous one
     JsonToParquet.run(spark, "HealthKitV2Electrocardiogram",
       frames("HealthKitV2Electrocardiogram"),
       Some(frames("HealthKitV2Electrocardiogram_Deleted")), out, "run2")
-    assert(Archiver.versions(spark,
-      s"$out/archive/dataset_healthkitv2electrocardiogram").nonEmpty)
+    assert(Snapshots.versions(spark, parentRoot, completeOnly = true)
+      .map(_._1) === Seq(0L, 1L))
     val _ = result
+  }
+
+  test("a write that dies mid-run leaves readers on the previous version") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_snap_").toFile
+    val root = s"${tmp.getAbsolutePath}/table"
+    val spark2 = spark
+    import spark2.implicits._
+
+    Snapshots.writeNew(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)()
+    assert(Snapshots.read(spark, root).count() === 2)
+
+    // a poisoned frame: evaluation throws partway through the write job —
+    // the job aborts, and readers stay on the previous complete version
+    val poisoned = Seq((3L, "c"), (4L, "boom")).toDF("k", "v")
+      .withColumn("v", when($"v" === "boom",
+        raise_error(lit("mid-write crash"))).otherwise($"v"))
+    intercept[Exception] { Snapshots.writeNew(poisoned, root)() }
+    assert(Snapshots.read(spark, root).select("k").as[Long].collect().toSet === Set(1L, 2L))
+
+    // a HARD crash (JVM death mid-commit) leaves a version dir with data
+    // files but no _SUCCESS — readers must skip it, and the next writer
+    // must not reuse its number
+    val v1 = Snapshots.versions(spark, root, completeOnly = false).map(_._1).max + 1
+    val debris = new File(s"$root/v$v1"); debris.mkdirs()
+    Files.writeString(new File(debris, "part-00000.parquet").toPath, "torn bytes")
+    assert(Snapshots.read(spark, root).select("k").as[Long].collect().toSet === Set(1L, 2L))
+
+    Snapshots.writeNew(Seq((5L, "e")).toDF("k", "v"), root)()
+    assert(Snapshots.read(spark, root).select("k").as[Long].collect().toSet === Set(5L))
+    assert(Snapshots.versions(spark, root, completeOnly = true).map(_._1) === Seq(0L, v1 + 1))
+
+    // retention keeps the newest complete versions and clears crash debris
+    Snapshots.writeNew(Seq((6L, "f")).toDF("k", "v"), root)()
+    val deleted = Snapshots.prune(spark, root, keep = 2)
+    assert(deleted.nonEmpty)
+    assert(Snapshots.versions(spark, root, completeOnly = false).map(_._1) ===
+      Seq(v1 + 1, v1 + 2))
+    assert(Snapshots.read(spark, root).select("k").as[Long].collect().toSet === Set(6L))
   }
 
   test("audited scan splits clean rows from corrupt raw lines") {
