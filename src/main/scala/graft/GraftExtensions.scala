@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => MinHashMergeAgg(c(0)).toAggregateExpression()))
     ext.injectFunction(fn("graft_kmin", classOf[TopKMinAgg].getName, 2,
       c => TopKMinAgg(c(0), c(1)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_quantiles", classOf[KllQuantilesAgg].getName, 3,
+      c => KllQuantilesAgg(c(0), c(1), c(2)).toAggregateExpression()))
   }
 }

@@ -32,6 +32,8 @@ object GraftFunctions {
         c => MinHashMergeAgg(c(0)).toAggregateExpression(), "internal")
       reg.createOrReplaceTempFunction("graft_kmin",
         c => TopKMinAgg(c(0), c(1)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_kll_quantiles",
+        c => KllQuantilesAgg(c(0), c(1), c(2)).toAggregateExpression(), "internal")
     }
   }
 }

@@ -444,6 +444,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // --- mergeable quantile sketch (graft_kll_quantiles): approximate
+    // percentiles in one bounded-memory pass — what q40's exact percentile
+    // cannot do at 100 TB. The output is tolerance BOOLEANS (exact rank of
+    // each sketched quantile within 2.5% of its target), which are
+    // deterministic even though the sketch itself is approximate — so the
+    // hash oracle can check an approximate operator exactly ---
+    "q52_approx_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val probsSeq = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val probsArr = array(probsSeq.map(lit): _*)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+      val sketched = li.groupBy("l_returnflag")
+        .agg(call_function("graft_kll_quantiles", col("x"), probsArr, lit(200)).as("qs"))
+      val qv = sketched
+        .select(col("l_returnflag").as("rf"), posexplode(col("qs")).as(Seq("pi", "qv")))
+        .select(col("rf"), element_at(probsArr, col("pi") + 1).as("prob"), col("qv"))
+      li.join(broadcast(qv), col("l_returnflag") === col("rf"))
+        .groupBy("l_returnflag", "prob")
+        .agg((sum(when(col("x") <= col("qv"), 1L).otherwise(0L)) / count(lit(1))).as("rnk"))
+        .select(col("l_returnflag"), col("prob"),
+          (abs(col("rnk") - col("prob")) <= 0.025).as("within_tol"))
+        .orderBy("l_returnflag", "prob")
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -636,6 +661,15 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    // q52's sketch is approximate, but its OUTPUT is the deterministic claim
+    // "each sketched quantile's exact rank is within 2.5% of target" — the
+    // oracle asserts the same claim shape with literal trues
+    "q52_approx_quantiles" ->
+      """SELECT l_returnflag, prob, true AS within_tol
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+        |     UNNEST(CAST([0.1, 0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p(prob)
+        |ORDER BY l_returnflag, prob""".stripMargin,
 
     "q51_stratified_sample" ->
       """WITH b AS (SELECT lang,
