@@ -469,6 +469,44 @@ object SparkEntry {
         .orderBy("l_returnflag", "prob")
     }),
 
+    // --- ordered conversion funnel (view -> click -> purchase within 7
+    // days): one equi join + min-agg per step on the user key, accumulator
+    // narrows as the funnel does — no whole-timeline windows, so a power
+    // user never forms one giant sort partition ---
+    "q53_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      Funnel.conversion(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), window = 604800000000L)
+    }),
+
+    // --- incremental aggregate maintenance: per-status (n, total) under a
+    // synthetic replace-upsert + tombstone delta, corrected in O(delta)
+    // (broadcast id semi-join + full-outer merge) instead of a base rescan;
+    // DECIMAL value column keeps the maintained sums bit-exact vs the
+    // oracle's from-scratch recompute of the final state ---
+    "q54_incremental_agg" -> ((s, dir) => {
+      val price = col("o_totalprice").cast("decimal(18,4)")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), price.as("v"))
+      val base = orders.where(col("o_orderkey") % 10 < 8)
+      val inserts = orders.where(col("o_orderkey") % 10 === 8)
+        .withColumn("__deleted", lit(false))
+      val replaced = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("v", (col("v") + lit(1000).cast("decimal(18,4)")).cast("decimal(18,4)"))
+        .withColumn("__deleted", lit(false))
+      val deletes = orders.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("decimal(18,4)").as("v"), lit(true).as("__deleted"))
+      val changes = inserts.unionByName(replaced).unionByName(deletes)
+      val prevAgg = IncrementalAgg.full(base, Seq("o_orderstatus"), "v")
+      IncrementalAgg.maintain(prevAgg, base, changes,
+          idKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"), valueCol = "v")
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -661,6 +699,51 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    // the oracle recomputes the FINAL state from scratch — the maintained
+    // aggregate must equal it exactly (decimal corrections are exact)
+    "q54_incremental_agg" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,4)) AS v
+        |       FROM orders WHERE o_orderkey % 10 < 8),
+        |changed AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,4)) AS v, false AS del
+        |  FROM orders WHERE o_orderkey % 10 = 8
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |              + CAST(1000 AS DECIMAL(18,4)) AS DECIMAL(18,4)), false
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, true FROM orders WHERE o_orderkey % 10 = 1),
+        |final AS (
+        |  SELECT o_orderstatus, v FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+        |  UNION ALL
+        |  SELECT o_orderstatus, v FROM changed WHERE NOT del)
+        |SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q53_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |         AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |         AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |       GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |         (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
 
     // q52's sketch is approximate, but its OUTPUT is the deterministic claim
     // "each sketched quantile's exact rank is within 2.5% of target" — the
