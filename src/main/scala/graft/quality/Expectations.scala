@@ -96,6 +96,66 @@ object Expectations {
     }.toMap
   }
 
+  /** Render a validation run to data-docs artifacts (the reference renders
+    * GE result docs to S3, `run_great_expectations_on_parquet.py:255-277`):
+    * a machine-readable `results.json` and a self-contained human
+    * `index.html`, written through the Hadoop FS API so any scheme works.
+    * Returns (jsonPath, htmlPath). `runLabel` identifies the run (caller
+    * supplies a timestamp/run id — kept explicit for reproducible tests).
+    */
+  def renderDocs(spark: org.apache.spark.sql.SparkSession, suiteName: String,
+                 runLabel: String, results: Seq[Result],
+                 outDir: String): (String, String) = {
+    val overall = results.forall(_.passed)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("suite", suiteName)
+    rootNode.put("run", runLabel)
+    rootNode.put("success", overall)
+    val arr = rootNode.putArray("results")
+    results.foreach { r =>
+      val n = arr.addObject()
+      n.put("expectation", r.expectation)
+      n.put("column", r.column)
+      n.put("unexpected_count", r.unexpectedCount)
+      n.put("passed", r.passed)
+    }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)
+
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val rows = results.map { r =>
+      val cls = if (r.passed) "pass" else "fail"
+      s"""<tr class="$cls"><td>${esc(r.expectation)}</td><td>${esc(r.column)}</td>""" +
+        s"""<td>${r.unexpectedCount}</td><td>${if (r.passed) "PASS" else "FAIL"}</td></tr>"""
+    }.mkString("\n")
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8">
+         |<title>${esc(suiteName)} — validation</title><style>
+         |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+         |td,th{border:1px solid #ccc;padding:4px 10px}
+         |tr.pass td{background:#eaffea}tr.fail td{background:#ffeaea}
+         |</style></head><body>
+         |<h1>${esc(suiteName)}</h1>
+         |<p>run ${esc(runLabel)} — overall ${if (overall) "PASS" else "FAIL"}
+         |(${results.count(_.passed)}/${results.size} expectations)</p>
+         |<table><tr><th>expectation</th><th>column</th>
+         |<th>unexpected</th><th>status</th></tr>
+         |$rows
+         |</table></body></html>""".stripMargin
+
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    def write(name: String, content: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      p.toString
+    }
+    (write("results.json", json), write("index.html", html))
+  }
+
   /** Same validation as a lazy DataFrame (for SQL-oracle checking): one row
     * per Between rule with the unexpected count — stays distributed, no
     * driver collect.

@@ -22,6 +22,30 @@ class QualitySpec extends SparkSpec {
     assert(!byCol("AlsoMissing").passed)
   }
 
+  test("validation results render to data-docs artifacts") {
+    val results = Seq(
+      Expectations.Result("expect_column_values_to_be_between", "HeartRate", 0L, passed = true),
+      Expectations.Result("expect_column_values_to_be_between", "Steps<xss>", 7L, passed = false),
+      Expectations.Result("expect_column_to_exist", "Missing", 1L, passed = false))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_").toString
+    val (jsonPath, htmlPath) = Expectations.renderDocs(
+      spark, "hk_suite", "run_2023_05_12", results, dir)
+
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(s"file://$jsonPath").getPath)))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(root.get("suite").asText() === "hk_suite")
+    assert(!root.get("success").asBoolean())
+    assert(root.get("results").size() === 3)
+    assert(root.get("results").get(1).get("unexpected_count").asLong() === 7L)
+
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(s"file://$htmlPath").getPath)))
+    assert(html.contains("1/3 expectations"))
+    assert(html.contains("Steps&lt;xss&gt;")) // column names are escaped
+    assert(html.contains("FAIL"))
+  }
+
   test("compare: summary counts and mismatch rows") {
     val left = Seq((1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)).toDF("k", "s", "v")
     val right = Seq((1, "x", 10.0), (2, "y", 21.0), (4, "w", 40.0)).toDF("k", "s", "v")
