@@ -507,6 +507,24 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // --- deterministic per-group sampling via the k-capped heap aggregate:
+    // "top 3 by md5 order" = a reproducible uniform sample per stratum,
+    // shuffling only k heap rows per group per task (same bound as knn);
+    // also cross-checks graft_kmin's generic ordering on (string, long)
+    // structs against the SQL oracle ---
+    "q55_group_sample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val keyed = t(s, dir, "documents").select(col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":smp"))).as("h"), col("doc_id"))
+      keyed.groupBy("lang")
+        .agg(call_function("graft_kmin",
+          struct(col("h"), col("doc_id")), lit(3)).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+          col("e.doc_id").as("doc_id"), col("e.h").as("h"))
+        .orderBy("lang", "rnk")
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -699,6 +717,15 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q55_group_sample" ->
+      """WITH k AS (SELECT lang, md5(CAST(doc_id AS VARCHAR) || ':smp') AS h, doc_id
+        |           FROM documents),
+        |r AS (SELECT lang, h, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+        |      FROM k)
+        |SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, h FROM r
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
 
     // the oracle recomputes the FINAL state from scratch — the maintained
     // aggregate must equal it exactly (decimal corrections are exact)
