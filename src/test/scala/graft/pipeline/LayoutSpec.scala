@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import java.io.File
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Per-parquet-file (min, max) of a long column, from footer stats —
+    * exactly what the scan's row-group pruning consults.
+    */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    new File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics)
+        }
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+      } finally reader.close()
+    }
+  }
+
+  private def filesContaining(ranges: Seq[(Long, Long)], v: Long): Int =
+    ranges.count { case (lo, hi) => lo <= v && v <= hi }
+
+  test("z-order clustering lets point predicates on BOTH columns skip most files") {
+    // uncorrelated u (0..99) and t (0..99999), insertion order scrambled
+    val df = (0 until 20000).map { i =>
+      (((i * 7919) % 100).toLong, ((i * 104729) % 100000).toLong, i.toLong)
+    }.toDF("u", "t", "payload")
+    val tmp = Files.createTempDirectory("graft_layout_").toString
+    df.repartition(16).write.parquet(s"$tmp/naive")
+    Layout.zorder(df, "u", "t", 16).write.parquet(s"$tmp/zorder")
+
+    // naive random layout: essentially every file's [min,max] covers any value
+    val naiveU = fileRanges(s"$tmp/naive", "u")
+    assert(filesContaining(naiveU, 50L) >= 15)
+
+    // z-ordered: a point predicate on EITHER column overlaps few files
+    val zU = fileRanges(s"$tmp/zorder", "u")
+    val zT = fileRanges(s"$tmp/zorder", "t")
+    assert(zU.size >= 12, s"expected ~16 output files, got ${zU.size}")
+    assert(filesContaining(zU, 50L) <= 8,
+      s"u=50 overlaps ${filesContaining(zU, 50L)}/${zU.size} z-ordered files")
+    assert(filesContaining(zT, 50000L) <= 8,
+      s"t=50000 overlaps ${filesContaining(zT, 50000L)}/${zT.size} z-ordered files")
+
+    // the rewrite is a pure re-layout: same rows
+    val back = spark.read.parquet(s"$tmp/zorder")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(back === df.as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("zvalue interleaves bits; bucket16 clamps and handles nulls") {
+    val r = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zvalue(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("z"))
+      .as[Long].collect().head
+    // a=0b011 spreads to 0b010101 (bits 0,2); b=0b101 spreads to bits 1,5,9:
+    // z = a_spread | b_spread<<1 = 0b010101 | 0b100010001<<... compute directly:
+    def spread(x: Long) = (0 until 16).map(i => ((x >> i) & 1L) << (2 * i)).reduce(_ | _)
+    assert(r === (spread(3L) | (spread(5L) << 1)))
+
+    val b = Seq((Some(500.0), Option.empty[Double])).toDF("x", "y")
+      .select(Layout.bucket16(org.apache.spark.sql.functions.col("x"), 0.0, 1000.0).as("bx"),
+        Layout.bucket16(org.apache.spark.sql.functions.col("y"), 0.0, 1000.0).as("by"))
+      .as[(Long, Long)].collect().head
+    assert(b._1 === 32767L || b._1 === 32768L) // midpoint
+    assert(b._2 === 0L) // null -> bucket 0
+  }
+}
