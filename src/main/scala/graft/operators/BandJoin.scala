@@ -46,4 +46,25 @@ object BandJoin {
       .where(abs(col(aTs) - col(bTs)) <= width)
       .drop("__bucket")
   }
+
+  /** [[within]] for a WIDE `a` side: only `(keys, aId, aTs)` ride the 3×
+    * bucket explode; `a`'s remaining payload is attached to the (typically
+    * far smaller) matched pairs by one extra equi join on `aId`. Trades 3×
+    * the full `a` shuffle for 3× a three-column projection + 1× `a` — the
+    * right shape when `a` carries fat payloads (documents, embeddings).
+    * `aId` must uniquely identify `a`'s rows. Output columns match
+    * [[within]]: all of `a`, then `b`'s non-key columns.
+    */
+  def withinNarrow(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   aTs: String, bTs: String, width: Long,
+                   aId: String): DataFrame = {
+    require(a.columns.contains(aId), s"aId column $aId not in a")
+    val slimCols = (keys :+ aId :+ aTs).distinct
+    val matches = within(a.select(slimCols.map(col): _*), b, keys, aTs, bTs, width)
+    val payload = a.columns.filterNot(c => slimCols.contains(c))
+    val joined =
+      if (payload.isEmpty) matches
+      else matches.join(a.select((aId +: payload).map(col): _*), Seq(aId))
+    joined.select((a.columns ++ b.columns.filterNot(keys.contains)).map(col): _*)
+  }
 }

@@ -64,6 +64,24 @@ class TemporalJoinSpec extends SparkSpec {
     assert(n === 4)
   }
 
+  test("narrow band join matches the plain one, payload attached") {
+    val a = Seq(("u1", 0L, "a0", "fat0", 1.5), ("u1", 100L, "a1", "fat1", 2.5),
+        ("u2", 50L, "a2", "fat2", 3.5))
+      .toDF("k", "a_ts", "a_id", "blob", "score")
+    val b = Seq(("u1", 60L, "b0"), ("u1", 199L, "b1"), ("u1", 201L, "b2"),
+        ("u2", 50L, "b3"))
+      .toDF("k", "b_ts", "b_id")
+    val plain = BandJoin.within(a, b, Seq("k"), "a_ts", "b_ts", 100L)
+    val narrow = BandJoin.withinNarrow(a, b, Seq("k"), "a_ts", "b_ts", 100L,
+      aId = "a_id")
+    assert(narrow.columns.toSeq === plain.columns.toSeq)
+    assert(narrow.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+    // payload columns actually came through
+    val got = narrow.where($"a_id" === "a2").select("blob", "score")
+      .as[(String, Double)].collect().toSeq
+    assert(got === Seq(("fat2", 3.5)))
+  }
+
   test("resample fails loudly when one key's span would explode the grid") {
     val df = Seq(("u1", 0L, 1.0), ("u1", 10000000000L, 2.0)).toDF("k", "ts", "v")
     val e = intercept[Exception] {
