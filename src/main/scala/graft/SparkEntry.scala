@@ -525,6 +525,21 @@ object SparkEntry {
         .orderBy("lang", "rnk")
     }),
 
+    // --- funnel latency: time-to-convert distribution for completed
+    // view->click->purchase chains (operator composition: Funnel step times
+    // feeding percentile analytics) ---
+    "q56_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      val times = Funnel.stepTimes(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), window = 604800000000L)
+      times.where(col("t3").isNotNull)
+        .select(((col("t3") - col("t1")) / lit(1000000.0)).as("secs"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(secs, 0.5)"), 6).as("median_secs"),
+          round(expr("percentile(secs, 0.9)"), 6).as("p90_secs"))
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -717,6 +732,25 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q56_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |         AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |         AND epoch_us(e.ts) <= s1.t1 + 604800000000
+        |       GROUP BY 1),
+        |d AS (SELECT (s3.t3 - s1.t1) / 1000000.0 AS secs FROM s3 JOIN s1 USING (user_id))
+        |SELECT COUNT(*) AS n_converted,
+        |  round(quantile_cont(secs, 0.5), 6) AS median_secs,
+        |  round(quantile_cont(secs, 0.9), 6) AS p90_secs
+        |FROM d""".stripMargin,
 
     "q55_group_sample" ->
       """WITH k AS (SELECT lang, md5(CAST(doc_id AS VARCHAR) || ':smp') AS h, doc_id

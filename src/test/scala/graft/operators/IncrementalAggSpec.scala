@@ -38,6 +38,37 @@ class IncrementalAggSpec extends SparkSpec {
     assert(norm(maintained) === norm(recomputed))
   }
 
+  test("chained maintenance over many batches never drifts from recompute") {
+    // the materialized-view scenario: apply 4 successive deltas, carrying
+    // the maintained aggregate forward each time; after every batch it must
+    // equal a from-scratch recompute of the evolving base (decimal = exact,
+    // so equality is bit-for-bit, not approximate)
+    var base = dec((0L until 60L).map(i => (i, s"g${i % 3}", i * 0.7 + 0.1))
+      .toDF("id", "g", "v"))
+    var agg = IncrementalAgg.full(base, Seq("g"), "v")
+    for (batch <- 1 to 4) {
+      val lo = batch * 7L
+      val replaces = dec((lo until lo + 5L).map(i => (i, s"g${(i + batch) % 3}", i * 1.1))
+        .toDF("id", "g", "v")).withColumn("__deleted", lit(false))
+      val deletes = (lo + 5L until lo + 8L).map(i => (i, Option.empty[String], Option.empty[Double]))
+        .toDF("id", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+        .withColumn("__deleted", lit(true))
+      val inserts = dec(Seq((1000L + batch, s"g${batch % 3}", 42.0 + batch))
+        .toDF("id", "g", "v")).withColumn("__deleted", lit(false))
+      val changes = replaces.unionByName(deletes).unionByName(inserts)
+
+      agg = IncrementalAgg.maintain(agg, base, changes, Seq("id"), Seq("g"), "v")
+      base = base.join(changes.select("id"), Seq("id"), "left_anti")
+        .unionByName(changes.where(!col("__deleted")).drop("__deleted"))
+
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("g"), col("n"), col("total").cast("decimal(28,4)"))
+          .as[(String, Long, BigDecimal)].collect().toSet
+      assert(norm(agg) === norm(IncrementalAgg.full(base, Seq("g"), "v")),
+        s"drift after batch $batch")
+    }
+  }
+
   test("a group emptied by deletes disappears; a new group appears") {
     val base = dec(Seq((1L, "only", 5.0), (2L, "keep", 7.0)).toDF("id", "g", "v"))
     val changes = Seq((1L, Option.empty[String], Option.empty[Double], true),
