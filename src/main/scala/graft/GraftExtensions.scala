@@ -43,5 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => TopKMinAgg(c(0), c(1)).toAggregateExpression()))
     ext.injectFunction(fn("graft_kll_quantiles", classOf[KllQuantilesAgg].getName, 3,
       c => KllQuantilesAgg(c(0), c(1), c(2)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_sketch", classOf[KllSketchAgg].getName, 2,
+      c => KllSketchAgg(c(0), c(1)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_merge", classOf[KllMergeAgg].getName, 1,
+      c => KllMergeAgg(c(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_kll_value", classOf[KllValue].getName, 2,
+      c => KllValue(c(0), c(1))))
   }
 }

@@ -34,6 +34,12 @@ object GraftFunctions {
         c => TopKMinAgg(c(0), c(1)).toAggregateExpression(), "internal")
       reg.createOrReplaceTempFunction("graft_kll_quantiles",
         c => KllQuantilesAgg(c(0), c(1), c(2)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_kll_sketch",
+        c => KllSketchAgg(c(0), c(1)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_kll_merge",
+        c => KllMergeAgg(c(0)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_kll_value",
+        c => KllValue(c(0), c(1)), "internal")
     }
   }
 }

@@ -125,6 +125,126 @@ object KllSketch {
   }
 }
 
+/** graft_kll_sketch(x, k) — the serialized [[KllSketch]] of a group as
+  * `binary`, for STORING sketches (per day / partition / shard) and
+  * re-aggregating them later with [[KllMergeAgg]] — the pattern that makes
+  * 100 TB percentile dashboards O(sketches) instead of O(rows): sketch once
+  * at ingest, merge sketches at query time. Null for an empty group.
+  */
+case class KllSketchAgg(child: Expression, kExpr: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch] {
+
+  private val inner = KllQuantilesAgg(child,
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(0.5), ArrayType(DoubleType)), kExpr)
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kll_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = inner.checkInputDataTypes()
+  override def createAggregationBuffer(): KllSketch = inner.createAggregationBuffer()
+  override def update(s: KllSketch, input: InternalRow): KllSketch = inner.update(s, input)
+  override def merge(s1: KllSketch, s2: KllSketch): KllSketch = inner.merge(s1, s2)
+  override def eval(s: KllSketch): Any = if (s.count == 0L) null else s.serialize()
+  override def serialize(s: KllSketch): Array[Byte] = s.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** graft_kll_merge(sketch) — union stored KLL sketches (binary, from
+  * [[KllSketchAgg]]) into one, preserving error bounds: merge a year of
+  * daily sketches without touching a row of raw data. Null sketches are
+  * skipped; null for an all-null group.
+  */
+case class KllMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[KllSketch]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary sketch column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Option[KllSketch] = None
+
+  override def update(buf: Option[KllSketch], input: InternalRow): Option[KllSketch] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val s = KllSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      buf match {
+        case Some(acc) => acc.merge(s); buf
+        case None => Some(s)
+      }
+    }
+  }
+
+  override def merge(b1: Option[KllSketch], b2: Option[KllSketch]): Option[KllSketch] =
+    (b1, b2) match {
+      case (Some(a), Some(b)) => a.merge(b); b1
+      case (Some(_), None) => b1
+      case _ => b2
+    }
+
+  override def eval(buf: Option[KllSketch]): Any = buf.map(_.serialize()).orNull
+
+  override def serialize(buf: Option[KllSketch]): Array[Byte] =
+    buf.map(_.serialize()).getOrElse(Array.empty)
+  override def deserialize(bytes: Array[Byte]): Option[KllSketch] =
+    if (bytes.isEmpty) None else Some(KllSketch.deserialize(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+}
+
+/** graft_kll_value(sketch, prob) — quantile at `prob` from a stored binary
+  * KLL sketch. Evaluates once per sketch row (post-aggregation cardinality:
+  * groups, not data rows), so interpreted evaluation is immaterial here.
+  */
+case class KllValue(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_value"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: sketch must be binary")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: prob must be double")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(sketch: Any, prob: Any): Any =
+    KllSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+      .quantile(prob.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): KllValue =
+    copy(left = newLeft, right = newRight)
+}
+
 /** graft_kll_quantiles(x, probs, k) — approximate quantiles of `x` at each
   * probability in the literal array `probs`, via a mergeable [[KllSketch]]
   * with parameter `k`. Returns `array<double>` aligned with `probs`; null

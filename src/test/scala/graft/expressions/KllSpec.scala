@@ -46,6 +46,32 @@ class KllSpec extends SparkSpec {
     for (q <- Seq(0.1, 0.5, 0.9)) assert(back.quantile(q) === s.quantile(q))
   }
 
+  test("stored daily sketches re-aggregate to week-level quantiles") {
+    GraftFunctions.register(spark)
+    // 7 "days" x 8000 values; daily sketches persisted to parquet, then a
+    // second query merges the STORED bytes — no raw row is ever re-read
+    val n = 56000
+    val df = (0 until n).map(i => (i % 7, data(n)(i))).toDF("day", "x")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_store_").toString
+    df.groupBy("day")
+      .agg(call_function("graft_kll_sketch", col("x"), lit(200)).as("sk"))
+      .write.parquet(s"$tmp/daily")
+
+    val weekly = spark.read.parquet(s"$tmp/daily")
+      .agg(call_function("graft_kll_merge", col("sk")).as("wk"))
+      .select(
+        call_function("graft_kll_value", col("wk"), lit(0.1)).as("p10"),
+        call_function("graft_kll_value", col("wk"), lit(0.5)).as("p50"),
+        call_function("graft_kll_value", col("wk"), lit(0.9)).as("p90"))
+      .as[(Double, Double, Double)].collect().head
+
+    val sorted = data(n).sorted
+    for ((q, v) <- Seq(0.1 -> weekly._1, 0.5 -> weekly._2, 0.9 -> weekly._3)) {
+      val r = rankOf(sorted, v)
+      assert(math.abs(r - q) <= 0.02, s"q=$q rank=$r after store+merge")
+    }
+  }
+
   test("aggregate works through a real grouped shuffle, ignoring nulls") {
     GraftFunctions.register(spark)
     val n = 20000
