@@ -540,6 +540,21 @@ object SparkEntry {
           round(expr("percentile(secs, 0.9)"), 6).as("p90_secs"))
     }),
 
+    // --- approximate distinct counts via Spark's BUILT-IN HLL++ (built-ins
+    // first; custom sketches only where Spark lacks them) — checked with
+    // the same tolerance-boolean trick as q52: the claim "approx within 5%
+    // of exact" is deterministic even though the estimate is not portable ---
+    "q57_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")).cast("double") / col("n_users") <= 0.05)
+            .as("within_tol"))
+        .orderBy("event_type")
+    }),
+
     // --- hopping (sliding) windows: 1-hour windows every 15 min via the
     // built-in window() generator (each event lands in 4 windows) ---
     "q49_hopping_window" -> ((s, dir) => {
@@ -732,6 +747,10 @@ object SparkEntry {
         threshold = 0.3),
     "q38_multimodal_ann" -> graft.expressions.OracleHashSql
       .multimodalAnn(nMedia = 200, dim = 16, nQueries = 5, k = 3),
+
+    "q57_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q56_funnel_latency" ->
       """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
