@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => KllMergeAgg(c(0)).toAggregateExpression()))
     ext.injectFunction(fn("graft_kll_value", classOf[KllValue].getName, 2,
       c => KllValue(c(0), c(1))))
+    ext.injectFunction(fn("graft_bucket", classOf[SearchSortedBucket].getName, 2,
+      c => SearchSortedBucket(c(0), c(1))))
   }
 }

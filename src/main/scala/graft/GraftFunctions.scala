@@ -40,6 +40,8 @@ object GraftFunctions {
         c => KllMergeAgg(c(0)).toAggregateExpression(), "internal")
       reg.createOrReplaceTempFunction("graft_kll_value",
         c => KllValue(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_bucket",
+        c => SearchSortedBucket(c(0), c(1)), "internal")
     }
   }
 }

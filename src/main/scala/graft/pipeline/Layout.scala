@@ -58,4 +58,30 @@ object Layout {
       bucket16(col(colB), row.getDouble(2), row.getDouble(3)))
     df.repartitionByRange(outPartitions, zv).sortWithinPartitions(zv)
   }
+
+  /** [[zorder]] for SKEWED columns: bucket by KLL quantile boundaries (256
+    * per column — one sketch pass via `graft_kll_quantiles`) instead of a
+    * linear [min,max] split, so every bucket holds ~equal row counts. Under
+    * heavy skew linear bucketing collapses most rows into a few buckets and
+    * file stats stop pruning; equi-depth bucketing keeps them tight
+    * everywhere. Costs one extra sketch aggregation job before the single
+    * range shuffle.
+    */
+  def zorderQuantile(df: DataFrame, colA: String, colB: String,
+                     outPartitions: Int, sketchK: Int = 200): DataFrame = {
+    require(outPartitions > 0, s"outPartitions must be positive")
+    graft.GraftFunctions.register(df.sparkSession)
+    val probs = array((1 until 256).map(i => lit(i / 256.0)): _*)
+    val row = df.agg(
+      call_function("graft_kll_quantiles", col(colA).cast("double"), probs, lit(sketchK)),
+      call_function("graft_kll_quantiles", col(colB).cast("double"), probs, lit(sketchK))).head()
+    require(!row.anyNull, s"zorderQuantile: $colA/$colB are entirely null")
+    def bucket(c: String, boundaries: Seq[Double]): Column =
+      call_function("graft_bucket", col(c).cast("double"),
+        lit(boundaries.toArray))
+    val zv = zvalue(
+      bucket(colA, row.getSeq[Double](0)).cast("long"),
+      bucket(colB, row.getSeq[Double](1)).cast("long"))
+    df.repartitionByRange(outPartitions, zv).sortWithinPartitions(zv)
+  }
 }

@@ -13,10 +13,10 @@ import scala.jdk.CollectionConverters._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Per-parquet-file (min, max) of a long column, from footer stats —
+  /** Per-parquet-file (min, max) of a numeric column, from footer stats —
     * exactly what the scan's row-group pruning consults.
     */
-  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+  private def fileRanges(dir: String, column: String): Seq[(Double, Double)] = {
     new File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
@@ -24,13 +24,13 @@ class LayoutSpec extends SparkSpec {
         val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics)
         }
-        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
-          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+        (stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue()).min,
+          stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue()).max)
       } finally reader.close()
     }
   }
 
-  private def filesContaining(ranges: Seq[(Long, Long)], v: Long): Int =
+  private def filesContaining(ranges: Seq[(Double, Double)], v: Double): Int =
     ranges.count { case (lo, hi) => lo <= v && v <= hi }
 
   test("z-order clustering lets point predicates on BOTH columns skip most files") {
@@ -59,6 +59,34 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/zorder")
       .as[(Long, Long, Long)].collect().toSet
     assert(back === df.as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("quantile bucketing keeps pruning when a column is heavily skewed") {
+    // s: 95% of values dense in [0,100), 5% scattered up to 1e9 — linear
+    // [min,max] bucketing lumps ALL dense rows into bucket 0, so file stats
+    // on s stop discriminating; equi-depth (KLL) buckets keep them tight
+    val df = (0 until 20000).map { i =>
+      val s = if (i % 20 == 19) 1e9 * ((i % 100) / 100.0)
+              else (i * 37 % 100).toDouble
+      (((i * 7919) % 100).toLong, s, i.toLong)
+    }.toDF("u", "s", "payload")
+    val tmp = Files.createTempDirectory("graft_layout_skew_").toString
+    Layout.zorder(df, "s", "u", 16).write.parquet(s"$tmp/linear")
+    Layout.zorderQuantile(df, "s", "u", 16).write.parquet(s"$tmp/eqdepth")
+
+    val linear = fileRanges(s"$tmp/linear", "s")
+    val eqdepth = fileRanges(s"$tmp/eqdepth", "s")
+    val probe = 50.0 // inside the dense region
+    assert(filesContaining(linear, probe) >= 12,
+      s"skew collapses linear s-buckets: ${filesContaining(linear, probe)}/${linear.size}")
+    assert(filesContaining(eqdepth, probe) <= 6,
+      s"eqdepth should keep s-stats tight: ${filesContaining(eqdepth, probe)}/${eqdepth.size}")
+
+    // still prunes on the OTHER column and preserves content
+    val eqU = fileRanges(s"$tmp/eqdepth", "u")
+    assert(filesContaining(eqU, 50.0) <= 8)
+    assert(spark.read.parquet(s"$tmp/eqdepth").as[(Long, Double, Long)].collect().toSet
+      === df.as[(Long, Double, Long)].collect().toSet)
   }
 
   test("zvalue interleaves bits; bucket16 clamps and handles nulls") {
