@@ -51,6 +51,30 @@ class NativeConsistencySpec extends SparkSpec {
     assert(r.getAs[Long]("sh") != 0L)
   }
 
+  test("round-3 aggregates and scalars are callable from SQL") {
+    Seq((1, 5.0), (1, 1.0), (1, 3.0), (2, 8.0))
+      .toDF("g", "x").createOrReplaceTempView("__nc_vals")
+    val rows = spark.sql(
+      """SELECT g,
+        |  graft_kmin(x, 2) AS k2,
+        |  graft_kll_quantiles(x, array(0.5D), 64) AS med,
+        |  graft_kll_value(graft_kll_sketch(x, 64), 0.5D) AS med2,
+        |  graft_bucket(max(x), array(2.0D, 4.0D, 6.0D)) AS b
+        |FROM __nc_vals GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getAs[Seq[Double]]("k2") === Seq(1.0, 3.0))
+    assert(rows(0).getAs[Seq[Double]]("med") === Seq(3.0))
+    assert(rows(0).getAs[Double]("med2") === 3.0)
+    assert(rows(0).getAs[Int]("b") === 2) // max=5.0: boundaries 2,4 <= 5
+    assert(rows(1).getAs[Seq[Double]]("k2") === Seq(8.0))
+    assert(rows(1).getAs[Int]("b") === 3)
+    // merge path from SQL too: sketches of the two groups unioned
+    val merged = spark.sql(
+      """SELECT graft_kll_value(graft_kll_merge(sk), 1.0D) AS hi FROM (
+        |  SELECT g, graft_kll_sketch(x, 64) AS sk FROM __nc_vals GROUP BY g)""".stripMargin)
+      .collect().head
+    assert(merged.getAs[Double]("hi") === 8.0)
+  }
+
   test("wrong argument types fail at analysis, not execution") {
     // long literal where int is expected, and non-array args to vector math
     for (bad <- Seq(

@@ -74,4 +74,73 @@ class UpsertStreamSpec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(cur === Map(1L -> "b"))
   }
+
+  test("a maintained aggregate rides the CDC stream (streaming materialized view)") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    val tmp = Files.createTempDirectory("graft_upmv_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    // the file source orders batches by modification time — pin distinct
+    // times or sub-ms ties make the batch order (and thus the final
+    // latest-wins content) nondeterministic
+    var modT = System.currentTimeMillis() - 60000
+    def write(name: String, lines: String*): Unit = {
+      val f = new File(in, name)
+      Files.writeString(f.toPath, lines.mkString("\n"))
+      modT += 5000
+      assert(f.setLastModified(modT))
+    }
+    // three batches: inserts; replace k=2 (moves group!) + insert; delete k=1
+    write("b0.ndjson",
+      """{"k":1,"g":"x","v":10.5,"seq":1}""",
+      """{"k":2,"g":"x","v":20.5,"seq":1}""")
+    write("b1.ndjson",
+      """{"k":2,"g":"y","v":21.5,"seq":2}""",
+      """{"k":3,"g":"y","v":30.0,"seq":2}""")
+    write("b2.ndjson",
+      """{"k":1,"seq":3,"__deleted":true}""")
+
+    val mvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("v", DoubleType), StructField("seq", LongType),
+      StructField(UpsertStream.DeleteCol, BooleanType)))
+    def dec(df: DataFrame): DataFrame =
+      df.withColumn("v", F.col("v").cast("decimal(18,4)"))
+
+    var snapshot: DataFrame = dec(
+      Seq.empty[(Long, String, Option[Double], Long)].toDF("k", "g", "v", "seq"))
+    var agg: DataFrame = IncrementalAgg.full(snapshot, Seq("g"), "v")
+    val q = spark.readStream.schema(mvSchema)
+      .option("maxFilesPerTrigger", 1).json(in.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changes = dec(graft.operators.DedupLatest(
+          batch, Seq("k"), Seq(F.col("seq").desc))
+          .withColumn(UpsertStream.DeleteCol,
+            F.coalesce(F.col(UpsertStream.DeleteCol), F.lit(false)))
+          .select("k", "g", "v", "seq", UpsertStream.DeleteCol))
+        // maintain the view BEFORE advancing the snapshot (old contributions
+        // come from the pre-merge state), then apply the merge
+        agg = IncrementalAgg.maintain(agg, snapshot, changes,
+          Seq("k"), Seq("g"), "v").localCheckpoint(true)
+        snapshot = snapshot
+          .join(changes.select("k"), Seq("k"), "left_anti")
+          .unionByName(changes.where(!F.col(UpsertStream.DeleteCol))
+            .drop(UpsertStream.DeleteCol))
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // final maintained view == recompute over the final snapshot
+    def norm(df: DataFrame) =
+      df.select(F.col("g"), F.col("n"), F.col("total").cast("decimal(28,4)"))
+        .as[(String, Long, BigDecimal)].collect().toSet
+    assert(snapshot.select("k").as[Long].collect().toSet === Set(2L, 3L))
+    assert(norm(agg) === norm(IncrementalAgg.full(snapshot, Seq("g"), "v")))
+    assert(norm(agg) === Set(("y", 2L, BigDecimal("51.5000"))))
+  }
 }
