@@ -41,18 +41,43 @@ final class KllSketch(val k: Int) extends Serializable {
     }
   }
 
+  private def compactLevel(l: Int): Unit = {
+    if (l + 1 >= levels.size) levels += ArrayBuffer.empty[Double]
+    val sorted = levels(l).sortInPlace()
+    val offset = flip & 1
+    flip += 1
+    var i = offset
+    while (i < sorted.size) { levels(l + 1) += sorted(i); i += 2 }
+    levels(l) = ArrayBuffer.empty[Double]
+  }
+
   private def compactFrom(start: Int): Unit = {
     var l = start
     while (l < levels.size && levels(l).size >= capacity(l)) {
-      if (l + 1 >= levels.size) levels += ArrayBuffer.empty[Double]
-      val cur = levels(l)
-      val sorted = cur.sortInPlace()
-      val offset = flip & 1
-      flip += 1
-      var i = offset
-      while (i < sorted.size) { levels(l + 1) += sorted(i); i += 2 }
-      levels(l) = ArrayBuffer.empty[Double]
+      compactLevel(l)
       l += 1
+    }
+  }
+
+  /** Restore the capacity invariant on EVERY level — required after merge,
+    * which can overfill any level, not just a cascade from level 0 (a
+    * bottom-up `compactFrom(0)` stops at the first under-capacity level and
+    * would leave higher levels permanently oversized, degrading sketch size
+    * toward O(partitions·k) across a reduce tree). Adding a level shrinks
+    * lower capacities, so sweep until stable.
+    */
+  private def compactAll(): Unit = {
+    var changed = true
+    while (changed) {
+      changed = false
+      var l = 0
+      while (l < levels.size) {
+        if (levels(l).size >= capacity(l) && levels(l).nonEmpty) {
+          compactLevel(l)
+          changed = true
+        }
+        l += 1
+      }
     }
   }
 
@@ -65,7 +90,7 @@ final class KllSketch(val k: Int) extends Serializable {
     }
     count += other.count
     flip += other.flip // keep alternation moving after merges
-    compactFrom(0)
+    compactAll()
   }
 
   /** Lower-biased rank selection over the weighted items. */
@@ -303,6 +328,8 @@ case class KllQuantilesAgg(child: Expression, probsExpr: Expression,
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
     case other => throw new IllegalArgumentException(
       s"$prettyName: k must be an integer literal, got $other")
   }

@@ -39,13 +39,17 @@ case class TopKMinAgg(child: Expression, kExpr: Expression,
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
     case other => throw new IllegalArgumentException(
       s"graft_kmin: k must be an integer literal, got $other")
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (!kExpr.foldable)
-      return TypeCheckResult.TypeCheckFailure("graft_kmin: k must be a literal")
+    if (!kExpr.foldable ||
+      !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(kExpr.dataType))
+      return TypeCheckResult.TypeCheckFailure(
+        "graft_kmin: k must be an integer literal")
     TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
   }
 

@@ -59,6 +59,12 @@ object BandJoin {
                    aTs: String, bTs: String, width: Long,
                    aId: String): DataFrame = {
     require(a.columns.contains(aId), s"aId column $aId not in a")
+    // within() only sees the slim projection — enforce its disjointness
+    // contract against the FULL a here, or a payload/b name collision
+    // surfaces later as an ambiguous-reference analysis error
+    val overlap = a.columns.filterNot(keys.contains)
+      .intersect(b.columns.filterNot(keys.contains))
+    require(overlap.isEmpty, s"non-key columns collide: ${overlap.mkString(",")}")
     val slimCols = (keys :+ aId :+ aTs).distinct
     val matches = within(a.select(slimCols.map(col): _*), b, keys, aTs, bTs, width)
     val payload = a.columns.filterNot(c => slimCols.contains(c))

@@ -44,18 +44,43 @@ object ConnectedComponents {
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None,
                           pointerJump: Boolean = true): (DataFrame, Int) = {
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // reliable checkpoints go into a per-run scratch subdir so superseded
+    // rounds can be deleted as iteration advances — nothing reclaims
+    // checkpoint files otherwise (cleanCheckpoints defaults to false), and
+    // N rounds would strand N full label-table copies on the cluster FS
+    val runDir = checkpointDir.map(d =>
+      s"$d/cc-${java.util.UUID.randomUUID().toString.take(8)}")
+    runDir.foreach(spark.sparkContext.setCheckpointDir)
+    def rddDirs(): Set[String] = runDir match {
+      case None => Set.empty
+      case Some(d) =>
+        val (fs, root) = graft.pipeline.Snapshots.fsFor(spark, d)
+        if (!fs.exists(root)) Set.empty
+        else fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/rdd-*"))
+          .map(_.getPath.toString).toSet
+    }
+    def deleteDirs(dirs: Set[String]): Unit = runDir.foreach { d =>
+      val (fs, _) = graft.pipeline.Snapshots.fsFor(spark, d)
+      dirs.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
     // reliable checkpoint when a dir is given (survives executor loss);
     // executor-local otherwise (fastest, fine for local/interactive runs)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    var before = rddDirs()
+    def materialize(df: DataFrame): (DataFrame, Set[String]) = {
+      val out =
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      val after = rddDirs()
+      val mine = after -- before
+      before = after
+      (out, mine)
+    }
 
     // duplicate edges are harmless (min is idempotent) — no distinct pass
-    val sym = materialize(
+    val (sym, symDirs) = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = materialize(
+    var (labels, labelDirs) = materialize(
       vertices.select(col(idCol).as("id"), col(idCol).as("lbl"),
         lit(true).as("changed")))
     var iter = 0
@@ -84,14 +109,19 @@ object ConnectedComponents {
         }
       // carry a changed flag so convergence is a scan of the materialized
       // round, not another join against the previous labels
-      val next = materialize(jumped.select(col("id"), col("lbl"),
+      val (next, nextDirs) = materialize(jumped.select(col("id"), col("lbl"),
         (col("lbl") < col("old")).as("changed")))
       converged = next.where(col("changed")).limit(1).isEmpty
       labels.unpersist()
+      // next is durably materialized from its own files — the previous
+      // round's checkpoint is superseded and safe to reclaim now
+      deleteDirs(labelDirs)
       labels = next
+      labelDirs = nextDirs
       iter += 1
     }
     sym.unpersist()
+    deleteDirs(symDirs) // final labels no longer reference the edge files
     // silently returning half-propagated labels would hand callers wrong
     // dedup groups — fail loudly like the rest of the library
     require(converged,

@@ -24,8 +24,9 @@ object Ivf {
                          nCells: Int)
 
   /** Deterministic per-partition reservoir sample of ≤ `maxRows` rows with
-    * NO pre-count pass: each of the P input partitions keeps at most
-    * ⌈maxRows/P⌉ rows via a seeded reservoir, in one lazy narrow pass —
+    * NO pre-count pass: the P input partitions share a balanced integer
+    * quota summing to exactly `maxRows` (partitions beyond `maxRows` get
+    * quota 0), each kept via a seeded reservoir in one lazy narrow pass —
     * unlike `df.sample(fraction)`, which needs a full `count()` job first to
     * compute the fraction (a whole extra corpus scan at 100 TB). Partitions
     * smaller than their quota contribute everything they have (mild skew
@@ -33,24 +34,33 @@ object Ivf {
     * per-partition imperative logic, hence the one RDD hop.
     */
   def boundedSample(df: DataFrame, maxRows: Int, seed: Long = 42L): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = df.rdd
-    val perPart = math.max(1, maxRows / math.max(1, rdd.getNumPartitions))
+    val nPart = math.max(1, rdd.getNumPartitions)
     val sampled = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
-      val buf = new Array[org.apache.spark.sql.Row](perPart)
-      var n = 0
-      while (it.hasNext) {
-        val r = it.next()
-        if (n < perPart) buf(n) = r
-        else {
-          val j = rnd.nextInt(n + 1)
-          if (j < perPart) buf(j) = r
+      // balanced integer quota: per-partition shares sum to EXACTLY maxRows
+      // (a floor-with-min-1 would blow past the cap when partitions
+      // outnumber maxRows — 800k partitions x 1 row is 8x a 100k cap)
+      val quota = (((pid + 1).toLong * maxRows) / nPart -
+        (pid.toLong * maxRows) / nPart).toInt
+      if (quota == 0) Iterator.empty
+      else {
+        val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val buf = new Array[org.apache.spark.sql.Row](quota)
+        var n = 0
+        while (it.hasNext) {
+          val r = it.next()
+          if (n < quota) buf(n) = r
+          else {
+            val j = rnd.nextInt(n + 1)
+            if (j < quota) buf(j) = r
+          }
+          n += 1
         }
-        n += 1
+        buf.iterator.take(math.min(n, quota))
       }
-      buf.iterator.take(math.min(n, perPart))
     }
     spark.createDataFrame(sampled, schema)
   }

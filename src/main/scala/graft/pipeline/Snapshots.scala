@@ -21,7 +21,11 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
   */
 object Snapshots {
 
-  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  /** Resolve a dir string to its Hadoop filesystem + path through the
+    * session conf — THE way any graft component touches a filesystem
+    * (java.io.File would silently mis-handle s3a/hdfs schemes).
+    */
+  private[graft] def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }

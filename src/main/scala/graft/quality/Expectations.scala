@@ -143,8 +143,7 @@ object Expectations {
          |$rows
          |</table></body></html>""".stripMargin
 
-    val dir = new org.apache.hadoop.fs.Path(outDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, dir) = graft.pipeline.Snapshots.fsFor(spark, outDir)
     fs.mkdirs(dir)
     def write(name: String, content: String): String = {
       val p = new org.apache.hadoop.fs.Path(dir, name)

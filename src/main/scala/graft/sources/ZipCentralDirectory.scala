@@ -60,8 +60,12 @@ object ZipCentralDirectory {
     val tail = new Array[Byte](tailLen)
     in.readFully(len - tailLen, tail)
 
+    // a candidate EOCD must also have a comment length that reaches exactly
+    // to end-of-file — otherwise PK\x05\x06 bytes INSIDE an archive comment
+    // would be misparsed (java.util.zip.ZipFile applies the same check)
     var i = tailLen - 22
-    while (i >= 0 && s32(tail, i) != EocdSig) i -= 1
+    while (i >= 0 && !(s32(tail, i) == EocdSig && u16(tail, i + 20) == tailLen - i - 22))
+      i -= 1
     if (i < 0) throw new java.util.zip.ZipException(s"no EOCD record in $where — not a zip archive?")
 
     var cdCount: Long = u16(tail, i + 10).toLong
@@ -141,7 +145,19 @@ object ZipCentralDirectory {
     val bounded = new BoundedInputStream(in, e.compressedSize)
     e.method match {
       case 0 => bounded
-      case 8 => new InflaterInputStream(bounded, new Inflater(true), 64 * 1024)
+      case 8 =>
+        // InflaterInputStream only ends a DEFAULT-constructed inflater on
+        // close; an explicitly-passed one must be ended by us, or every
+        // member leaks ~32-64 KB of native zlib memory until finalization —
+        // fatal over thousands of members on a rarely-GCing executor
+        val inf = new Inflater(true)
+        new InflaterInputStream(bounded, inf, 64 * 1024) {
+          private var ended = false
+          override def close(): Unit = {
+            if (!ended) { ended = true; inf.end() }
+            super.close()
+          }
+        }
       case m => throw new UnsupportedOperationException(
         s"zip compression method $m for ${e.name} (only stored/deflate)")
     }

@@ -87,10 +87,8 @@ object UpsertStream {
     else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
   }
 
-  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) =
+    graft.pipeline.Snapshots.fsFor(spark, dir)
 
   private def completeVersions(spark: SparkSession,
                                snapshotDir: String): Seq[(Long, Path)] =
@@ -107,6 +105,14 @@ object UpsertStream {
                            checkpointDir: String): Unit = {
     val (filesystem, root) = fs(spark, snapshotDir)
     val marker = new Path(root, LineageMarker)
+    // compare FULLY-QUALIFIED paths: the same checkpoint spelled relative /
+    // absolute / scheme-qualified across restarts must still match, or a
+    // legitimate batch-0 retry is refused as a foreign checkpoint
+    def qualified(dir: String): String = {
+      val (f, p) = fs(spark, dir)
+      f.makeQualified(p).toString
+    }
+    val thisCkpt = qualified(checkpointDir)
     val owner: Option[String] =
       if (!filesystem.exists(marker)) None
       else {
@@ -116,7 +122,7 @@ object UpsertStream {
         finally in.close()
       }
     owner match {
-      case Some(o) if o == checkpointDir => () // batch-0 retry, same lineage
+      case Some(o) if qualified(o) == thisCkpt => () // batch-0 retry, same lineage
       case Some(o) => throw new IllegalStateException(
         s"snapshotDir $snapshotDir is owned by checkpoint $o but this query " +
           s"uses checkpoint $checkpointDir; a fresh checkpoint over an " +
