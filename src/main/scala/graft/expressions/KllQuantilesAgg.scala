@@ -22,7 +22,9 @@ import scala.collection.mutable.ArrayBuffer
   * promotes them. Per-level capacity decays geometrically from the top
   * (classic KLL shape) with a floor of 8.
   */
-final class KllSketch(val k: Int) extends Serializable {
+final class KllSketch(initK: Int) extends Serializable {
+  private var _k: Int = initK
+  def k: Int = _k
   require(k >= 8, s"kll: k must be >= 8, got $k")
   private[expressions] val levels = ArrayBuffer(ArrayBuffer.empty[Double])
   private[expressions] var count: Long = 0L
@@ -82,6 +84,11 @@ final class KllSketch(val k: Int) extends Serializable {
   }
 
   def merge(other: KllSketch): Unit = {
+    // Sketches built with different k are merged by downgrading to the
+    // SMALLER k deterministically (order-independent: min is commutative),
+    // so the result's capacities/error bounds are those of the weakest
+    // input rather than whichever side happened to deserialize first.
+    if (other.k != _k) _k = math.min(_k, other.k)
     while (levels.size < other.levels.size) levels += ArrayBuffer.empty[Double]
     var l = 0
     while (l < other.levels.size) {

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * Fault tolerance at cluster scale: by default rounds `localCheckpoint` —
   * fastest, but blocks live only on executors with truncated lineage, so a
   * lost executor kills the job mid-iteration. Pass `checkpointDir` (HDFS/
-  * object store) to use reliable `checkpoint()` instead: rounds survive
-  * executor loss, the right trade on a 1000-executor run measured in hours.
+  * object store) to durably materialize each round there instead (parquet
+  * write + read-back under a per-run subdir — never touches the
+  * context-global checkpoint dir, so concurrent runs don't interfere):
+  * rounds survive executor loss, the right trade on a 1000-executor run
+  * measured in hours.
   */
 object ConnectedComponents {
 
@@ -44,36 +47,31 @@ object ConnectedComponents {
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None,
                           pointerJump: Boolean = true): (DataFrame, Int) = {
-    // reliable checkpoints go into a per-run scratch subdir so superseded
-    // rounds can be deleted as iteration advances — nothing reclaims
-    // checkpoint files otherwise (cleanCheckpoints defaults to false), and
-    // N rounds would strand N full label-table copies on the cluster FS
+    // reliable rounds go into a per-run scratch subdir so superseded rounds
+    // can be deleted as iteration advances, and so concurrent runs on the
+    // same SparkSession never collide. Materialization is a parquet
+    // write+read-back rather than df.checkpoint: checkpoint() would require
+    // sparkContext.setCheckpointDir, which is context-GLOBAL — it would
+    // silently clobber whatever dir the caller (or a concurrent run) had
+    // configured. The file round-trip gives the same guarantees — durable on
+    // the reliable FS, lineage truncated at the scan — with per-run paths.
     val runDir = checkpointDir.map(d =>
       s"$d/cc-${java.util.UUID.randomUUID().toString.take(8)}")
-    runDir.foreach(spark.sparkContext.setCheckpointDir)
-    def rddDirs(): Set[String] = runDir match {
-      case None => Set.empty
-      case Some(d) =>
-        val (fs, root) = graft.pipeline.Snapshots.fsFor(spark, d)
-        if (!fs.exists(root)) Set.empty
-        else fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/rdd-*"))
-          .map(_.getPath.toString).toSet
-    }
     def deleteDirs(dirs: Set[String]): Unit = runDir.foreach { d =>
       val (fs, _) = graft.pipeline.Snapshots.fsFor(spark, d)
       dirs.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     }
-    // reliable checkpoint when a dir is given (survives executor loss);
-    // executor-local otherwise (fastest, fine for local/interactive runs)
-    var before = rddDirs()
-    def materialize(df: DataFrame): (DataFrame, Set[String]) = {
-      val out =
-        if (checkpointDir.isDefined) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
-      val after = rddDirs()
-      val mine = after -- before
-      before = after
-      (out, mine)
+    // reliable file materialization when a dir is given (survives executor
+    // loss); executor-local otherwise (fastest, fine for local/interactive)
+    var step = 0
+    def materialize(df: DataFrame): (DataFrame, Set[String]) = runDir match {
+      case Some(d) =>
+        val path = s"$d/step-$step"
+        step += 1
+        df.write.parquet(path)
+        (spark.read.parquet(path), Set(path))
+      case None =>
+        (df.localCheckpoint(eager = true), Set.empty)
     }
 
     // duplicate edges are harmless (min is idempotent) — no distinct pass

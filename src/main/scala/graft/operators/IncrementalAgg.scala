@@ -48,9 +48,12 @@ object IncrementalAgg {
       if (changes.columns.contains(deleteCol)) coalesce(col(deleteCol), lit(false))
       else lit(false)
     // every changed id loses its old contribution (replace AND delete);
-    // the id set is delta-sized — broadcast, so the snapshot never shuffles
+    // the id set is usually delta-sized, but nothing enforces that — leave
+    // the join strategy to AQE, which broadcasts when the measured size fits
+    // (spark.sql.autoBroadcastJoinThreshold) and degrades to a shuffled
+    // semi-join otherwise instead of dying with a broadcast OOM
     val touched = changes.select(idKeys.map(col): _*).distinct()
-    val removed = snapshot.join(broadcast(touched), idKeys, "left_semi")
+    val removed = snapshot.join(touched, idKeys, "left_semi")
       .select(groupKeys.map(col) :+ lit(-1L).as("__sign") :+
         coalesce(col(valueCol), lit(0)).as("__v"): _*)
     val added = changes.where(!isDel)

@@ -31,6 +31,10 @@ object Knn {
                  qId: String = "vec_id", cId: String = "vec_id",
                  qVec: String = "embedding", cVec: String = "embedding",
                  excludeSelf: Boolean = true): DataFrame = {
+    // Self-register so bruteForce works on any session, not just ones that
+    // already ran GraftFunctions.register / GraftExtensions (idempotent;
+    // same pattern as Layout.zorderQuantile).
+    graft.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(qId).as("q_id"), normalizeFast(col(qVec)).as("q_vec")))
     val c = corpus.select(col(cId).as("n_id"), normalizeFast(col(cVec)).as("n_vec"))
     val scored = c.crossJoin(q)

@@ -68,6 +68,13 @@ object ZipCentralDirectory {
       i -= 1
     if (i < 0) throw new java.util.zip.ZipException(s"no EOCD record in $where — not a zip archive?")
 
+    // spanned/multi-disk archives (PKZIP floppy spanning) would make every
+    // member offset below relative to a volume we can't see — reject loudly
+    // instead of failing later with a confusing 'bad local header'
+    if (u16(tail, i + 4) != 0 || u16(tail, i + 6) != 0)
+      throw new java.util.zip.ZipException(
+        s"$where is a spanned (multi-disk) archive — unsupported")
+
     var cdCount: Long = u16(tail, i + 10).toLong
     var cdSize: Long = u32(tail, i + 12)
     var cdOffset: Long = u32(tail, i + 16)
@@ -79,6 +86,9 @@ object ZipCentralDirectory {
       in.readFully(z64Off, buf)
       if (s32(buf, 0) != Zip64EocdSig)
         throw new java.util.zip.ZipException(s"bad zip64 EOCD signature in $where")
+      if (u32(buf, 16) != 0L || u32(buf, 20) != 0L)
+        throw new java.util.zip.ZipException(
+          s"$where is a spanned (multi-disk) zip64 archive — unsupported")
       cdCount = u64(buf, 32)
       cdSize = u64(buf, 40)
       cdOffset = u64(buf, 48)

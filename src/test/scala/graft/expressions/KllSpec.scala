@@ -38,6 +38,23 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("merging sketches with different k downgrades to min(k), order-independent") {
+    val xs = data(40000)
+    def build(k: Int, slice: Array[Double]): KllSketch = {
+      val s = new KllSketch(k); slice.foreach(s.update); s
+    }
+    val (lo, hi) = xs.splitAt(20000)
+    val ab = build(200, lo); ab.merge(build(50, hi))
+    val ba = build(50, hi); ba.merge(build(200, lo))
+    assert(ab.k === 50 && ba.k === 50, "merged capacity must be the weaker input's")
+    assert(ab.count === xs.length && ba.count === xs.length)
+    // both orders must satisfy the WEAKER sketch's error bound
+    val sorted = xs.sorted
+    for (s <- Seq(ab, ba); q <- Seq(0.1, 0.5, 0.9)) {
+      assert(math.abs(rankOf(sorted, s.quantile(q)) - q) <= 0.05)
+    }
+  }
+
   test("serialization round-trips the sketch") {
     val s = new KllSketch(64)
     data(5000).foreach(s.update)

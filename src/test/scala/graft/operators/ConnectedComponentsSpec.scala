@@ -44,4 +44,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     // rounds actually hit the reliable checkpoint dir
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
+
+  test("reliable mode never touches the context-global checkpoint dir") {
+    val callers = java.nio.file.Files.createTempDirectory("graft_cc_callers_").toString
+    spark.sparkContext.setCheckpointDir(callers)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cc_mine_").toString
+      val vertices = (1L to 4L).toDF("id")
+      val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      ConnectedComponents.components(spark, vertices, edges, "id", "a", "b",
+        checkpointDir = Some(dir)).collect()
+      // the caller's configured dir is untouched — CC materializes rounds
+      // under its own per-run subdir, not via the context-global mechanism
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        new java.io.File(callers).getName)))
+      assert(new java.io.File(callers).listFiles().forall(_.listFiles().isEmpty))
+    } finally {
+      // other suites don't expect a checkpoint dir; the context-global
+      // setting has no unset API, so leave the empty dir in place
+    }
+  }
 }

@@ -51,6 +51,25 @@ class ZipLineSourceSpec extends SparkSpec {
     assert(!rows.exists(_._2 == "empty.json"))
   }
 
+  test("spanned (multi-disk) archives are rejected loudly at planning") {
+    val dir = new File(tmp, "span"); dir.mkdirs()
+    val path = makeZip(dir, "span.zip", "a.json" -> "{\"v\":1}")
+    // forge the EOCD disk-number fields (offsets +4/+6 from the signature)
+    // to claim the archive spans two disks
+    val bytes = Files.readAllBytes(new File(path).toPath)
+    var i = bytes.length - 22
+    while (!(bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+             bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06)) i -= 1
+    bytes(i + 4) = 1; bytes(i + 6) = 1
+    Files.write(new File(path).toPath, bytes)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.util.zip.ZipException] {
+      ZipCentralDirectory.list(fs, new org.apache.hadoop.fs.Path(path))
+    }
+    assert(e.getMessage.contains("spanned"))
+  }
+
   test("memberRegex pushes the member filter into planning") {
     val dir = new File(tmp, "b"); dir.mkdirs()
     makeZip(dir, "z.zip",
