@@ -51,5 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => KllValue(c(0), c(1))))
     ext.injectFunction(fn("graft_bucket", classOf[SearchSortedBucket].getName, 2,
       c => SearchSortedBucket(c(0), c(1))))
+    ext.injectFunction(fn("graft_repetition", classOf[RepetitionStats].getName, 1,
+      c => RepetitionStats(c(0))))
+    ext.injectFunction(fn("graft_quantize8", classOf[Quantize8].getName, 1,
+      c => Quantize8(c(0))))
+    ext.injectFunction(fn("graft_dot_q8", classOf[DotQuantized].getName, 2,
+      c => DotQuantized(c(0), c(1))))
+    ext.injectFunction(fn("graft_cms_sketch", classOf[CmsSketchAgg].getName, 3,
+      c => CmsSketchAgg(c(0), c(1), c(2)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_cms_merge", classOf[CmsMergeAgg].getName, 1,
+      c => CmsMergeAgg(c(0)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_cms_value", classOf[CmsValue].getName, 2,
+      c => CmsValue(c(0), c(1))))
   }
 }

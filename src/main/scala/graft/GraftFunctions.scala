@@ -42,6 +42,18 @@ object GraftFunctions {
         c => KllValue(c(0), c(1)), "internal")
       reg.createOrReplaceTempFunction("graft_bucket",
         c => SearchSortedBucket(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_repetition",
+        c => RepetitionStats(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_quantize8",
+        c => Quantize8(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_dot_q8",
+        c => DotQuantized(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_cms_sketch",
+        c => CmsSketchAgg(c(0), c(1), c(2)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_cms_merge",
+        c => CmsMergeAgg(c(0)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_cms_value",
+        c => CmsValue(c(0), c(1)), "internal")
     }
   }
 }

@@ -729,6 +729,97 @@ object SparkEntry {
     "q27_embed_neardup" -> ((s, dir) => {
       Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- PII redaction: scrub emails / phone numbers / IPv4s before a
+    // corpus ships to training. The test corpus is PII-free, so the query
+    // injects deterministic PII per doc first, then redacts — the patterns
+    // avoid backrefs/lookaround so Java regex and RE2 agree byte-for-byte ---
+    "q58_pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val withPii = t(s, dir, "documents").where(col("doc_id") < 100)
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+      withPii.select(col("doc_id"),
+          regexp_count(col("txt"), lit(email)).as("n_emails"),
+          regexp_count(col("txt"), lit(phone)).as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // --- Gopher-style repetition quality filters: top-2-gram fraction +
+    // duplicate-3-gram fraction per document, one native-expression pass,
+    // NO shuffle (the explode→groupBy formulation would shuffle every
+    // n-gram of a 100 TB corpus; this stays a narrow filter stage) ---
+    "q59_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("rep", call_function("graft_repetition", col("text")))
+        .select(col("doc_id"),
+          round(col("rep.top2_frac"), 6).as("top2_frac"),
+          round(col("rep.dup3_frac"), 6).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // --- count-min sketch frequency: daily user-activity sketches merged at
+    // query time (the CMS twin of q52's KLL pattern — O(sketches), not
+    // O(rows)); estimates checked against exact counts via the tolerance-
+    // boolean trick (deterministic: the hash chain is fixed) ---
+    "q60_cms_freq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(expr("to_date(timestamp_micros(ts DIV 1000))").as("d"))
+        .agg(call_function("graft_cms_sketch", col("user_id"),
+          lit(5), lit(4096)).as("sk"))
+      val merged = daily.agg(call_function("graft_cms_merge", col("sk")).as("sk"))
+      val total = ev.agg(count(lit(1)).as("n_total"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .where(col("user_id") < 8)
+        .crossJoin(broadcast(merged)).crossJoin(broadcast(total))
+        .withColumn("est", call_function("graft_cms_value", col("sk"), col("user_id")))
+        .select(col("user_id"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("overestimates"),
+          ((col("est") - col("n_exact")).cast("double") <=
+            lit(4.0) * col("n_total") / 4096).as("within_tol"))
+        .orderBy("user_id")
+    }),
+
+    // --- unpivot/melt: wide metrics → long (column name, value) rows ---
+    "q61_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double"),
+          col("o_custkey").cast("double"))
+        .unpivot(Array(col("o_orderkey")), "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    }),
+
+    // --- int8 scalar quantization + quantized ANN: 4× smaller candidate
+    // vectors, exact int64 dot-product ranking (no float associativity
+    // drift), rescaled similarity from the two per-vector scales. Window
+    // ranking is fine at 8 probes; the corpus-scale path is the
+    // Knn.bruteForce kmin-heap shape over the quantized column ---
+    "q62_quantized_ann" -> ((s, dir) => {
+      val qz = t(s, dir, "embeddings").select(col("vec_id"),
+          call_function("graft_quantize8", col("embedding")).as("z"))
+        .select(col("vec_id"), col("z.scale").as("scale"), col("z.q").as("q"))
+      val probes = broadcast(qz.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("scale").as("q_scale"),
+          col("q").as("q_q")))
+      val scored = qz
+        .select(col("vec_id").as("n_id"), col("scale").as("n_scale"), col("q").as("n_q"))
+        .join(probes, col("q_id") =!= col("n_id"))
+        .withColumn("dotq", call_function("graft_dot_q8", col("q_q"), col("n_q")))
+      val w = Window.partitionBy("q_id").orderBy(col("dotq").desc, col("n_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), col("dotq"),
+          round(col("dotq").cast("double") * (col("q_scale") * col("n_scale")), 6)
+            .as("sim_approx"))
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -751,6 +842,73 @@ object SparkEntry {
     "q57_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q58_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS txt
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, len(ts) - 1 AS n2
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i) WHERE len(ts) >= 2),
+        |c2 AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / ANY_VALUE(n2) AS top2
+        |       FROM (SELECT doc_id, g, ANY_VALUE(n2) AS n2, COUNT(*) AS cnt
+        |             FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g, len(ts) - 2 AS n3
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i) WHERE len(ts) >= 3),
+        |c3 AS (SELECT doc_id, CAST(ANY_VALUE(n3) - COUNT(DISTINCT g) AS DOUBLE) / ANY_VALUE(n3) AS dup3
+        |       FROM g3 GROUP BY doc_id)
+        |SELECT d.doc_id, round(COALESCE(c2.top2, 0.0), 6) AS top2_frac,
+        |       round(COALESCE(c3.dup3, 0.0), 6) AS dup3_frac
+        |FROM documents d LEFT JOIN c2 ON d.doc_id = c2.doc_id
+        |LEFT JOIN c3 ON d.doc_id = c3.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q60_cms_freq" ->
+      """SELECT user_id, COUNT(*) AS n_exact, true AS overestimates, true AS within_tol
+        |FROM events WHERE user_id < 8 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q61_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey, metric""".stripMargin,
+
+    "q62_quantized_ann" ->
+      """WITH qz AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |    CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0.0 END AS scale,
+        |    CASE WHEN maxabs > 0
+        |      THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT))
+        |      ELSE list_transform(embedding, x -> 0) END AS q
+        |  FROM qz),
+        |dots AS (SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(SUM(CAST(p.q[i] AS BIGINT) * CAST(c.q[i] AS BIGINT)) AS BIGINT) AS dotq,
+        |    ANY_VALUE(p.scale) AS qs, ANY_VALUE(c.scale) AS ns
+        |  FROM qv p, qv c, UNNEST(generate_series(1, len(p.q))) AS u(i)
+        |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, dotq, qs, ns,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dotq DESC, n_id ASC) AS rank
+        |  FROM dots)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, dotq,
+        |       round(CAST(dotq AS DOUBLE) * (qs * ns), 6) AS sim_approx
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q56_funnel_latency" ->
       """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
