@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => CmsMergeAgg(c(0)).toAggregateExpression()))
     ext.injectFunction(fn("graft_cms_value", classOf[CmsValue].getName, 2,
       c => CmsValue(c(0), c(1))))
+    ext.injectFunction(fn("graft_bloom_agg", classOf[BloomAgg].getName, 3,
+      c => BloomAgg(c(0), c(1), c(2)).toAggregateExpression()))
+    ext.injectFunction(fn("graft_bloom_contains", classOf[BloomContains].getName, 2,
+      c => BloomContains(c(0), c(1))))
+    ext.injectFunction(fn("graft_normalize", classOf[NormalizeText].getName, 1,
+      c => NormalizeText(c(0))))
   }
 }

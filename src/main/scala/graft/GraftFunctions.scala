@@ -54,6 +54,12 @@ object GraftFunctions {
         c => CmsMergeAgg(c(0)).toAggregateExpression(), "internal")
       reg.createOrReplaceTempFunction("graft_cms_value",
         c => CmsValue(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_bloom_agg",
+        c => BloomAgg(c(0), c(1), c(2)).toAggregateExpression(), "internal")
+      reg.createOrReplaceTempFunction("graft_bloom_contains",
+        c => BloomContains(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_normalize",
+        c => NormalizeText(c(0)), "internal")
     }
   }
 }

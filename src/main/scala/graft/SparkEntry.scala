@@ -487,8 +487,13 @@ object SparkEntry {
     // oracle's from-scratch recompute of the final state ---
     "q54_incremental_agg" -> ((s, dir) => {
       val price = col("o_totalprice").cast("decimal(18,4)")
+      // the query SYNTHESIZES a CDC delta by slicing orders four ways (in
+      // production the delta arrives as materialized input files) — cache
+      // the one narrow projection all four slices and the snapshot share,
+      // instead of five parquet scans
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), price.as("v"))
+        .cache()
       val base = orders.where(col("o_orderkey") % 10 < 8)
       val inserts = orders.where(col("o_orderkey") % 10 === 8)
         .withColumn("__deleted", lit(false))
@@ -820,6 +825,33 @@ object SparkEntry {
           round(col("dotq").cast("double") * (col("q_scale") * col("n_scale")), 6)
             .as("sim_approx"))
         .orderBy("q_id", "rank")
+    }),
+
+    // --- Bloom-pruned join: lineitems of big orders, with the (huge)
+    // lineitem side Bloom-filtered before its shuffle — no false negatives,
+    // and the join removes the false positives, so the result EQUALS the
+    // plain join (which is exactly what the oracle runs) ---
+    "q63_bloom_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderstatus")
+      BloomPrune.prunedJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          bigOrders, probeKey = "l_orderkey", buildKey = "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // --- text normalization: lowercase + NFC + accent-strip + whitespace
+    // collapse, the cleanup pass that runs before exact dedup/fingerprinting
+    // (the ASCII corpus is prefixed with accented/multi-space text in-plan
+    // so the normalization has real work to do on every row) ---
+    "q64_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          call_function("graft_normalize",
+            concat(lit("Café  NAÏVE Übung:  "), col("text"), lit("  "))).as("norm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -878,6 +910,19 @@ object SparkEntry {
     "q60_cms_freq" ->
       """SELECT user_id, COUNT(*) AS n_exact, true AS overestimates, true AS within_tol
         |FROM events WHERE user_id < 8 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q63_bloom_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q64_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(strip_accents(nfc_normalize(lower(
+        |    'Café  NAÏVE Übung:  ' || text || '  '))), '\s+', ' ', 'g')) AS norm
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "q61_unpivot" ->
       """SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value

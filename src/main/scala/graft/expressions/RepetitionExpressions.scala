@@ -71,3 +71,51 @@ case class RepetitionStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
+
+/** graft_normalize(text) — standard corpus text normalization, one pass:
+  * lowercase (root locale) → Unicode NFC → strip diacritics (NFD, drop
+  * combining marks) → collapse whitespace runs to single spaces → trim.
+  * Composed and decomposed inputs ("é" vs "e"+U+0301) normalize to the same
+  * bytes, so exact dedup and fingerprinting see them as equal — run this
+  * BEFORE [[graft.operators.TextDedup]] hashing. Matches DuckDB's
+  * `trim(regexp_replace(strip_accents(nfc_normalize(lower(x))),'\s+',' ','g'))`
+  * on Latin-script text (both decompose then drop combining marks).
+  */
+case class NormalizeText(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextOps.checkArgs(prettyName, Seq((child.dataType, TextOps.isString, "string")))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  override def nullSafeEval(text: Any): Any = {
+    import java.text.Normalizer
+    val lowered = text.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val nfc = Normalizer.normalize(lowered, Normalizer.Form.NFC)
+    val decomposed = Normalizer.normalize(nfc, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    var lastWs = true // leading whitespace drops (implicit trim-left)
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      val t = Character.getType(c)
+      val isMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK || t == Character.ENCLOSING_MARK
+      if (!isMark) {
+        if (Character.isWhitespace(c)) {
+          if (!lastWs) { sb.append(' '); lastWs = true }
+        } else { sb.append(c); lastWs = false }
+      }
+      i += 1
+    }
+    // trim-right: at most one trailing collapsed space
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}

@@ -143,6 +143,30 @@ class CmsQuantizeRepetitionSpec extends SparkSpec {
     assert(out(3) === ((4L, 1.0, 0.5)))
   }
 
+  // --- text normalization ---
+
+  test("normalize folds case, accents, unicode forms, and whitespace") {
+    GraftFunctions.register(spark)
+    val composed = "Café  NAÏVE" // é, Ï precomposed
+    val decomposed = "Café \t NAÏVE\n" // e+combining acute, I+diaeresis
+    val out = Seq((1L, composed), (2L, decomposed), (3L, "  plain   text  "))
+      .toDF("id", "t")
+      .select(col("id"), call_function("graft_normalize", col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "cafe naive")
+    assert(out(2L) === "cafe naive") // decomposed input normalizes identically
+    assert(out(3L) === "plain text")
+  }
+
+  test("normalize makes composed/decomposed duplicates hash-equal for dedup") {
+    GraftFunctions.register(spark)
+    val hashes = Seq("résumé text", "résumé text")
+      .toDF("t")
+      .select(md5(call_function("graft_normalize", col("t")).cast("binary")).as("h"))
+      .as[String].collect()
+    assert(hashes.distinct.length === 1)
+  }
+
   test("repetition is case-insensitive and whitespace-tolerant like the tokenizer") {
     GraftFunctions.register(spark)
     val Seq(a, b) = Seq("Spark  SPARK\tspark spark", "spark spark spark spark")

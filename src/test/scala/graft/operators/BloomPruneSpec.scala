@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{GraftFunctions, SparkSpec, Tables}
+import graft.expressions.{BloomSketch, CmsSketch}
+import org.apache.spark.sql.functions._
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom filter never false-negatives and merges by OR") {
+    val a = new BloomSketch(1024, 5)
+    val b = new BloomSketch(1024, 5)
+    (0L until 100L).foreach(i => a.add(CmsSketch.hashItem(i)))
+    (100L until 200L).foreach(i => b.add(CmsSketch.hashItem(i)))
+    a.merge(b)
+    (0L until 200L).foreach(i =>
+      assert(a.mightContain(CmsSketch.hashItem(i)), s"false negative for $i"))
+    val back = BloomSketch.deserialize(a.serialize())
+    (0L until 200L).foreach(i => assert(back.mightContain(CmsSketch.hashItem(i))))
+    val e = intercept[IllegalArgumentException] { a.merge(new BloomSketch(2048, 5)) }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("false-positive rate is near the design point") {
+    // 1000 keys in 2^14 bits / 5 hashes → theoretical FP ≈ 0.2%
+    val s = new BloomSketch(1 << 14, 5)
+    (0L until 1000L).foreach(i => s.add(CmsSketch.hashItem(i)))
+    val fp = (1000L until 21000L).count(i => s.mightContain(CmsSketch.hashItem(i)))
+    assert(fp < 200, s"fp=$fp of 20000 (expected ~40)") // generous 1% ceiling
+  }
+
+  test("prunedJoin equals the plain join exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.read(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
+    val li = Tables.read(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val pruned = BloomPrune.prunedJoin(li, orders, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderstatus")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("mightJoin prunes the probe side hard for a selective build side") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.read(spark, dir, "orders").where(col("o_totalprice") > 400000)
+    val li = Tables.read(spark, dir, "lineitem")
+    val total = li.count()
+    val kept = BloomPrune.mightJoin(li, orders, "l_orderkey", "o_orderkey").count()
+    val trueMatches = li.join(orders.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi").count()
+    assert(kept >= trueMatches, "bloom can never drop a true match")
+    // selective build side → the filter should remove the vast majority
+    assert(kept <= trueMatches + total / 50,
+      s"kept=$kept trueMatches=$trueMatches total=$total — filter not selective")
+  }
+
+  test("an empty build side prunes every probe row") {
+    GraftFunctions.register(spark)
+    val probe = (1L to 100L).toDF("k")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(BloomPrune.mightJoin(probe, build, "k", "bk").count() === 0L)
+  }
+}
