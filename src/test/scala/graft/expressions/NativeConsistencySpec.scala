@@ -75,6 +75,36 @@ class NativeConsistencySpec extends SparkSpec {
     assert(merged.getAs[Double]("hi") === 8.0)
   }
 
+  test("round-4 aggregates and scalars are callable from SQL") {
+    Seq((1, 10L, "a b a b"), (1, 10L, "x"), (2, 20L, "y"))
+      .toDF("g", "k", "t").createOrReplaceTempView("__nc_r4")
+    val r = spark.sql(
+      """SELECT graft_cms_value(sk, 10L) AS c10,
+        |  graft_bloom_contains(bl, 10L) AS has10,
+        |  graft_bloom_contains(bl, 999L) AS has999
+        |FROM (SELECT graft_cms_sketch(k, 5, 512) AS sk,
+        |             graft_bloom_agg(k, 1024, 5) AS bl FROM __nc_r4)""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("c10") >= 2L)
+    assert(r.getAs[Boolean]("has10"))
+    assert(!r.getAs[Boolean]("has999"))
+    // merge path from SQL too: per-group sketches unioned
+    val m = spark.sql(
+      """SELECT graft_cms_value(graft_cms_merge(sk), 20L) AS c20 FROM (
+        |  SELECT g, graft_cms_sketch(k, 5, 512) AS sk FROM __nc_r4 GROUP BY g)""".stripMargin)
+      .collect().head
+    assert(m.getAs[Long]("c20") >= 1L)
+    val r2 = spark.sql(
+      """SELECT graft_normalize('  Crème   BRÛLÉE ') AS n,
+        |  graft_repetition('a b a b a').top2_frac AS t2,
+        |  graft_quantize8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))).q AS q,
+        |  graft_dot_q8(array(2, 3), array(4, 5)) AS d""".stripMargin).collect().head
+    assert(r2.getAs[String]("n") === "creme brulee")
+    assert(r2.getAs[Double]("t2") === 0.5)
+    assert(r2.getAs[Seq[Int]]("q") === Seq(127, -63)) // floor(-63.5 + 0.5)
+    assert(r2.getAs[Long]("d") === 23L)
+  }
+
   test("wrong argument types fail at analysis, not execution") {
     // long literal where int is expected, and non-array args to vector math
     for (bad <- Seq(
