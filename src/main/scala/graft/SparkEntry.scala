@@ -852,6 +852,25 @@ object SparkEntry {
           call_function("graft_normalize",
             concat(lit("Café  NAÏVE Übung:  "), col("text"), lit("  "))).as("norm"))
         .orderBy("doc_id")
+    }),
+
+    // --- IVF ANN through the driver gate: probing 8 of 16 cells must
+    // recall most of the exact top-5 IN AGGREGATE (individual probes can
+    // legitimately land in split neighborhoods, so the gate is the mean —
+    // measured 0.82–0.90 vs the 0.55 bound; the deterministic seed makes
+    // the build reproducible and the tolerance boolean makes the
+    // approximation exactly checkable, same trick as q52/q57/q60) ---
+    "q65_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8)
+      val idx = Ivf.build(emb, nCells = 16, trainSample = 10000)
+      val approx = Ivf.query(idx, probes, k = 5, nProbe = 8)
+        .select(col("q_id"), col("n_id"))
+      val exact = Knn.bruteForce(probes, emb, k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
     })
   )
 
@@ -917,6 +936,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q65_ivf_recall" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
 
     "q64_normalize" ->
       """SELECT doc_id,

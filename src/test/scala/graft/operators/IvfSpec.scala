@@ -32,6 +32,21 @@ class IvfSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("q65 margin: real-embedding recall comfortably clears the query's 0.55 gate") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8)
+      val idx = Ivf.build(emb, nCells = 16, trainSample = 10000)
+      val approx = Ivf.query(idx, probes, k = 5, nProbe = 8).select("q_id", "n_id")
+      val exact = Knn.bruteForce(probes, emb, k = 5).select("q_id", "n_id")
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi").count()
+      val recall = hits.toDouble / exact.count()
+      assert(recall >= 0.7, s"$dir mean recall $recall — q65's 0.55 gate has no margin")
+    }
+  }
+
   test("boundedSample: bounded, deterministic, and runs NO job when built") {
     val df = (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s").repartition(8)
     val a = Ivf.boundedSample(df, maxRows = 80, seed = 7L).collect().map(_.getLong(0))
