@@ -871,6 +871,64 @@ object SparkEntry {
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .agg(countDistinct(col("q_id")).as("n_queries"),
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- the corpus-prep pipeline COMPOSED: normalize → quality filter
+    // (length + repetition) → exact dedup on normalized fingerprint →
+    // deterministic split → per-split counts. One declarative plan: the
+    // narrow stages fuse into a single scan pass, the dedup is the only
+    // wide stage before the final count ---
+    "q66_corpus_pipeline" -> ((s, dir) => {
+      val normed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          call_function("graft_normalize", col("text")).as("norm"))
+      val kept = normed
+        .withColumn("rep", call_function("graft_repetition", col("norm")))
+        .where(tokenCount(col("norm")) >= 20 && col("rep.top2_frac") < lit(0.2))
+      val deduped = kept
+        .withColumn("fp", md5(col("norm").cast("binary")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id").asc)))
+        .where(col("rn") === 1)
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      deduped
+        .withColumn("split",
+          when(bucket.isin("c", "d"), "val")
+            .when(bucket.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
+    // --- temperature-based source mixing (α = 0.5): low-resource languages
+    // sample at a higher rate than proportional, the standard multilingual
+    // training-mix reweighting. The normalizer z folds sqrt-counts in
+    // sorted-key order (sequential fold → identical IEEE doubles on both
+    // engines); row selection is a deterministic hash-mod Bernoulli, so the
+    // sample is reproducible and the oracle regenerates it exactly ---
+    "q67_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      val z = byLang.agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("lang"),
+              sqrt(col("n_s").cast("double")).as("w")))),
+            x => x("w")),
+          lit(0.0), (a, x) => a + x).as("z"))
+      val rates = byLang.crossJoin(broadcast(z))
+        .withColumn("thresh",
+          floor(least(lit(1.0),
+            lit(200.0) * sqrt(col("n_s").cast("double")) / col("z") / col("n_s"))
+            * 1000).cast("int"))
+        .select("lang", "n_s", "thresh")
+      val picked = docs.join(broadcast(rates), "lang")
+        .where(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < col("thresh"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(picked, Seq("lang"), "left")
+        .select(col("lang"), col("n_s"), col("thresh"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
     })
   )
 
@@ -939,6 +997,41 @@ object SparkEntry {
 
     "q65_ivf_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    "q66_corpus_pipeline" ->
+      """WITH normd AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(strip_accents(nfc_normalize(lower(text))), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, norm, regexp_extract_all(norm, '\S+') AS ts FROM normd),
+        |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, len(ts) - 1 AS n2
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i) WHERE len(ts) >= 2),
+        |c2 AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / ANY_VALUE(n2) AS top2
+        |       FROM (SELECT doc_id, g, ANY_VALUE(n2) AS n2, COUNT(*) AS cnt
+        |             FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id, t.lang, t.norm FROM tok t JOIN c2 USING (doc_id)
+        |         WHERE len(t.ts) >= 20 AND c2.top2 < 0.2),
+        |ded AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM kept),
+        |s AS (SELECT lang,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM ded WHERE rn = 1)
+        |SELECT split, lang, COUNT(*) AS n FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q67_temperature_mix" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+        |z AS (SELECT list_reduce(list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY lang),
+        |        (a, b) -> a + b) AS z FROM s),
+        |r AS (SELECT lang, n_s,
+        |    CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+        |      200.0 * sqrt(CAST(n_s AS DOUBLE)) / z / n_s) * 1000) AS INT) AS thresh
+        |  FROM s CROSS JOIN z),
+        |k AS (SELECT d.lang, COUNT(*) AS n_kept
+        |      FROM documents d JOIN r USING (lang)
+        |      WHERE (d.doc_id * 2654435761) % 1000 < r.thresh GROUP BY d.lang)
+        |SELECT r.lang, r.n_s, r.thresh, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM r LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
 
     "q64_normalize" ->
       """SELECT doc_id,
