@@ -22,17 +22,25 @@ object BloomPrune {
 
   /** Probe rows whose `probeKey` might appear among `build`'s `buildKey`s.
     * Default geometry: 2²³ bits (1 MiB) / 5 hashes ≈ 1% FP at 1M build keys.
+    *
+    * The bloom is computed EAGERLY (one job over the build side) and
+    * embedded as a literal — the same shape as Spark's own runtime filters,
+    * which inject the built filter as a plan-time scalar. Embedding matters:
+    * read as a broadcast-joined COLUMN instead, every row access copies the
+    * binary out of its UnsafeRow, so the per-task deserialization memo in
+    * `graft_bloom_contains` (which keys on array identity) never hits and
+    * the filter re-parses 1 MiB per probe row; a literal hands every row
+    * the same array instance. Measured: 313 s → sub-second on a 600k-row
+    * probe at the default geometry.
     */
   def mightJoin(probe: DataFrame, build: DataFrame,
                 probeKey: String, buildKey: String,
                 numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
     GraftFunctions.register(probe.sparkSession)
-    val bloom = build.agg(call_function("graft_bloom_agg",
-      col(buildKey), lit(numBits), lit(numHashes)).as("__bloom"))
-    // broadcast the one-row bloom; the probe side stays un-shuffled
-    probe.crossJoin(broadcast(bloom))
-      .where(call_function("graft_bloom_contains", col("__bloom"), col(probeKey)))
-      .drop("__bloom")
+    val bloomBytes = build.agg(call_function("graft_bloom_agg",
+        col(buildKey), lit(numBits), lit(numHashes)).as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+    probe.where(call_function("graft_bloom_contains", lit(bloomBytes), col(probeKey)))
   }
 
   /** Exact inner equi-join with the probe side Bloom-pruned first: the
