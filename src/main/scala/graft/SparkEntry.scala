@@ -929,6 +929,25 @@ object SparkEntry {
         .select(col("lang"), col("n_s"), col("thresh"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("lang")
+    }),
+
+    // --- context-window chunking: split each document into 32-token chunks
+    // with an 8-token overlap (stride 24), the standard prep for embedding /
+    // training-window packing. Pure narrow explode — chunking 100 TB is an
+    // embarrassingly parallel scan, no shuffle until the consumer ---
+    "q68_chunking" -> ((s, dir) => {
+      val toks = tokens(col("norm"))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), call_function("graft_normalize", col("text")).as("norm"))
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0), greatest(size(col("ts")) - 1, lit(0)), lit(24)))
+            .as(Seq("chunk_id", "start")),
+          col("ts"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("ts"), col("start") + 1, lit(32))).as("n_tokens"),
+          array_join(slice(col("ts"), col("start") + 1, lit(32)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -997,6 +1016,19 @@ object SparkEntry {
 
     "q65_ivf_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    "q68_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(strip_accents(nfc_normalize(lower(text))),
+        |      '\s+', ' ', 'g')), '\S+') AS ts
+        |  FROM documents WHERE doc_id < 50),
+        |st AS (SELECT doc_id, ts, i AS start,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS chunk_id
+        |  FROM tok, UNNEST(generate_series(0, GREATEST(len(ts) - 1, 0), 24)) AS u(i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ts[start + 1 : start + 32]) AS INT) AS n_tokens,
+        |  list_aggregate(ts[start + 1 : start + 32], 'string_agg', ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q66_corpus_pipeline" ->
       """WITH normd AS (SELECT doc_id, lang,
