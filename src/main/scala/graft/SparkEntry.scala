@@ -819,10 +819,17 @@ object SparkEntry {
         .select(col("vec_id").as("n_id"), col("scale").as("n_scale"), col("q").as("n_q"))
         .join(probes, col("q_id") =!= col("n_id"))
         .withColumn("dotq", call_function("graft_dot_q8", col("q_q"), col("n_q")))
-      val w = Window.partitionBy("q_id").orderBy(col("dotq").desc, col("n_id").asc)
-      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"), col("dotq"),
-          round(col("dotq").cast("double") * (col("q_scale") * col("n_scale")), 6)
+      // same bounded-shuffle ranking as Knn.bruteForce: the kmin heap keeps
+      // ≤k candidates per (query, task) map-side, so the exchange carries
+      // queries×partitions heap rows, never queries×corpus scored rows
+      val topk = scored.groupBy("q_id").agg(
+        call_function("graft_kmin",
+          struct((-col("dotq")).as("o"), col("n_id"), col("dotq"),
+            col("q_scale"), col("n_scale")), lit(5)).as("tk"))
+      topk.select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.n_id").as("n_id"), col("e.dotq").as("dotq"),
+          round(col("e.dotq").cast("double") * (col("e.q_scale") * col("e.n_scale")), 6)
             .as("sim_approx"))
         .orderBy("q_id", "rank")
     }),
