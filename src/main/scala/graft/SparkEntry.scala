@@ -955,6 +955,25 @@ object SparkEntry {
           size(slice(col("ts"), col("start") + 1, lit(32))).as("n_tokens"),
           array_join(slice(col("ts"), col("start") + 1, lit(32)), " ").as("chunk"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // --- token-budget packing: assign documents to 512-token training
+    // windows by running token count, sequentially WITHIN each language
+    // stratum (a doc lands in the window its tokens start in; a window can
+    // overflow by at most one document — streaming packing semantics).
+    // Packing is inherently sequential, but only per stratum: the window
+    // partitions by lang, so strata pack in parallel and no single task
+    // sees the whole corpus ---
+    "q69_token_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+        .withColumn("win", expr("(cum - n_tok) DIV 512"))
+        .groupBy("lang", "win")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
+        .orderBy("lang", "win")
     })
   )
 
@@ -1023,6 +1042,18 @@ object SparkEntry {
 
     "q65_ivf_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    "q69_token_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT lang, (cum - n_tok) // 512 AS win, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY lang, win ORDER BY lang, win""".stripMargin,
 
     "q68_chunking" ->
       """WITH tok AS (SELECT doc_id,
