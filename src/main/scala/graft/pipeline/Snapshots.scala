@@ -68,6 +68,63 @@ object Snapshots {
     path
   }
 
+  /** Marker file tying a snapshot root to the streaming checkpoint that
+    * writes it — see [[guardLineage]].
+    */
+  val LineageMarker = "_graft_checkpoint"
+
+  /** Refuse a FRESH checkpoint pointed at an existing versioned snapshot.
+    *
+    * Batch 0 with versions already present is ambiguous: a retry of batch 0
+    * under the SAME checkpoint (fine — v0 overwrites idempotently) or a new
+    * checkpoint over an existing root (data loss: every merge would read
+    * "latest below 0" = nothing, while readers keep resolving the stale
+    * higher versions). The marker records the owning checkpoint; a mismatch
+    * fails loudly. Call at batch 0 from any foreachBatch maintainer that
+    * merges from `currentBefore(batchId)` ([[graft.streaming.UpsertStream]],
+    * [[graft.streaming.SketchStream]]).
+    */
+  def guardLineage(spark: SparkSession, snapshotDir: String,
+                   checkpointDir: String): Unit = {
+    val (filesystem, root) = fsFor(spark, snapshotDir)
+    val marker = new Path(root, LineageMarker)
+    // compare FULLY-QUALIFIED paths: the same checkpoint spelled relative /
+    // absolute / scheme-qualified across restarts must still match, or a
+    // legitimate batch-0 retry is refused as a foreign checkpoint
+    def qualified(dir: String): String = {
+      val (f, p) = fsFor(spark, dir)
+      f.makeQualified(p).toString
+    }
+    val thisCkpt = qualified(checkpointDir)
+    val owner: Option[String] =
+      if (!filesystem.exists(marker)) None
+      else {
+        val in = filesystem.open(marker)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    owner match {
+      case Some(o) if qualified(o) == thisCkpt => () // batch-0 retry, same lineage
+      case Some(o) => throw new IllegalStateException(
+        s"snapshotDir $snapshotDir is owned by checkpoint $o but this query " +
+          s"uses checkpoint $checkpointDir; a fresh checkpoint over an " +
+          "existing snapshot would silently merge from an empty base. " +
+          "Resume the original checkpoint or start a new snapshotDir.")
+      case None if versions(spark, snapshotDir, completeOnly = true).nonEmpty =>
+        throw new IllegalStateException(
+          s"snapshotDir $snapshotDir already holds snapshot versions but has " +
+            "no lineage marker; refusing to rebuild it from batch 0 " +
+            "(existing versions would be ignored by merges yet still win in " +
+            "current()). Start a new snapshotDir or restore the checkpoint.")
+      case None =>
+        filesystem.mkdirs(root)
+        val out = filesystem.create(marker, true)
+        try out.write(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+  }
+
   /** Retention: keep the newest `keep` complete versions; delete every dir
     * (complete or crash debris) older than the oldest kept. Returns deleted
     * paths.

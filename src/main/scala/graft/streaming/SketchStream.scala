@@ -33,6 +33,10 @@ object SketchStream {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // refuse a fresh checkpoint over an existing snapshot root (silent
+        // rebuild-from-empty otherwise) — same protocol as UpsertStream
+        if (batchId == 0L)
+          graft.pipeline.Snapshots.guardLineage(spark, snapshotDir, checkpointDir)
         val batchSk = batch
           .groupBy(groupCols.map(col): _*)
           .agg(call_function("graft_kll_sketch", col(valueCol), lit(k)).as("sk"),

@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
 import graft.operators.Upsert
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -34,10 +31,6 @@ object UpsertStream {
 
   /** Marker column: a change row with `__deleted = true` is a tombstone. */
   val DeleteCol = "__deleted"
-
-  /** Ties a snapshotDir to the checkpoint lineage that writes it (see
-    * [[guardLineage]]). */
-  private val LineageMarker = "_graft_checkpoint"
 
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           snapshotDir: String, checkpointDir: String,
@@ -87,58 +80,9 @@ object UpsertStream {
     else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
   }
 
-  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) =
-    graft.pipeline.Snapshots.fsFor(spark, dir)
-
-  private def completeVersions(spark: SparkSession,
-                               snapshotDir: String): Seq[(Long, Path)] =
-    graft.pipeline.Snapshots.versions(spark, snapshotDir, completeOnly = true)
-
-  /** Batch 0 with snapshot versions already present is ambiguous: a retry of
-    * batch 0 under the SAME checkpoint (fine — v0 is overwritten idempotently)
-    * or a FRESH checkpoint pointed at an existing snapshotDir (data loss:
-    * every merge would read "latest below 0" = nothing, while `current()`
-    * keeps serving the stale versions). A marker file recording the owning
-    * checkpoint distinguishes the two; a mismatch fails loudly instead of
-    * silently re-deriving the snapshot from scratch. */
+  /** See [[graft.pipeline.Snapshots.guardLineage]] — shared with every
+    * foreachBatch snapshot maintainer. */
   private def guardLineage(spark: SparkSession, snapshotDir: String,
-                           checkpointDir: String): Unit = {
-    val (filesystem, root) = fs(spark, snapshotDir)
-    val marker = new Path(root, LineageMarker)
-    // compare FULLY-QUALIFIED paths: the same checkpoint spelled relative /
-    // absolute / scheme-qualified across restarts must still match, or a
-    // legitimate batch-0 retry is refused as a foreign checkpoint
-    def qualified(dir: String): String = {
-      val (f, p) = fs(spark, dir)
-      f.makeQualified(p).toString
-    }
-    val thisCkpt = qualified(checkpointDir)
-    val owner: Option[String] =
-      if (!filesystem.exists(marker)) None
-      else {
-        val in = filesystem.open(marker)
-        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8).trim)
-        finally in.close()
-      }
-    owner match {
-      case Some(o) if qualified(o) == thisCkpt => () // batch-0 retry, same lineage
-      case Some(o) => throw new IllegalStateException(
-        s"snapshotDir $snapshotDir is owned by checkpoint $o but this query " +
-          s"uses checkpoint $checkpointDir; a fresh checkpoint over an " +
-          "existing snapshot would silently merge from an empty base. " +
-          "Resume the original checkpoint or start a new snapshotDir.")
-      case None if completeVersions(spark, snapshotDir).nonEmpty =>
-        throw new IllegalStateException(
-          s"snapshotDir $snapshotDir already holds snapshot versions but has " +
-            "no lineage marker; refusing to rebuild it from batch 0 " +
-            "(existing versions would be ignored by merges yet still win in " +
-            "current()). Start a new snapshotDir or restore the checkpoint.")
-      case None =>
-        filesystem.mkdirs(root)
-        val out = filesystem.create(marker, true)
-        try out.write(checkpointDir.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-    }
-  }
+                           checkpointDir: String): Unit =
+    graft.pipeline.Snapshots.guardLineage(spark, snapshotDir, checkpointDir)
 }

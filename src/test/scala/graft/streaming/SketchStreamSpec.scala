@@ -70,5 +70,15 @@ class SketchStreamSpec extends SparkSpec {
     val vAfter = graft.pipeline.Snapshots.versions(spark, snap, completeOnly = true)
       .map(_._1).max
     assert(vAfter > vBefore)
+
+    // a FRESH checkpoint pointed at the existing sketch snapshot must fail
+    // loudly: its batch 0 would merge from an empty base (silent data loss)
+    val e = intercept[Exception] {
+      SketchStream.run(spark, in.getAbsolutePath, schema, snap,
+        s"$tmp/ckpt_fresh", groupCols = Seq("g"), valueCol = "x", k = 200)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("checkpoint"))))
   }
 }
