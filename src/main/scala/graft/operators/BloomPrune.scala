@@ -55,4 +55,33 @@ object BloomPrune {
     val pruned = mightJoin(probe, build, probeKey, buildKey, numBits, numHashes)
     pruned.join(build, pruned(probeKey) === build(buildKey))
   }
+
+  /** Exact left-anti join (tombstone subtraction) with the big side Bloom-
+    * split first. Rows whose key tuple is NOT in the Bloom of `small`'s keys
+    * provably have no match — they bypass the join entirely and never leave
+    * their input partition. Only the Bloom-POSITIVE rows (true matches plus
+    * the false-positive fraction) enter the anti join, which then removes
+    * the survivors among them. Result equals `big.join(small, keys,
+    * "left_anti")` exactly: no false negatives means every truly-matched row
+    * is in the maybe-set, and false positives are cleared by the real join.
+    *
+    * At 100 TB with a tombstone table touching ~0.1% of keys, the anti
+    * join's shuffle drops from the whole table to ≈ 0.1% + FP-rate of it;
+    * the definitely-kept union branch is a narrow scan. Multi-column keys
+    * are folded through `xxhash64` on both sides (a 64-bit key digest —
+    * xxhash64 collisions only cost an extra row through the exact join).
+    */
+  def prunedAntiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "prunedAntiJoin requires key columns")
+    GraftFunctions.register(big.sparkSession)
+    val keyDigest = xxhash64(keys.map(col): _*)
+    val bloomBytes = small
+      .agg(call_function("graft_bloom_agg", xxhash64(keys.map(col): _*),
+        lit(numBits), lit(numHashes)).as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+    val maybe = call_function("graft_bloom_contains", lit(bloomBytes), keyDigest)
+    big.where(!maybe).unionByName(
+      big.where(maybe).join(small.select(keys.head, keys.tail: _*), keys, "left_anti"))
+  }
 }

@@ -27,4 +27,23 @@ object DropDeleted {
         val dd = DedupLatest.latestExport(d, keys)
         table.join(dd.select(keys.head, keys.tail: _*), keys, "left_anti")
     }
+
+  /** [[apply]] with the main table Bloom-split before the anti join
+    * ([[BloomPrune.prunedAntiJoin]]): rows whose key tuple is provably not
+    * tombstoned bypass the join without ever shuffling. Identical result;
+    * the anti join's exchange carries only the tombstone-matching fraction
+    * (+ Bloom false positives) of the table. The right shape when the table
+    * is 100 TB and the weekly deleted set is delta-sized but past the
+    * comfortable broadcast threshold — the regime where AQE would otherwise
+    * fall back to shuffling the full table for a shuffled hash anti join.
+    */
+  def pruned(table: DataFrame, deleted: Option[DataFrame], keys: Seq[String]): DataFrame =
+    deleted match {
+      case None => throw new IllegalArgumentException(
+        s"tombstone table missing for keys ${keys.mkString(",")}")
+      case Some(d) if d.isEmpty => table
+      case Some(d) =>
+        val dd = DedupLatest.latestExport(d, keys)
+        BloomPrune.prunedAntiJoin(table, dd.select(keys.head, keys.tail: _*), keys)
+    }
 }

@@ -63,4 +63,24 @@ class BloomPruneSpec extends SparkSpec {
     val build = Seq.empty[Long].toDF("bk")
     assert(BloomPrune.mightJoin(probe, build, "k", "bk").count() === 0L)
   }
+
+  test("prunedAntiJoin equals the plain left-anti join on a composite key") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.read(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // composite-key tombstones: ~2% of (orderkey, linenumber) pairs
+    val dead = li.where(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(50)) === 0)
+      .select("l_orderkey", "l_linenumber")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val pruned = BloomPrune.prunedAntiJoin(li, dead, keys)
+    val plain = li.join(dead, keys, "left_anti")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("prunedAntiJoin with empty tombstones keeps every row without joining") {
+    val probe = (1L to 1000L).toDF("k")
+    val dead = Seq.empty[Long].toDF("k")
+    assert(BloomPrune.prunedAntiJoin(probe, dead, Seq("k")).count() === 1000L)
+  }
 }

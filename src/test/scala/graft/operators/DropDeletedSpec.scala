@@ -34,4 +34,13 @@ class DropDeletedSpec extends SparkSpec {
       DropDeleted(table, None, Seq("ParticipantIdentifier", "HealthKitSampleKey"))
     }
   }
+
+  test("bloom-pruned variant matches the plain anti join") {
+    val deleted = Seq(("p1", "k2", "2023-05-14T00:00:00"))
+      .toDF("ParticipantIdentifier", "HealthKitSampleKey", "export_end_date")
+    val keys = Seq("ParticipantIdentifier", "HealthKitSampleKey")
+    val out = DropDeleted.pruned(table, Some(deleted), keys)
+    assert(out.select("HealthKitSampleKey").as[String].collect().toSet === Set("k1", "k3"))
+    assert(DropDeleted.pruned(table, Some(table.limit(0)), keys).count() === 3)
+  }
 }
