@@ -974,6 +974,18 @@ object SparkEntry {
         .groupBy("lang", "win")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
         .orderBy("lang", "win")
+    }),
+
+    // --- benchmark decontamination: training docs sharing any 4-gram with
+    // the benchmark split (doc_id % 29 == 0 stands in for an eval suite).
+    // Bloom-pruned shingle semi-join: non-matching shingles never shuffle ---
+    "q70_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlap(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0),
+        "doc_id", "text", shingleN = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -1613,6 +1625,16 @@ object SparkEntry {
         |cnt AS (SELECT q_id, label, COUNT(*) AS n FROM r WHERE rank <= 5 GROUP BY 1, 2),
         |top AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
         |          ORDER BY n DESC, label ASC) AS rn FROM cnt)
-        |SELECT q_id, label AS pred_label FROM top WHERE rn = 1 ORDER BY q_id""".stripMargin
+        |SELECT q_id, label AS pred_label FROM top WHERE rn = 1 ORDER BY q_id""".stripMargin,
+
+    "q70_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_overlap
+        |FROM train JOIN bench USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

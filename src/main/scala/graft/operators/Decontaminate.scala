@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share any word
+  * n-gram with an evaluation/benchmark corpus, the standard pre-training
+  * hygiene step (cf. GPT-3 §2.2 / PaLM-style 13-gram overlap filtering;
+  * here the n is a parameter).
+  *
+  * Scale shape: the benchmark side is small (eval suites, not corpora) but
+  * its distinct n-gram set can exceed a comfortable broadcast, so the
+  * training side's exploded shingles are Bloom-pruned first
+  * ([[BloomPrune.mightJoin]] — one 1 MiB literal filter, no false
+  * negatives): shingles that cannot match never leave their input
+  * partition, and the exact semi join only shuffles the surviving fraction.
+  * The corpus text itself never shuffles — only (id, shingle) rows, and
+  * only Bloom-positive ones.
+  */
+object Decontaminate {
+
+  /** Per-document count of DISTINCT shingles shared with `bench`:
+    * `(idCol, n_overlap)` for contaminated docs only (no row = clean).
+    */
+  def overlap(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+              shingleN: Int = 4, numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    val benchShingles = bench
+      .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
+      .distinct()
+    val trainShingles = train
+      .select(col(idCol), explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
+    BloomPrune.mightJoin(trainShingles, benchShingles, "__shingle", "__shingle",
+        numBits, numHashes)
+      .join(benchShingles, Seq("__shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** `train` minus every document with at least one shingle in `bench`. */
+  def clean(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+            shingleN: Int = 4): DataFrame =
+    train.join(overlap(train, bench, idCol, textCol, shingleN).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bench = Seq(
+    (0L, "alpha beta gamma delta epsilon")
+  ).toDF("doc_id", "text")
+
+  private def train = Seq(
+    (10L, "x alpha beta gamma delta y"),          // shares 1 bench shingle
+    (11L, "completely different words here now"), // clean
+    (12L, "alpha beta gamma delta epsilon zeta"), // shares both bench shingles
+    (13L, "too short")                            // < n tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("overlap counts distinct shared shingles per contaminated doc") {
+    val out = Decontaminate.overlap(train, bench, "doc_id", "text", shingleN = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 1L, 12L -> 2L))
+  }
+
+  test("clean removes exactly the contaminated docs") {
+    val kept = Decontaminate.clean(train, bench, "doc_id", "text", shingleN = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+  }
+
+  test("matches the un-pruned semi join on real data") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val b = docs.where(col("doc_id") % 29 === 0)
+    val tr = docs.where(col("doc_id") % 29 =!= 0)
+    val pruned = Decontaminate.overlap(tr, b, "doc_id", "text", shingleN = 4)
+    val bs = b.select(explode(shingleSetFast(col("text"), 4)).as("s")).distinct()
+    val plain = tr.select(col("doc_id"), explode(shingleSetFast(col("text"), 4)).as("s"))
+      .join(bs, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    assert(pruned.count() > 0, "sf0.001 should have contaminated docs")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+}
