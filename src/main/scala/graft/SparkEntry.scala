@@ -986,6 +986,15 @@ object SparkEntry {
         docs.where(col("doc_id") % 29 === 0),
         "doc_id", "text", shingleN = 4)
         .orderBy("doc_id")
+    }),
+
+    // --- global segment-level exact dedup (C4-style boilerplate removal):
+    // keep the globally-first occurrence of every 3-token segment, rebuild
+    // each doc from its surviving segments. One window shuffle on the
+    // segment digest, one reassembly groupBy ---
+    "q71_segment_dedup" -> ((s, dir) => {
+      TextDedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text", segN = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1635,6 +1644,18 @@ object SparkEntry {
         |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0)
         |SELECT doc_id, COUNT(*) AS n_overlap
         |FROM train JOIN bench USING (s)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_segment_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |seg AS (SELECT doc_id, CAST((i - 1) // 3 AS INT) AS seg_idx,
+        |               list_aggregate(ts[i : i + 2], 'string_agg', ' ') AS seg
+        |        FROM tok, UNNEST(generate_series(1, len(ts), 3)) AS u(i)
+        |        WHERE len(ts) >= 1),
+        |r AS (SELECT doc_id, seg_idx, seg, row_number() OVER (
+        |        PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM seg)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora at training-data scale.
@@ -118,6 +119,42 @@ object TextDedup {
         round(col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Global segment-level exact dedup (C4-style boilerplate removal): split
+    * each document into consecutive `segN`-token segments, keep only the
+    * globally FIRST occurrence of each distinct segment (first by doc id,
+    * then by position within the doc), and reassemble each document's
+    * surviving text. Documents whose every segment was already seen
+    * elsewhere drop out entirely; empty documents are dropped up front.
+    *
+    * Scale: segmentation is a narrow explode; the first-occurrence choice
+    * is one `row_number` window hash-partitioned on `md5(segment)` — a
+    * 128-bit digest, so the shuffle key is compact even for long segments
+    * and hot boilerplate segments land in one partition where the window
+    * scan is linear. Reassembly is one groupBy on the doc id. Segment text
+    * crosses the wire once; raw document text never does.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                    segN: Int = 8): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) > 0)
+      .select(col("__id"),
+        posexplode(sequence(lit(0), size(col("__ts")) - 1, lit(segN)))
+          .as(Seq("__seg_idx", "__start")),
+        col("__ts"))
+      .select(col("__id"), col("__seg_idx"),
+        array_join(slice(col("__ts"), col("__start") + 1, lit(segN)), " ").as("__seg"))
+    val firstSeen = Window.partitionBy(md5(col("__seg")))
+      .orderBy(col("__id"), col("__seg_idx"))
+    segs.withColumn("__rn", row_number().over(firstSeen))
+      .where(col("__rn") === 1)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__seg_idx"), col("__seg")))),
+          x => x.getField("__seg")), " ").as("kept_text"))
+      .select(col("__id").as(idCol), col("n_kept"), col("kept_text"))
   }
 
   /** SimHash near-dup candidates: 64-bit signature, banded into 4×16-bit

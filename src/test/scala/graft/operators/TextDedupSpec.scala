@@ -62,4 +62,24 @@ class TextDedupSpec extends SparkSpec {
       shingleN = 3, numHashes = 16, rowsPerBand = 4, maxBucketSize = 10)
     assert(pairs.count() === 0) // all buckets exceed the cap
   }
+
+  test("segment dedup keeps the globally first occurrence and rebuilds docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // both segments first-seen
+      (2L, "a b c x y z"),  // "a b c" already seen in doc 1 -> dropped
+      (3L, "a b c d e f"),  // fully duplicate -> doc disappears
+      (4L, "d e f"),        // single segment already seen -> disappears
+      (5L, "")              // empty -> dropped up front
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupSegments(docs, "doc_id", "text", segN = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, "a b c d e f"), (2L, 1L, "x y z")))
+  }
+
+  test("segment dedup truncates the trailing partial segment correctly") {
+    val docs = Seq((1L, "p q r s t")).toDF("doc_id", "text") // segs: "p q r", "s t"
+    val out = TextDedup.dedupSegments(docs, "doc_id", "text", segN = 3)
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq === Seq((1L, 2L, "p q r s t")))
+  }
 }
