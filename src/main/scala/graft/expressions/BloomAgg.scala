@@ -155,16 +155,20 @@ case class BloomContains(left: Expression, right: Expression)
   // broadcast bloom bytes — deserializing per row would allocate the whole
   // filter 10⁹ times. Memoize on reference equality (no content assumption;
   // a scalar-subquery/literal bloom is the same array instance per task).
-  @transient private var cachedRef: Array[Byte] = _
-  @transient private var cachedSketch: BloomSketch = _
+  // The (bytes, sketch) pair lives in ONE field updated by a single
+  // reference assignment: two separate fields could interleave under
+  // concurrent evaluation and pair one thread's ref with another's sketch —
+  // a false negative here would silently drop true matches in BloomPrune.
+  @transient private var memo: (Array[Byte], BloomSketch) = _
 
   override def nullSafeEval(bloom: Any, key: Any): Any = {
     val bytes = bloom.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedRef)) {
-      cachedSketch = BloomSketch.deserialize(bytes)
-      cachedRef = bytes
+    var m = memo
+    if (m == null || !(m._1 eq bytes)) {
+      m = (bytes, BloomSketch.deserialize(bytes))
+      memo = m
     }
-    cachedSketch.mightContain(CmsSketch.hashItem(key))
+    m._2.mightContain(CmsSketch.hashItem(key))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =

@@ -36,9 +36,14 @@ case class Quantize8(child: Expression)
     while (i < x.length) { val v = math.abs(x(i)); if (v > maxAbs) maxAbs = v; i += 1 }
     val q = new Array[Int](x.length)
     if (maxAbs > 0.0) {
-      val s = 127.0 / maxAbs
+      // evaluate in exactly the documented order — x·127/max|x| + ½ — so the
+      // codes match any engine computing the same formula bit-for-bit
+      // (hoisting 127/maxAbs into a reciprocal can differ in the last ulp
+      // and flip a code on a .5 boundary)
       i = 0
-      while (i < x.length) { q(i) = math.floor(x(i) * s + 0.5).toInt; i += 1 }
+      while (i < x.length) {
+        q(i) = math.floor(x(i) * 127.0 / maxAbs + 0.5).toInt; i += 1
+      }
     }
     InternalRow(if (maxAbs > 0.0) maxAbs / 127.0 else 0.0,
       new GenericArrayData(q.map(v => v: Any)))

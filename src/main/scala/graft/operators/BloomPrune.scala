@@ -75,13 +75,40 @@ object BloomPrune {
                      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
     require(keys.nonEmpty, "prunedAntiJoin requires key columns")
     GraftFunctions.register(big.sparkSession)
-    val keyDigest = xxhash64(keys.map(col): _*)
+    // xxhash64 is input-TYPE-sensitive: the same logical key as int on one
+    // side and bigint on the other hashes differently, the bloom reports
+    // "definitely absent", and truly-tombstoned rows would silently bypass
+    // the anti join (the join itself coerces and WOULD have matched them).
+    // Normalize both sides' key columns to the same widened type Spark's
+    // own equality coercion would pick before computing the digest, so
+    // digest equality tracks join equality.
+    val types = keys.map { k =>
+      commonKeyType(k, big.schema(k).dataType, small.schema(k).dataType)
+    }
+    def digest(side: DataFrame) = xxhash64(
+      keys.zip(types).map { case (k, t) => side(k).cast(t) }: _*)
     val bloomBytes = small
-      .agg(call_function("graft_bloom_agg", xxhash64(keys.map(col): _*),
+      .agg(call_function("graft_bloom_agg", digest(small),
         lit(numBits), lit(numHashes)).as("__bloom"))
       .head.getAs[Array[Byte]](0)
-    val maybe = call_function("graft_bloom_contains", lit(bloomBytes), keyDigest)
+    val maybe = call_function("graft_bloom_contains", lit(bloomBytes), digest(big))
     big.where(!maybe).unionByName(
       big.where(maybe).join(small.select(keys.head, keys.tail: _*), keys, "left_anti"))
   }
+
+  /** The widened type both sides' `key` columns are cast to before hashing.
+    * Values equal under the exact join's coercion must map to the same
+    * widened value (no false negatives); distinct values colliding after a
+    * lossy widening (e.g. two huge bigints meeting in double) merely add
+    * false positives, which the exact join clears.
+    */
+  private def commonKeyType(key: String,
+                            a: org.apache.spark.sql.types.DataType,
+                            b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType =
+    if (a == b) a
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderTypeForTwo(a, b)
+      .getOrElse(throw new IllegalArgumentException(
+        s"prunedAntiJoin: key '$key' has incompatible types on the two sides ($a vs $b)"))
 }

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * context-global checkpoint dir, so concurrent runs don't interfere):
   * rounds survive executor loss, the right trade on a 1000-executor run
   * measured in hours.
+  *
+  * Scratch lifetime with `checkpointDir`: intermediate rounds are reclaimed
+  * as iteration advances, and on return the final labels live at
+  * `<checkpointDir>/cc-<runId>/labels` — the returned DataFrame READS FROM
+  * those files (path discoverable via `df.inputFiles`). The caller owns
+  * that directory's lifetime: delete it only after persisting or finishing
+  * with the result.
   */
 object ConnectedComponents {
 
@@ -125,6 +132,22 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it)")
-    (labels.select(col("id").as(idCol), col("lbl").as("component")), iter)
+    val result = labels.select(col("id").as(idCol), col("lbl").as("component"))
+    runDir match {
+      case Some(d) =>
+        // hand the caller a result backed by ONE well-known path instead of
+        // a randomly-named step-N scratch file: write the final labels to
+        // <runDir>/labels, then reclaim every intermediate round. The caller
+        // owns the lifetime from here — the returned DataFrame reads from
+        // that labels dir (discoverable via df.inputFiles), so delete it
+        // (or the whole <checkpointDir>/cc-* subdir) only after persisting
+        // or finishing with the result.
+        val labelsPath = s"$d/labels"
+        result.write.parquet(labelsPath)
+        deleteDirs(labelDirs)
+        (spark.read.parquet(labelsPath), iter)
+      case None =>
+        (result, iter)
+    }
   }
 }

@@ -78,6 +78,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("prunedAntiJoin survives int-vs-bigint key type drift") {
+    // same logical keys, different physical types: the plain anti join
+    // coerces and removes them; the bloom digest must agree or tombstoned
+    // rows silently survive (xxhash64 is input-type-sensitive)
+    val big = spark.range(1, 1001)
+      .select(col("id").cast("int").as("k"), (col("id") * 2).as("v"))
+    val dead = Seq(5L, 10L, 500L).toDF("k") // bigint tombstones
+    val pruned = BloomPrune.prunedAntiJoin(big, dead, Seq("k"))
+    val plain = big.join(dead, Seq("k"), "left_anti")
+    assert(plain.count() === 997L)
+    assert(pruned.count() === 997L)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("prunedAntiJoin with empty tombstones keeps every row without joining") {
     val probe = (1L to 1000L).toDF("k")
     val dead = Seq.empty[Long].toDF("k")

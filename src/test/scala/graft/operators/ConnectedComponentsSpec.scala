@@ -45,6 +45,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("reliable mode reclaims scratch rounds and returns labels at a stable path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_labels_").toString
+    val vertices = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = ConnectedComponents.components(spark, vertices, edges, "id", "a", "b",
+      checkpointDir = Some(dir))
+    assert(out.count() === 4L)
+    val runDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cc-"))
+    assert(runDirs.length === 1)
+    // every intermediate step-N dir is reclaimed; only the documented
+    // caller-owned labels dir remains, and the result reads from it
+    assert(runDirs.head.listFiles().map(_.getName).toSet === Set("labels"))
+    assert(out.inputFiles.nonEmpty && out.inputFiles.forall(_.contains("/labels/")))
+  }
+
   test("reliable mode never touches the context-global checkpoint dir") {
     val callers = java.nio.file.Files.createTempDirectory("graft_cc_callers_").toString
     spark.sparkContext.setCheckpointDir(callers)
