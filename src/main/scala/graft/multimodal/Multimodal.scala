@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video payloads as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
-  * stages whose Spark-side plumbing (schema, partitioning, batch shape) is
-  * real while the codec itself is STUBBED — this container has no image or
-  * audio libraries, so `decodeStub` derives a deterministic fake from the
-  * bytes. Swap `decodeStub`'s body for a real codec (e.g. javacv / a JNI
-  * decoder) without touching any plumbing.
+  * stages. Images decode for REAL via [[ImageIoCodec]] (JDK `javax.imageio`:
+  * PNG/BMP/GIF/JPEG → pixel grid → pooled embedding, see [[ImageCodec]]);
+  * audio/video payloads still go through [[StubCodec]]'s deterministic byte
+  * fingerprint — this container ships no audio/video libraries, and the
+  * [[Codec]] seam is exactly where a javacv/JNI decoder would plug in
+  * without touching any plumbing.
   *
   * Scale notes: payload bytes never shuffle — every stage below is a narrow
   * `mapPartitions` over the scan, features are extracted next to the data,
@@ -20,6 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** A media decoder: `init()` runs once per partition (allocate native
+    * readers / disable temp-file caches there, never per row), `decode`
+    * turns one payload into a fixed-width feature vector.
+    */
+  sealed trait Codec extends Serializable {
+    def init(): Unit = ()
+    def decode(modality: String, content: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic byte-fingerprint features — no real decoding. Keeps
+    * tests and the q38 oracle exactly reproducible, and is the documented
+    * fallback for modalities with no installed decoder.
+    */
+  case object StubCodec extends Codec {
+    override def decode(modality: String, content: Array[Byte], dim: Int): Array[Float] =
+      decodeStub(content, dim)
+  }
+
+  /** Real image decoding via `javax.imageio`. Images decode to a pooled
+    * pixel-grid embedding ([[ImageCodec.pool]]); non-image modalities and
+    * payloads no installed reader recognizes fall back to the stub
+    * fingerprint (deterministic, keeps the row — a production pipeline
+    * would route these to a quarantine sink instead of dropping them).
+    */
+  case object ImageIoCodec extends Codec {
+    // per-partition: keep ImageIO off its disk-backed temp-file cache —
+    // decode is pure in-memory work next to the data
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(modality: String, content: Array[Byte], dim: Int): Array[Float] =
+      if (modality == "image")
+        ImageCodec.decode(content) match {
+          case Some(img) => ImageCodec.pool(img, dim)
+          case None => decodeStub(content, dim)
+        }
+      else decodeStub(content, dim)
+  }
+
   final case class MediaRecord(media_id: Long, modality: String, uri: String,
                                content: Array[Byte], width: Int, height: Int,
                                durationMs: Long)
@@ -27,10 +65,10 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, modality: String,
                                  feature: Array[Float], frames: Int)
 
-  /** STUB decode: a real implementation would decode `content` with an image
-    * library and emit pixel-derived features. This deterministic stand-in
-    * hashes byte windows so tests can assert exact values and the pipeline
-    * shape is real. ~~~ STUB: replace with actual codec ~~~
+  /** Byte-fingerprint "decode": hashes byte windows into a deterministic
+    * vector. NOT a real decoder — it is the fallback for modalities without
+    * one (audio/video here) and the reproducible basis of the q38 oracle;
+    * images have the real path in [[ImageIoCodec]].
     */
   def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -49,16 +87,46 @@ object Multimodal {
     * per partition (the `mapPartitions` boundary is where a real decoder
     * would allocate), one output row per media row.
     */
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64,
+                      codec: Codec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codec would be initialized here, once per partition
+      codec.init() // once per partition, not per row
       it.map { m =>
         val frames = m.modality match {
           case "video" => math.max(1, (m.durationMs / 1000L).toInt)
           case _ => 1
         }
-        MediaFeatures(m.media_id, m.modality, decodeStub(m.content, dim), frames)
+        MediaFeatures(m.media_id, m.modality, codec.decode(m.modality, m.content, dim), frames)
+      }
+    }
+  }
+
+  /** Real image resize: decode with ImageIO, deterministic nearest-neighbor
+    * downscale preserving aspect ratio (never upscales), PNG re-encode.
+    * Non-images and undecodable payloads pass through unchanged; decoded
+    * images also get their width/height metadata corrected to the actual
+    * pixel dimensions. Narrow per-partition stage — bytes never shuffle.
+    */
+  def resizeDecoded(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        if (m.modality != "image") m
+        else ImageCodec.decode(m.content) match {
+          case None => m
+          case Some(img) =>
+            val s = math.min(1.0,
+              math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            if (s >= 1.0) m.copy(width = img.getWidth, height = img.getHeight)
+            else {
+              val nw = math.max(1, math.floor(img.getWidth * s).toInt)
+              val nh = math.max(1, math.floor(img.getHeight * s).toInt)
+              val resized = ImageCodec.resize(img, nw, nh)
+              m.copy(content = ImageCodec.encodePng(resized), width = nw, height = nh)
+            }
+        }
       }
     }
   }
