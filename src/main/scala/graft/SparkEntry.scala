@@ -995,6 +995,25 @@ object SparkEntry {
     "q71_segment_dedup" -> ((s, dir) => {
       TextDedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text", segN = 3)
         .orderBy("doc_id")
+    }),
+
+    // --- REAL image decode through the oracle gate: hand-assembled BMPs
+    // decode via the stock JDK reader (ImageIoCodec) into a pooled pixel-grid
+    // embedding whose arithmetic is integer-exact, so the oracle regenerates
+    // the identical float32s from the pixel FORMULAS without ever parsing an
+    // image. A mismatch here means the decode broke — the stub fingerprint
+    // cannot satisfy this query (q38 covers the stub path) ---
+    "q72_image_decode" -> ((s, dir) => {
+      import graft.multimodal.{ImageCodec, Multimodal}
+      import s.implicits._
+      val media = s.range(50).map(i =>
+        Multimodal.MediaRecord(i, "image", s"mem://img/$i.bmp",
+          ImageCodec.syntheticBmp(i),
+          ImageCodec.syntheticBmpWidth(i), ImageCodec.syntheticBmpHeight(i), 0L))
+      Multimodal.extractFeatures(media, dim = 16, codec = Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("idx", "feat")))
+        .orderBy("media_id", "idx")
     })
   )
 
@@ -1656,6 +1675,25 @@ object SparkEntry {
         |        PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM seg)
         |SELECT doc_id, COUNT(*) AS n_kept,
         |  string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
-        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q72: the oracle regenerates each synthetic BMP's pixel grid from the
+    // integer formulas (ImageCodec.syntheticBmp), pools the exact integer
+    // luminance per 4x4 grid cell, and evaluates the float in the same IEEE
+    // op order as ImageCodec.pool — matching only if Spark REALLY decoded
+    // the BMP bytes back to those pixels
+    "q72_image_decode" ->
+      """WITH m AS (SELECT i AS media_id, CAST(13 + i % 5 AS INT) AS w, CAST(7 + i % 3 AS INT) AS h
+        |           FROM generate_series(0, 49) s(i)),
+        |px AS (SELECT media_id,
+        |      299 * ((media_id * 31 + x * 7 + y * 13) % 256)
+        |    + 587 * ((media_id * 17 + x * 11 + y * 5) % 256)
+        |    + 114 * ((media_id * 23 + x * 3 + y * 19) % 256) AS lum,
+        |    ((y * 4) // h) * 4 + (x * 4) // w AS cell
+        |  FROM m, UNNEST(generate_series(0, w - 1)) u(x), UNNEST(generate_series(0, h - 1)) v(y)),
+        |f AS (SELECT media_id, cell, SUM(lum) AS lsum, COUNT(*) AS c FROM px GROUP BY media_id, cell)
+        |SELECT media_id, CAST(cell AS INT) AS idx,
+        |  CAST(CAST(lsum AS DOUBLE) / (c * 1000.0) / 255.0 * 2.0 - 1.0 AS REAL) AS feat
+        |FROM f ORDER BY media_id, idx""".stripMargin
   )
 }

@@ -22,11 +22,16 @@ import javax.imageio.ImageIO
 object ImageCodec {
 
   /** Decode image bytes with ImageIO; None when no installed reader
-    * recognizes the format (or the payload is corrupt).
+    * recognizes the format (or the payload is corrupt). Catches
+    * `NonFatal`, not just IOException: on malformed/truncated payloads the
+    * JDK plugins throw RuntimeExceptions too (ArrayIndexOutOfBounds,
+    * IllegalArgument, NegativeArraySize), and over an untrusted corpus one
+    * corrupt file must degrade to the documented fall-back-to-stub path,
+    * never repeatedly kill the task and fail the job.
     */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pooled grid embedding of a decoded image — see the contract above.
     * Cells that receive no pixels (only possible when `g` exceeds a side)

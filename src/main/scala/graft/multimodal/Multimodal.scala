@@ -107,6 +107,15 @@ object Multimodal {
     * Non-images and undecodable payloads pass through unchanged; decoded
     * images also get their width/height metadata corrected to the actual
     * pixel dimensions. Narrow per-partition stage — bytes never shuffle.
+    *
+    * Format contract: every downscaled payload is TRANSCODED TO PNG
+    * regardless of the input format (a record's `uri` extension no longer
+    * describes its bytes — sniff the payload, or add a format column, if
+    * downstream cares), and the resize grid is `TYPE_INT_RGB`, so any alpha
+    * channel in transparent PNG/GIF inputs is dropped — each pixel keeps
+    * its RGB components as stored, i.e. transparency flattens onto an
+    * undefined (not compositor-blended) background. Media that must keep
+    * alpha or its container format should bypass this stage.
     */
   def resizeDecoded(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._

@@ -23,6 +23,10 @@ object BloomPrune {
   /** Probe rows whose `probeKey` might appear among `build`'s `buildKey`s.
     * Default geometry: 2²³ bits (1 MiB) / 5 hashes ≈ 1% FP at 1M build keys.
     *
+    * NOTE: the Bloom build runs a Spark job at plan-CONSTRUCTION time (the
+    * `.head` below) — the same eager shape as Spark's own runtime filters.
+    * Don't construct-and-discard these plans in a loop; build once, reuse.
+    *
     * The bloom is computed EAGERLY (one job over the build side) and
     * embedded as a literal — the same shape as Spark's own runtime filters,
     * which inject the built filter as a plan-time scalar. Embedding matters:
@@ -96,11 +100,18 @@ object BloomPrune {
       big.where(maybe).join(small.select(keys.head, keys.tail: _*), keys, "left_anti"))
   }
 
-  /** The widened type both sides' `key` columns are cast to before hashing.
-    * Values equal under the exact join's coercion must map to the same
-    * widened value (no false negatives); distinct values colliding after a
-    * lossy widening (e.g. two huge bigints meeting in double) merely add
-    * false positives, which the exact join clears.
+  /** The type both sides' `key` columns are cast to before hashing. It must
+    * be the SAME coercion the exact join's equality uses, or digest equality
+    * stops tracking join equality and the bloom can report definitely-absent
+    * for a truly-matched row (a silent false negative — e.g. bigint `5` vs
+    * string `'05'`: the join casts the string to bigint and matches, but a
+    * string-widening digest would hash `'5'` vs `'05'`). So:
+    * `findCommonTypeForBinaryComparison` first — it implements comparison
+    * coercion, where string-vs-atomic resolves to the NON-string type — then
+    * `findWiderTypeForTwo` for the non-string pairs it leaves to the generic
+    * rules (numeric widening, where the two coercions agree). Distinct
+    * values colliding after a lossy widening (two huge bigints meeting in
+    * double) merely add false positives, which the exact join clears.
     */
   private def commonKeyType(key: String,
                             a: org.apache.spark.sql.types.DataType,
@@ -108,7 +119,10 @@ object BloomPrune {
       : org.apache.spark.sql.types.DataType =
     if (a == b) a
     else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-      .findWiderTypeForTwo(a, b)
+      .findCommonTypeForBinaryComparison(a, b,
+        org.apache.spark.sql.internal.SQLConf.get)
+      .orElse(org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderTypeForTwo(a, b))
       .getOrElse(throw new IllegalArgumentException(
         s"prunedAntiJoin: key '$key' has incompatible types on the two sides ($a vs $b)"))
 }

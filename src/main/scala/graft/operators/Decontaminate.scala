@@ -25,9 +25,13 @@ object Decontaminate {
     */
   def overlap(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
               shingleN: Int = 4, numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    // cached: consumed twice — once by the eager Bloom build, once as the
+    // exact semi join's right side — and without the cache the bench corpus
+    // is silently shingled and deduped twice
     val benchShingles = bench
       .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
       .distinct()
+      .cache()
     val trainShingles = train
       .select(col(idCol), explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
     BloomPrune.mightJoin(trainShingles, benchShingles, "__shingle", "__shingle",

@@ -92,6 +92,19 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("prunedAntiJoin survives string-vs-bigint keys with non-canonical strings") {
+    // comparison coercion casts the STRING side to bigint ('05' → 5), so the
+    // plain anti join matches; a string-widening digest would hash '5' vs
+    // '05' and false-negative. The digest must use the join's own coercion.
+    val big = spark.range(1, 1001).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val dead = Seq("05", " 5", "500").toDF("k") // → tombstoned keys {5, 500}
+    val plain = big.join(dead, Seq("k"), "left_anti")
+    val pruned = BloomPrune.prunedAntiJoin(big, dead, Seq("k"))
+    assert(plain.count() === 998L)
+    assert(pruned.count() === 998L)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("prunedAntiJoin with empty tombstones keeps every row without joining") {
     val probe = (1L to 1000L).toDF("k")
     val dead = Seq.empty[Long].toDF("k")
