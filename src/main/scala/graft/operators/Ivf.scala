@@ -3,8 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
@@ -14,14 +13,40 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: training samples the corpus (KMeans on a bounded sample);
   * assignment is one narrow pass; the index is the corpus re-partitioned
-  * (and prunable) by `cell`. A query touches nProbe/nCells of the data —
-  * with the index written `partitionBy("cell")`, cell pruning happens at
-  * the parquet scan. Recall/latency trades via nProbe.
+  * by `cell` and persisted `partitionBy("cell")` ([[write]]/[[open]]), so a
+  * query's candidate read is PRUNED AT THE PARQUET SCAN to the probed
+  * cells — `query` collects the ≤ nCells distinct probed cell ids (one
+  * tiny queries×centroids job) and pushes them as a static partition
+  * filter, touching nProbe/nCells of the files (IvfSpec asserts the file
+  * count). Ranking shuffles k-capped heaps, not scored candidates
+  * (`graft_kmin`, same bounded-exchange shape as [[Knn.bruteForce]]).
+  * Recall/latency trades via nProbe.
   */
 object Ivf {
 
   final case class Index(centroids: DataFrame, assigned: DataFrame,
                          nCells: Int)
+
+  /** Persist the index: corpus vectors under `path/cells` partitioned by
+    * `cell` (re-partitioned so each cell's rows are co-located — one
+    * shuffle now buys every future query its pruned scan), centroids under
+    * `path/centroids`. Parquet on any Hadoop FS.
+    */
+  def write(index: Index, path: String): Unit = {
+    index.assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Open a persisted index. The `cells` scan keeps `cell` as a partition
+    * column, so [[query]]'s probed-cell filter prunes whole directories at
+    * file listing time — the 100 TB read path.
+    */
+  def open(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/cells")
+    Index(centroids, assigned, centroids.count().toInt)
+  }
 
   /** Deterministic per-partition reservoir sample of ≤ `maxRows` rows with
     * NO pre-count pass: the P input partitions share a balanced integer
@@ -89,26 +114,61 @@ object Ivf {
     Index(centroids, assigned, nCells)
   }
 
+  /** Per-query probed cells: `(q_id, q_emb, cell)`, `nProbe` rows per
+    * query. Centroids broadcast; the nearest-cell ranking aggregates with
+    * the `graft_kmin` k-capped heap — map-side partials collapse each
+    * query's nCells scored rows to one heap row BEFORE the shuffle (vs the
+    * old `row_number` window shuffling queries×nCells rows, then sorting).
+    * Heap key `(cdist asc, cell asc)` matches the window's ordering.
+    */
+  private def probeCells(index: Index, q: DataFrame, nProbe: Int): DataFrame = {
+    graft.GraftFunctions.register(q.sparkSession)
+    q.crossJoin(broadcast(index.centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        l2Distance(col("q_emb"), col("centroid")).as("cdist"))
+      .groupBy("q_id")
+      .agg(first(col("q_emb")).as("q_emb"),
+        call_function("graft_kmin",
+          struct(col("cdist").as("o"), col("cell")), lit(nProbe)).as("pc"))
+      .select(col("q_id"), col("q_emb"), explode(col("pc.cell")).as("cell"))
+  }
+
   /** Query: rank cells per query by centroid distance, keep `nProbe`,
     * then exact cosine top-k inside the probed cells only. Centroids are
     * tiny → broadcast; the candidate join shuffles on `cell`.
+    *
+    * `pruneCells` (default on) collects the distinct probed cell ids —
+    * bounded by nCells, one small eager job of queries×centroids rows, the
+    * same eager-at-construction shape as [[BloomPrune.mightJoin]] — and
+    * filters `index.assigned` with a static `isin` BEFORE the candidate
+    * join. On an [[open]]ed index `cell` is a partition column, so the
+    * filter prunes whole cell directories at the parquet file listing: a
+    * query plans ≈ nProbe/nCells of the index's files instead of all of
+    * them. Final top-k aggregates with `graft_kmin` — the exchange carries
+    * per-partition heaps (≤k entries) per query, never the scored
+    * candidate set. Ordering matches
+    * `row_number() over (order by sim desc, n_id asc)`.
     */
   def query(index: Index, queries: DataFrame, k: Int, nProbe: Int,
             qId: String = "vec_id", qVec: String = "embedding",
-            excludeSelf: Boolean = true): DataFrame = {
+            excludeSelf: Boolean = true, pruneCells: Boolean = true): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
-    val qCells = q.crossJoin(broadcast(index.centroids))
-      .select(col("q_id"), col("q_emb"), col("cell"),
-        l2Distance(col("q_emb"), col("centroid")).as("cdist"))
-    val wCell = Window.partitionBy("q_id").orderBy(col("cdist").asc, col("cell").asc)
-    val probes = qCells.withColumn("cr", row_number().over(wCell))
-      .where(col("cr") <= nProbe)
-      .select("q_id", "q_emb", "cell")
-    val cand = probes.join(index.assigned, "cell")
+    val probes = probeCells(index, q, nProbe)
+    val corpus =
+      if (pruneCells) {
+        // ≤ nCells values by construction — always collectable
+        val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+        index.assigned.where(col("cell").isin(cells.map(Integer.valueOf): _*))
+      } else index.assigned
+    val cand = probes.join(corpus, "cell")
       .where(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
     val scored = cand.select(col("q_id"), col("id").as("n_id"),
       round(cosineFast(col("q_emb"), col("emb")), 6).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val topk = scored.groupBy("q_id").agg(
+      call_function("graft_kmin",
+        struct((-col("sim")).as("o"), col("n_id"), col("sim")), lit(k)).as("tk"))
+    topk.select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
@@ -68,6 +67,7 @@ object Knn {
           shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
           .as(Seq("band_idx", "band")))
     }
+    graft.GraftFunctions.register(corpus.sparkSession)
     val qb = withBands(queries, qId, qVec, "q")
     val cb = withBands(corpus, cId, cVec, "n")
     // Score per banded collision, then dedupe on the compact (q_id, n_id)
@@ -77,8 +77,15 @@ object Knn {
       .select(col("q_id"), col("n_id"),
         round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))
       .groupBy("q_id", "n_id").agg(max("sim").as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // Final top-k with the same k-capped heap as bruteForce: the pair-dedup
+    // groupBy already bounds the input, but the heap still cuts the last
+    // exchange to ≤k rows per (query, partition) and drops the sort.
+    val topk = scored.groupBy("q_id").agg(
+      call_function("graft_kmin",
+        struct((-col("sim")).as("o"), col("n_id"), col("sim")), lit(k)).as("tk"))
+    topk.select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Cosine near-duplicate pairs over the corpus itself: LSH-bucket the

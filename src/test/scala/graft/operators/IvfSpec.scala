@@ -47,6 +47,96 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: a query reads ONLY the probed cells' files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // 4 well-separated clusters, 25 points each
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.01f * ((i * 3) % 4))
+      a(axis * 2) = 1.0f + 0.01f * i
+      a
+    }
+    val rows = for (axis <- Seq(0, 1, 2, 3); i <- 0 until 25)
+      yield ((axis * 100 + i).toLong, v(axis, i))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val index = Ivf.build(corpus, nCells = 4)
+    val tmp = Files.createTempDirectory("graft_ivf_").toString
+    Ivf.write(index, tmp)
+    val opened = Ivf.open(spark, tmp)
+    assert(opened.nCells === 4)
+
+    val queries = corpus.where("vec_id = 0")
+    val res = Ivf.query(opened, queries, k = 3, nProbe = 1)
+    val got = res.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // clean clusters, nProbe=1: perfect recall vs brute force
+    val brute = Knn.bruteForce(queries, corpus, k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+
+    // the proof: the cells scan planned files from exactly ONE cell
+    // directory out of 4 — partition pruning from the static probed-cell
+    // filter, the read path a 1000-executor query depends on
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val cellScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty, "expected a parquet scan of the persisted cells")
+    val cellDirs = new File(s"$tmp/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length === 4, s"expected one dir per cell, got ${cellDirs.length}")
+    // selectedPartitions is the post-pruning listing the scan actually reads
+    val plannedDirs = cellScans.map(_.selectedPartitions.partitionCount).max
+    assert(plannedDirs === 1,
+      s"query should plan 1/4 cell directories, planned $plannedDirs/4")
+    // and the static partition filter is in the plan, not a post-scan filter
+    assert(cellScans.exists(_.partitionFilters.nonEmpty),
+      "probed-cell isin should be a partition filter at the scan")
+  }
+
+  test("query shuffles k-capped heaps, not scored candidates") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val nPart = 6
+    val corpus = (0L until 300L).map { i =>
+      val a = Array.fill(8)(0.01f * ((i % 5).toInt))
+      a((i % 4).toInt * 2) = 1.0f
+      (i, a)
+    }.toDF("vec_id", "embedding").repartition(nPart).cache()
+    corpus.count()
+    val index = Ivf.build(corpus, nCells = 4)
+    val queries = corpus.where("vec_id < 2")
+    val res = Ivf.query(index, queries, k = 3, nProbe = 2)
+    res.collect()
+
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val self = p match { case s: ShuffleExchangeLike => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(shuffles)
+    }
+    val kminShuffles = shuffles(res.queryExecution.executedPlan)
+      .filter(_.child.toString.contains("graft_kmin"))
+    assert(kminShuffles.nonEmpty, "expected partial-kmin exchanges")
+    val written = kminShuffles
+      .map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+    // cell-selection + final ranking: each carries <= queries x partitions
+    // heap rows; the old row_number plan would shuffle ~2x75 scored rows
+    assert(written > 0 && written <= 2L * 2 * nPart,
+      s"kmin should bound both ANN exchanges, wrote $written records")
+    corpus.unpersist()
+  }
+
   test("boundedSample: bounded, deterministic, and runs NO job when built") {
     val df = (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s").repartition(8)
     val a = Ivf.boundedSample(df, maxRows = 80, seed = 7L).collect().map(_.getLong(0))
