@@ -958,19 +958,18 @@ object SparkEntry {
     }),
 
     // --- token-budget packing: assign documents to 512-token training
-    // windows by running token count, sequentially WITHIN each language
-    // stratum (a doc lands in the window its tokens start in; a window can
-    // overflow by at most one document — streaming packing semantics).
-    // Packing is inherently sequential, but only per stratum: the window
-    // partitions by lang, so strata pack in parallel and no single task
-    // sees the whole corpus ---
+    // windows by running token count within each language stratum (a doc
+    // lands in the window its tokens start in; a window can overflow by at
+    // most one document — streaming packing semantics). Runs through
+    // Pack.tokenWindows: each stratum packs as `subStrata` parallel range
+    // slices stitched by prefix totals, so parallelism is strata×slices
+    // instead of one unsplittable running-sum task per language — the
+    // oracle proves the sliced plan equals the sequential semantics ---
     "q69_token_packing" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok"))
-        .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
-        .withColumn("win", expr("(cum - n_tok) DIV 512"))
+      Pack.tokenWindows(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_tok")),
+          "lang", "doc_id", "n_tok", budget = 512, subStrata = 8)
         .groupBy("lang", "win")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
         .orderBy("lang", "win")
