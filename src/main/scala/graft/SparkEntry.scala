@@ -1013,6 +1013,24 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), posexplode(col("feature")).as(Seq("idx", "feat")))
         .orderBy("media_id", "idx")
+    }),
+
+    // --- REAL audio decode through the oracle gate: hand-assembled WAVs
+    // decoded by the stock JDK reader (javax.sound.sampled) into windowed
+    // mean-|amplitude| features whose arithmetic is integer-exact, so the
+    // oracle regenerates the identical float32s from the PCM FORMULAS
+    // without ever parsing a WAV — the q72 BMP trick, for audio ---
+    "q73_audio_decode" -> ((s, dir) => {
+      import graft.multimodal.{AudioCodec, Multimodal}
+      import s.implicits._
+      val media = s.range(40).map(i =>
+        Multimodal.MediaRecord(i, "audio", s"mem://wav/$i.wav",
+          AudioCodec.syntheticWav(i), 0, 0,
+          AudioCodec.syntheticWavLength(i) * 1000L / 8000L))
+      Multimodal.extractFeatures(media, dim = 8, codec = Multimodal.JdkMediaCodec)
+        .toDF()
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("idx", "feat")))
+        .orderBy("media_id", "idx")
     })
   )
 
@@ -1693,6 +1711,18 @@ object SparkEntry {
         |f AS (SELECT media_id, cell, SUM(lum) AS lsum, COUNT(*) AS c FROM px GROUP BY media_id, cell)
         |SELECT media_id, CAST(cell AS INT) AS idx,
         |  CAST(CAST(lsum AS DOUBLE) / (c * 1000.0) / 255.0 * 2.0 - 1.0 AS REAL) AS feat
+        |FROM f ORDER BY media_id, idx""".stripMargin,
+
+    "q73_audio_decode" ->
+      """WITH m AS (SELECT i AS media_id, CAST(240 + (i % 7) * 16 AS INT) AS n
+        |           FROM generate_series(0, 39) s(i)),
+        |smp AS (SELECT media_id,
+        |    abs(((media_id * 31 + i * 17) % 65536) - 32768) AS a,
+        |    (i * 8) // n AS w
+        |  FROM m, UNNEST(generate_series(0, n - 1)) u(i)),
+        |f AS (SELECT media_id, w, SUM(a) AS asum, COUNT(*) AS c FROM smp GROUP BY media_id, w)
+        |SELECT media_id, CAST(w AS INT) AS idx,
+        |  CAST(CAST(asum AS DOUBLE) / (c * 32768.0) * 2.0 - 1.0 AS REAL) AS feat
         |FROM f ORDER BY media_id, idx""".stripMargin
   )
 }

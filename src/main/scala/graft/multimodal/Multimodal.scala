@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages. Images decode for REAL via [[ImageIoCodec]] (JDK `javax.imageio`:
   * PNG/BMP/GIF/JPEG → pixel grid → pooled embedding, see [[ImageCodec]]);
-  * audio/video payloads still go through [[StubCodec]]'s deterministic byte
-  * fingerprint — this container ships no audio/video libraries, and the
-  * [[Codec]] seam is exactly where a javacv/JNI decoder would plug in
-  * without touching any plumbing.
+  * audio decodes for REAL via [[AudioCodec]] (JDK `javax.sound.sampled`:
+  * WAV/AIFF/AU → PCM16 → windowed amplitude embedding) through
+  * [[JdkMediaCodec]]. Video payloads still go through [[StubCodec]]'s
+  * deterministic byte fingerprint — no JDK video decoder exists and this
+  * container ships no video library; the [[Codec]] seam is exactly where a
+  * javacv/JNI decoder would plug in without touching any plumbing.
   *
   * Scale notes: payload bytes never shuffle — every stage below is a narrow
   * `mapPartitions` over the scan, features are extracted next to the data,
@@ -56,6 +58,24 @@ object Multimodal {
           case None => decodeStub(content, dim)
         }
       else decodeStub(content, dim)
+  }
+
+  /** Every modality with a stock JDK decoder decoded for REAL: images via
+    * [[ImageCodec]] (pooled pixel grid), audio via [[AudioCodec]] (windowed
+    * PCM amplitude); video — no JDK decoder — falls back to the stub
+    * fingerprint, as do undecodable payloads of the real modalities.
+    */
+  case object JdkMediaCodec extends Codec {
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(modality: String, content: Array[Byte], dim: Int): Array[Float] =
+      modality match {
+        case "image" => ImageCodec.decode(content)
+          .map(ImageCodec.pool(_, dim)).getOrElse(decodeStub(content, dim))
+        case "audio" => AudioCodec.decode(content)
+          .map(c => AudioCodec.features(c.samples, dim))
+          .getOrElse(decodeStub(content, dim))
+        case _ => decodeStub(content, dim)
+      }
   }
 
   final case class MediaRecord(media_id: Long, modality: String, uri: String,
