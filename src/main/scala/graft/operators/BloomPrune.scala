@@ -85,9 +85,14 @@ object BloomPrune {
     // the anti join (the join itself coerces and WOULD have matched them).
     // Normalize both sides' key columns to the same widened type Spark's
     // own equality coercion would pick before computing the digest, so
-    // digest equality tracks join equality.
+    // digest equality tracks join equality. The types come from ANALYZING
+    // the actual join (below) — whatever coercion rule set the session
+    // runs (ANSI or legacy), the digest cast is the analyzer's cast by
+    // construction, not a re-implementation that could drift.
+    val analyzed = analyzedKeyTypes(big, small, keys)
     val types = keys.map { k =>
-      commonKeyType(k, big.schema(k).dataType, small.schema(k).dataType)
+      analyzed.getOrElse(k,
+        commonKeyType(k, big.schema(k).dataType, small.schema(k).dataType))
     }
     def digest(side: DataFrame) = xxhash64(
       keys.zip(types).map { case (k, t) => side(k).cast(t) }: _*)
@@ -100,18 +105,53 @@ object BloomPrune {
       big.where(maybe).join(small.select(keys.head, keys.tail: _*), keys, "left_anti"))
   }
 
-  /** The type both sides' `key` columns are cast to before hashing. It must
-    * be the SAME coercion the exact join's equality uses, or digest equality
-    * stops tracking join equality and the bloom can report definitely-absent
-    * for a truly-matched row (a silent false negative — e.g. bigint `5` vs
+  /** The post-coercion type of each key in the ACTUAL anti join's analyzed
+    * equality condition — the ground truth the digest cast must follow: if
+    * the digest coerces differently from the join, digest equality stops
+    * tracking join equality and the bloom can report definitely-absent for
+    * a truly-matched row (a silent false negative — e.g. bigint `5` vs
     * string `'05'`: the join casts the string to bigint and matches, but a
-    * string-widening digest would hash `'5'` vs `'05'`). So:
-    * `findCommonTypeForBinaryComparison` first — it implements comparison
-    * coercion, where string-vs-atomic resolves to the NON-string type — then
+    * string-widening digest would hash `'5'` vs `'05'`). Analyzing the real
+    * join makes the cast correct under BOTH ANSI (Spark 4 default) and
+    * legacy coercion, and stays correct across Spark upgrades. Analysis
+    * only — no job runs. Keys the walk cannot find (unexpected plan shape)
+    * fall back to [[commonKeyType]].
+    */
+  private def analyzedKeyTypes(big: DataFrame, small: DataFrame, keys: Seq[String])
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val resolver = big.sparkSession.sessionState.analyzer.resolver
+    val plan = big.join(small.select(keys.head, keys.tail: _*), keys, "left_anti")
+      .queryExecution.analyzed
+    def eqs(e: Expression): Seq[EqualTo] = e match {
+      case eq: EqualTo => Seq(eq)
+      case other => other.children.flatMap(eqs)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => nameOf(c.child)
+      case _ => None
+    }
+    val conds = plan.collect { case j: Join => j }
+      .flatMap(_.condition.toSeq.flatMap(eqs))
+    keys.flatMap { k =>
+      conds.collectFirst {
+        // post-coercion, both sides of the EqualTo carry the same dataType
+        case eq if nameOf(eq.left).exists(resolver(_, k)) => k -> eq.left.dataType
+      }
+    }.toMap
+  }
+
+  /** Fallback when [[analyzedKeyTypes]] cannot find a key (it re-implements
+    * what the analyzer does in the common cases):
+    * `findCommonTypeForBinaryComparison` first — comparison coercion, where
+    * string-vs-atomic resolves to the NON-string type — then
     * `findWiderTypeForTwo` for the non-string pairs it leaves to the generic
-    * rules (numeric widening, where the two coercions agree). Distinct
-    * values colliding after a lossy widening (two huge bigints meeting in
-    * double) merely add false positives, which the exact join clears.
+    * rules (numeric widening, where ANSI and legacy coercion agree).
+    * Distinct values colliding after a lossy widening (two huge bigints
+    * meeting in double) merely add false positives, which the exact join
+    * clears.
     */
   private def commonKeyType(key: String,
                             a: org.apache.spark.sql.types.DataType,
