@@ -50,6 +50,51 @@ object Scale {
     time("asof_16x")(asofCount(ev16))
     time("band_1x")(bandCount(ev1))
     time("band_16x")(bandCount(ev16))
+    // --- round-7 probes: the wide operators added since round 4 ---
+    // decontamination: bench side fixed (eval suites don't grow with the
+    // corpus), training side 16x — time must track the training side
+    val bench = d1.where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    time("decontam_1x")(Decontaminate.overlap(d1, bench, "doc_id", "text").count())
+    time("decontam_16x")(Decontaminate.overlap(d16, bench, "doc_id", "text").count())
+    Decontaminate.releaseCaches()
+    time("segdedup_1x")(TextDedup.dedupSegments(d1, "doc_id", "text").count())
+    time("segdedup_16x")(TextDedup.dedupSegments(d16, "doc_id", "text").count())
+    // bloom-pruned anti join: tombstone side fixed, big side grows
+    val tombs = d1.select(col("doc_id")).where(col("doc_id") % 10 === 0)
+    time("bloomanti_1x")(BloomPrune.prunedAntiJoin(d1, tombs, Seq("doc_id")).count())
+    time("bloomanti_16x")(BloomPrune.prunedAntiJoin(d16, tombs, Seq("doc_id")).count())
+    // CMS sketch build + merge over events (two-level re-aggregation shape)
+    def cmsCount(ev: org.apache.spark.sql.DataFrame): Long = {
+      val daily = ev.groupBy(expr("to_date(timestamp_micros(ts DIV 1000))").as("d"))
+        .agg(call_function("graft_cms_sketch", col("user_id"), lit(5), lit(4096)).as("sk"))
+      daily.agg(call_function("graft_cms_merge", col("sk")).as("sk")).count()
+    }
+    graft.GraftFunctions.register(spark)
+    time("cms_merge_1x")(cmsCount(ev1))
+    time("cms_merge_16x")(cmsCount(ev16))
+    def bloomCount(ev: org.apache.spark.sql.DataFrame): Long =
+      ev.agg(call_function("graft_bloom_agg", col("user_id"),
+        lit(1 << 23), lit(5)).as("b")).count()
+    time("bloom_agg_1x")(bloomCount(ev1))
+    time("bloom_agg_16x")(bloomCount(ev16))
+    // token packing: range-sliced windows must parallelize past #strata
+    val p1 = d1.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("w"))
+    val p16 = (0 until 16).map(i => p1.select(
+      (col("doc_id") + lit(i * 1000000)).as("doc_id"), col("lang"), col("w")))
+      .reduce(_ union _)
+    time("pack_1x")(Pack.tokenWindows(p1, "lang", "doc_id", "w", 4096L).count())
+    time("pack_16x")(Pack.tokenWindows(p16, "lang", "doc_id", "w", 4096L).count())
+    // IVF query: index built per corpus OUTSIDE the timer (build cost is
+    // amortized via Ivf.write/open at real scale); query time must stay
+    // ~flat-per-probed-fraction as the corpus grows
+    val qset = e1.where(col("vec_id") % 500 === 0)
+    val idx1 = Ivf.build(e1, 16, trainSample = 10000)
+    idx1.assigned.cache().count()
+    time("ivf_query_1x")(Ivf.query(idx1, qset, 5, 4).count())
+    val idx8 = Ivf.build(e8, 16, trainSample = 10000)
+    idx8.assigned.cache().count()
+    time("ivf_query_8x")(Ivf.query(idx8, qset, 5, 4).count())
     spark.stop()
   }
 }

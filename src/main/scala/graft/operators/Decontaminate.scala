@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  // Cached bench-shingle DataFrames, tracked so long-lived sessions can
+  // release them: the result DataFrame is lazy, so overlap() itself cannot
+  // know when the semi join has consumed the cache. Call [[releaseCaches]]
+  // after materializing results (or rely on Spark's LRU eviction).
+  private val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Unpersist every bench-shingle cache created by [[overlap]] so far.
+    * Safe to call any time — a released cache just recomputes if re-read.
+    */
+  def releaseCaches(): Unit = cached.synchronized {
+    cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cached.clear()
+  }
+
   /** Per-document count of DISTINCT shingles shared with `bench`:
     * `(idCol, n_overlap)` for contaminated docs only (no row = clean).
     */
@@ -32,6 +46,7 @@ object Decontaminate {
       .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
       .distinct()
       .cache()
+    cached.synchronized { cached += benchShingles }
     val trainShingles = train
       .select(col(idCol), explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
     BloomPrune.mightJoin(trainShingles, benchShingles, "__shingle", "__shingle",
