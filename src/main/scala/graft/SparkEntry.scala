@@ -1031,6 +1031,19 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), posexplode(col("feature")).as(Seq("idx", "feat")))
         .orderBy("media_id", "idx")
+    }),
+
+    // --- BM25 sparse retrieval: keyword top-k over the corpus, queries
+    // derived from every 97th document's first 8 tokens. The corpus's
+    // exploded tokens are pruned by a broadcast of the query terms BEFORE
+    // any shuffle; ranking is the graft_kmin bounded heap ---
+    "q74_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      operators.Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1723,6 +1736,39 @@ object SparkEntry {
         |f AS (SELECT media_id, w, SUM(a) AS asum, COUNT(*) AS c FROM smp GROUP BY media_id, w)
         |SELECT media_id, CAST(w AS INT) AS idx,
         |  CAST(CAST(asum AS DOUBLE) / (c * 32768.0) * 2.0 - 1.0 AS REAL) AS feat
-        |FROM f ORDER BY media_id, idx""".stripMargin
+        |FROM f ORDER BY media_id, idx""".stripMargin,
+
+    // Mirrors Bm25.topK expression-for-expression: same idf smoothing, same
+    // left-associative double arithmetic, per-term round(6), sequential fold
+    // in (contrib, term) order (list_reduce folds left from the first
+    // element; Spark's aggregate folds from 0.0 — IEEE-identical for the
+    // strictly positive contributions).
+    "q74_bm25" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(list_reduce(list(contrib ORDER BY contrib, term), (a, b) -> a + b), 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM pd)
+        |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse lexical retrieval (Robertson/Sparck-Jones probabilistic
+  * weighting, the Okapi BM25 formulation) — the standard keyword-retrieval
+  * primitive of a training-data pipeline: sourcing seed documents,
+  * nearest-neighbor text mining for targeted corpora, and the lexical half
+  * of hybrid (BM25 + dense) retrieval.
+  *
+  * Scale shape, ad-hoc path ([[topK]]): the query set is small by contract
+  * (requests, not a corpus) so its distinct terms BROADCAST; the corpus's
+  * exploded tokens are pruned by that broadcast hash join BEFORE any
+  * shuffle — non-matching tokens (the overwhelming majority) never leave
+  * their input partition, and only `(term, doc_id)` postings for query
+  * terms reach the two small aggregations that follow. Document text never
+  * shuffles at all. Per-query ranking uses the `graft_kmin` k-capped heap,
+  * so the final exchange carries at most queries x partitions heap rows —
+  * the same bounded-shuffle shape as [[Knn.bruteForce]].
+  *
+  * For a standing corpus, [[buildIndex]] materializes the full postings
+  * list once (one shuffle on term); persist it with
+  * `postings.write.partitionBy(...)` exactly like [[Ivf.write]] and
+  * rescore from the index without touching raw text.
+  *
+  * IEEE portability: per-term contributions are rounded to 6 decimals and
+  * summed by a SEQUENTIAL fold in (contribution, term) sorted order, so an
+  * external engine (the DuckDB oracle, q74) reproduces the double result
+  * bit-for-bit — the same trick as q67's temperature normalizer.
+  */
+object Bm25 {
+
+  /** Full inverted index: `postings` = one row per (term, doc_id) with
+    * term frequency `tf`, document length `dl`, and the term's document
+    * frequency `df`; `stats` = one row (n_docs, sum_dl). Built in one pass
+    * over the text plus one shuffle on term.
+    */
+  final case class Index(postings: DataFrame, stats: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val toks = tokenize(docs, idCol, textCol)
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // df joins back on the same key the groupBy just shuffled on — the
+    // exchange is reused, not repeated
+    val withDf = postings.join(
+      postings.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    Index(withDf, corpusStats(docs, textCol))
+  }
+
+  /** Top-k BM25 results per query: `(q_id, doc_id, score, rank)`, scores
+    * rounded to 6 decimals, ties broken by ascending doc_id. Queries with
+    * no matching document produce no rows. Query terms are deduplicated
+    * (standard for short keyword queries).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qIdCol: String, qTextCol: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.GraftFunctions.register(docs.sparkSession)
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val toks = tokenize(docs, idCol, textCol)
+    // broadcast prune: corpus tokens that match no query term die here,
+    // before the postings shuffle
+    val ptoks = toks.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    val postings = ptoks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // document frequency over the FULL corpus for the pruned terms —
+    // postings already carry exactly those terms' rows
+    val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    score(postings.join(dft, Seq("term")), corpusStats(docs, textCol),
+      qTerms, k, k1, b)
+  }
+
+  /** Rank against a prebuilt [[Index]] (df already on the postings). */
+  def topKIndexed(index: Index, queries: DataFrame, qIdCol: String,
+                  qTextCol: String, k: Int, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    graft.GraftFunctions.register(index.postings.sparkSession)
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val pruned = index.postings
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    score(pruned, index.stats, qTerms, k, k1, b)
+  }
+
+  /** One row (n_docs, sum_dl) over non-empty docs — a single shuffle-free
+    * aggregation on the raw text, no token explode.
+    */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(tokenCount(col(textCol)).as("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** `(term, doc_id, dl)` rows — one per token occurrence, dl > 0. */
+  private def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) > 0)
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+        explode(col("__ts")).as("term"))
+
+  private def score(postings: DataFrame, stats: DataFrame, qTerms: DataFrame,
+                    k: Int, k1: Double, b: Double): DataFrame = {
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)): always positive, the
+    // standard Lucene-style smoothing. avgdl in pure double arithmetic;
+    // expression shapes mirror the q74 oracle SQL token-for-token so both
+    // engines execute the identical IEEE operation sequence.
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val contrib = round(idf * col("tf") * lit(k1 + 1.0) / denom, 6)
+    val scored = postings.crossJoin(broadcast(stats))
+      .withColumn("__contrib", contrib)
+      .join(broadcast(qTerms), Seq("term"))
+    val perDoc = scored.groupBy("q_id", "doc_id")
+      .agg(round(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("__contrib").as("c"), col("term")))),
+          x => x("c")),
+        lit(0.0), (a, x) => a + x), 6).as("score"))
+    perDoc.groupBy("q_id")
+      .agg(call_function("graft_kmin",
+        struct((-col("score")).as("o"), col("doc_id"), col("score")),
+        lit(k)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.doc_id").as("doc_id"),
+        col("e.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with a known rare term ("zebra" in doc 3 only), a common
+  // term ("the" everywhere), and varied document lengths
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the brown dog sleeps"),
+    (3L, "a zebra grazes on the plain"),
+    (4L, "quick quick quick brown foxes"),
+    (5L, "the plain is wide and the plain is dry and the plain is flat")
+  ).toDF("doc_id", "text")
+
+  private def brute(queryTerms: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75): Seq[(Long, Double)] = {
+    // independent reference: plain Scala BM25 over the same corpus
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the brown dog sleeps",
+      3L -> "a zebra grazes on the plain",
+      4L -> "quick quick quick brown foxes",
+      5L -> "the plain is wide and the plain is dry and the plain is flat"
+    ).map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val n = corpus.size
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    val dfm = queryTerms.map(t => t -> corpus.count(_._2.contains(t))).toMap
+    corpus.flatMap { case (id, ts) =>
+      val dl = ts.size
+      val contribs = queryTerms.flatMap { t =>
+        val tf = ts.count(_ == t)
+        if (tf == 0 || dfm(t) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val c = idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl))
+          Some(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> BigDecimal(contribs.sorted.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }
+  }
+
+  test("topK matches an independent scalar BM25 computation") {
+    val qs = Seq((10L, "brown dog"), (11L, "zebra"), (12L, "the plain"))
+      .toDF("q_id", "q_text")
+    val got = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank")
+      .select("q_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    for ((qid, terms) <- Seq(10L -> Seq("brown", "dog"), 11L -> Seq("zebra"),
+        12L -> Seq("the", "plain"))) {
+      val expect = brute(terms)
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._2).toSeq == expect.map(_._1),
+        s"doc order for query $qid")
+      mine.zip(expect).foreach { case ((_, _, s, _), (_, es)) =>
+        assert(math.abs(s - es) < 1e-9, s"score for query $qid")
+      }
+    }
+  }
+
+  test("rare term outranks common term; query with no hits emits no rows") {
+    val qs = Seq((1L, "zebra"), (2L, "xylophone")).toDF("q_id", "q_text")
+    val got = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+    val rows = got.collect()
+    assert(rows.forall(_.getLong(0) == 1L), "no rows for the miss query")
+    assert(rows.head.getLong(1) == 3L, "zebra retrieves doc 3 first")
+  }
+
+  test("k caps the result and ties break by ascending doc_id") {
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "same text")).toDF("doc_id", "text")
+    val qs = Seq((1L, "same")).toDF("q_id", "q_text")
+    val got = Bm25.topK(dup, "doc_id", "text", qs, "q_id", "q_text", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 2)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L), "tie order by doc_id")
+    assert(got.map(_._3).distinct.length == 1, "tied scores equal")
+  }
+
+  test("topKIndexed over buildIndex equals the ad-hoc path") {
+    val qs = Seq((10L, "brown dog"), (12L, "the plain")).toDF("q_id", "q_text")
+    val adhoc = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val viaIdx = Bm25.topKIndexed(idx, qs, "q_id", "q_text", k = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaIdx == adhoc)
+  }
+
+  test("corpus tokens are pruned by broadcast BEFORE any shuffle") {
+    val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
+    val plan = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+      .queryExecution.executedPlan.toString
+    // the postings aggregation must sit above a broadcast join of the
+    // query terms, not above a raw exchange of all corpus tokens
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
