@@ -1044,6 +1044,25 @@ object SparkEntry {
           concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
       operators.Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // --- hybrid retrieval: BM25 over documents fused with dense kNN over
+    // embeddings via Reciprocal Rank Fusion. Both runs are top-10-per-query
+    // already, so fusion only ever touches queries x k rows ---
+    "q75_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      val sparse = operators.Bm25
+        .topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 10)
+        .select(col("q_id"), col("doc_id").as("item"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = operators.Knn
+        .bruteForce(emb.where(col("vec_id") % 97 === 0), emb, k = 10)
+        .select(col("q_id"), col("n_id").as("item"), col("rank"))
+      operators.Fuse.rrf(Seq(sparse, dense), "q_id", "item", "rank", k = 10)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1769,6 +1788,55 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM pd)
         |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Sparse half reproduces the q74 BM25 pipeline at k=10; dense half is
+    // the q25 cosine-rank pattern; fusion reciprocals are single exact
+    // double divisions summed in (contrib, run) sorted order — run 0 =
+    // sparse, run 1 = dense, matching Fuse.rrf's zipWithIndex tags.
+    "q75_hybrid_rrf" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(list_reduce(list(contrib ORDER BY contrib, term), (a, b) -> a + b), 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |sr AS (SELECT q_id, doc_id AS item, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, doc_id ASC) AS rank FROM pd),
+        |eq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |       FROM embeddings WHERE vec_id % 97 = 0),
+        |ec AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |       FROM embeddings),
+        |es AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM eq, ec WHERE q_id <> n_id),
+        |er AS (SELECT q_id, n_id AS item, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
+        |runs AS (SELECT q_id, item, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 0 AS run
+        |           FROM sr WHERE rank <= 10
+        |         UNION ALL
+        |         SELECT q_id, item, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 1 AS run
+        |           FROM er WHERE rank <= 10),
+        |fs AS (SELECT q_id, item,
+        |    round(list_reduce(list(contrib ORDER BY contrib, run), (a, b) -> a + b), 9) AS score
+        |  FROM runs GROUP BY q_id, item),
+        |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, item ASC) AS rank FROM fs)
+        |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   )
 }

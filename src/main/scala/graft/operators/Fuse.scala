@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — combine the ranked result lists of
+  * several retrievers (BM25 sparse, dense ANN, ...) into one list per
+  * query with Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+  * `score(item) = Σ_runs 1/(c + rank_run(item))`, the standard fusion
+  * in hybrid (lexical + embedding) retrieval stacks.
+  *
+  * Scale shape: each run is already top-k per query, so every input is
+  * queries x k rows — tiny relative to the corpora that produced them. The
+  * union groups on (query, item) in one shuffle of those small lists;
+  * per-query ranking is the `graft_kmin` k-capped heap, not a sort. RRF
+  * sees only ids and integer ranks — the 100 TB work stays inside the
+  * upstream retrievers.
+  *
+  * IEEE portability: each reciprocal is a single correctly-rounded double
+  * division of exact integers, so any engine reproduces it bit-for-bit;
+  * the per-item sum folds in (contribution, run) sorted order like
+  * [[Bm25]]'s scoring fold.
+  */
+object Fuse {
+
+  /** Fuse `runs` (each `(qCol, idCol, rankCol)`-shaped, rank 1-based) into
+    * top-`k` rows `(q, item, score, rank)` per query. Items missing from a
+    * run simply contribute nothing for that run (standard RRF). Ties break
+    * by ascending item id. `c` dampens the head of each list (60 is the
+    * original paper's constant).
+    */
+  def rrf(runs: Seq[DataFrame], qCol: String, idCol: String, rankCol: String,
+          k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrf requires at least one run")
+    require(k > 0, s"k must be positive, got $k")
+    graft.GraftFunctions.register(runs.head.sparkSession)
+    val tagged = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col(qCol).as("q"), col(idCol).as("item"),
+        (lit(1.0) / (lit(c) + col(rankCol).cast("long"))).as("contrib"),
+        lit(i).as("run"))
+    }.reduce(_ unionByName _)
+    val scored = tagged.groupBy("q", "item")
+      .agg(round(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("contrib").as("cb"), col("run")))),
+          x => x("cb")),
+        lit(0.0), (a, x) => a + x), 9).as("score"))
+    scored.groupBy("q")
+      .agg(call_function("graft_kmin",
+        struct((-col("score")).as("o"), col("item"), col("score")),
+        lit(k)).as("tk"))
+      .select(col("q"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q").as(qCol), col("e.item").as(idCol),
+        col("e.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runA = Seq(
+    (1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3),
+    (2L, 200L, 1), (2L, 201L, 2)
+  ).toDF("q_id", "item", "rank")
+
+  private def runB = Seq(
+    (1L, 101L, 1), (1L, 103L, 2),
+    (2L, 201L, 1), (2L, 200L, 2)
+  ).toDF("q_id", "item", "rank")
+
+  test("rrf matches hand-computed reciprocal rank sums") {
+    val got = Fuse.rrf(Seq(runA, runB), "q_id", "item", "rank", k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def rr(ranks: Int*) = BigDecimal(
+      ranks.map(r => 1.0 / (60 + r)).sorted.sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 101L)) == rr(2, 1), "item in both runs sums both")
+    assert(got((1L, 100L)) == rr(1), "item in one run contributes once")
+    assert(got((1L, 103L)) == rr(2))
+    assert(got((2L, 200L)) == rr(1, 2))
+  }
+
+  test("items in both runs outrank single-run items at similar ranks") {
+    val fused = Fuse.rrf(Seq(runA, runB), "q_id", "item", "rank", k = 10)
+      .where(col("q_id") === 1L).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fused.head._2 == 101L, "101 is rank 2 + rank 1 — the consensus pick")
+  }
+
+  test("k caps per query and ties break by ascending item id") {
+    val t1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "item", "rank")
+    val t2 = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("q_id", "item", "rank")
+    // both items end with 1/61 + 1/62 — a true tie
+    val fused = Fuse.rrf(Seq(t1, t2), "q_id", "item", "rank", k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fused.length == 1)
+    assert(fused.head._2 == 10L, "tie broken by item id")
+  }
+
+  test("single-run fusion preserves the run's order") {
+    val fused = Fuse.rrf(Seq(runA), "q_id", "item", "rank", k = 10)
+      .where(col("q_id") === 1L).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fused.map(_._2).toSeq == Seq(100L, 101L, 102L))
+  }
+}
