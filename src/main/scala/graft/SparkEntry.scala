@@ -1063,6 +1063,18 @@ object SparkEntry {
         .select(col("q_id"), col("n_id").as("item"), col("rank"))
       operators.Fuse.rrf(Seq(sparse, dense), "q_id", "item", "rank", k = 10)
         .orderBy("q_id", "rank")
+    }),
+
+    // --- DSIR importance weighting: score every document by hashed-n-gram
+    // log-likelihood ratio against a target domain (src0+src1 here) — the
+    // curation step that tilts a pretraining mix toward a target corpus.
+    // Bucket tables collapse to 4096 rows and broadcast; only (doc,
+    // bucket, count) rows ever shuffle ---
+    "q76_importance_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("source").isin("src0", "src1"))
+      operators.Importance.weights(docs, target, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1837,6 +1849,34 @@ object SparkEntry {
         |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, item ASC) AS rank FROM fs)
         |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Importance.weights: md5-prefix bucket hashing (the q51
+    // trick), add-1 smoothed log ratios rounded to 6, per-(doc,bucket)
+    // counts, sorted sequential fold.
+    "q76_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |uni AS (SELECT doc_id, unnest(ts) AS g FROM tok),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 1)) u(i) WHERE len(ts) >= 2),
+        |ag AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |bk AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(g || ':imp'), 1, 4) AS INT) AS BIGINT) % 4096 AS b
+        |  FROM ag),
+        |rc AS (SELECT b, COUNT(*) AS r_n FROM bk GROUP BY b),
+        |tc AS (SELECT b, COUNT(*) AS t_n FROM bk JOIN documents USING (doc_id)
+        |       WHERE source IN ('src0', 'src1') GROUP BY b),
+        |tt AS (SELECT SUM(t_n) AS t_tot FROM tc),
+        |rt AS (SELECT SUM(r_n) AS r_tot FROM rc),
+        |bs AS (SELECT i AS b FROM generate_series(0, 4095) s(i)),
+        |lr AS (SELECT b, round(ln(
+        |    ((CAST(COALESCE(t_n, 0) AS DOUBLE) + 1.0) / (CAST(t_tot AS DOUBLE) + 4096.0)) /
+        |    ((CAST(COALESCE(r_n, 0) AS DOUBLE) + 1.0) / (CAST(r_tot AS DOUBLE) + 4096.0))), 6) AS lr
+        |  FROM bs LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tt CROSS JOIN rt),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n_db FROM bk GROUP BY doc_id, b),
+        |c AS (SELECT doc_id, b, round(n_db * lr, 6) AS c FROM db JOIN lr USING (b)),
+        |w AS (SELECT doc_id, round(list_reduce(list(c ORDER BY c, b), (a, x) -> a + x), 6) AS weight
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, weight FROM w ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma alpha", "t"),
+    (2L, "alpha beta", "t"),
+    (3L, "delta epsilon zeta delta epsilon", "r"),
+    (4L, "beta delta common words here", "r"),
+    (5L, "alpha beta gamma words", "r"),
+    (6L, "   ", "r") // whitespace-only: no tokens, must be absent
+  )
+
+  private def docs = corpus.toDF("doc_id", "text", "grp")
+
+  /** Independent scalar reference of the same DSIR weighting. */
+  private def reference(buckets: Int = 4096, alpha: Double = 1.0): Map[Long, Double] = {
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String) = { val ts = toks(t); ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + ":imp").getBytes("UTF-8"))
+      val hex = md.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = corpus.filter(c => toks(c._2).nonEmpty)
+    val rawB = all.flatMap(c => grams(c._2).map(bucket))
+    val tgtB = all.filter(_._3 == "t").flatMap(c => grams(c._2).map(bucket))
+    val rCnt = rawB.groupBy(identity).view.mapValues(_.size).toMap
+    val tCnt = tgtB.groupBy(identity).view.mapValues(_.size).toMap
+    val (rTot, tTot) = (rawB.size, tgtB.size)
+    def lr(b: Long) = r6(math.log(
+      ((tCnt.getOrElse(b, 0) + alpha) / (tTot + alpha * buckets)) /
+      ((rCnt.getOrElse(b, 0) + alpha) / (rTot + alpha * buckets))))
+    all.map { c =>
+      val perB = grams(c._2).map(bucket).groupBy(identity).view.mapValues(_.size)
+      val contribs = perB.map { case (b, n) => (r6(n * lr(b)), b) }.toSeq.sorted
+      c._1 -> r6(contribs.map(_._1).foldLeft(0.0)(_ + _))
+    }.toMap
+  }
+
+  test("weights match an independent scalar DSIR computation exactly") {
+    val got = Importance.weights(docs, docs.where(col("grp") === "t"),
+        "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val want = reference()
+    assert(got.keySet == want.keySet, "whitespace-only doc excluded")
+    for ((id, w) <- want) assert(got(id) == w, s"weight for doc $id")
+  }
+
+  test("target-looking documents score higher than off-domain ones") {
+    val got = Importance.weights(docs, docs.where(col("grp") === "t"),
+        "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // doc 5 shares 'alpha beta gamma' with the target; doc 3 shares nothing
+    assert(got(5L) > got(3L))
+    assert(got(1L) > got(3L), "target doc itself scores high")
+  }
+
+  test("bucket tables broadcast; only (doc,bucket) rows shuffle") {
+    val plan = Importance.weights(docs, docs.where(col("grp") === "t"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+}
