@@ -20,6 +20,19 @@ object Prof {
     import graft.functions.VectorFunctions._
     time("normalize sum")(e.select(sum(size(normalize(col("embedding"))))).head())
     time("hyperlsh16")(e.select(sum(hyperplaneLsh(col("embedding"),16))).head())
+    // bm25 stage anatomy (q74 at sf0.1)
+    val qs = d.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+    time("bm25 qterms")(qs.select(explode(tokens(col("q_text")))).distinct().count())
+    time("bm25 explode+count")(d.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term")).count())
+    time("bm25 full 1st")(graft.operators.Bm25.topK(d, "doc_id", "text", qs,
+      "q_id", "q_text", k = 5).count())
+    time("bm25 full 2nd")(graft.operators.Bm25.topK(d, "doc_id", "text", qs,
+      "q_id", "q_text", k = 5).count())
+    time("bm25 full 3rd")(graft.operators.Bm25.topK(d, "doc_id", "text", qs,
+      "q_id", "q_text", k = 5).count())
     spark.stop()
   }
 }
