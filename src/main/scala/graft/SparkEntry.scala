@@ -1075,6 +1075,21 @@ object SparkEntry {
       val target = docs.where(col("source").isin("src0", "src1"))
       operators.Importance.weights(docs, target, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- incremental near-dup: every 5th document arrives as the "new
+    // batch" and is checked against a MinHash band index of the standing
+    // corpus — old text is never re-read, only (id, band, bucket) rows
+    // move. Oracle reproduces the band-slice equalities from the minhash
+    // signature chain (bucket-hash collisions are 2^-64) ---
+    "q77_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val idx = operators.MinHashIndex.Index(
+        operators.MinHashIndex.bands(old, "doc_id", "text"), 3, 16, 4)
+      operators.MinHashIndex.candidates(idx, batch, "doc_id", "text")
+        .orderBy("kind", "id_a", "id_b")
     })
   )
 
@@ -1877,6 +1892,26 @@ object SparkEntry {
         |c AS (SELECT doc_id, b, round(n_db * lr, 6) AS c FROM db JOIN lr USING (b)),
         |w AS (SELECT doc_id, round(list_reduce(list(c ORDER BY c, b), (a, x) -> a + x), 6) AS weight
         |      FROM c GROUP BY doc_id)
-        |SELECT doc_id, weight FROM w ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, weight FROM w ORDER BY doc_id""".stripMargin,
+
+    // Two documents share an LSH bucket iff their band's signature slice is
+    // equal (the bucket id is a hash of the slice; collisions are 2^-64),
+    // so the oracle joins on band-slice equality over the minhashSig chain.
+    "q77_incremental_neardup" -> {
+      val sig = graft.expressions.OracleHashSql.minhashSig(3, 16)
+      s"""WITH sig AS (SELECT * FROM ($sig) tt),
+         |bnd AS (SELECT doc_id, j // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY j), ',') AS bv
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |nb AS (SELECT * FROM bnd WHERE doc_id % 5 = 0),
+         |ob AS (SELECT * FROM bnd WHERE doc_id % 5 <> 0),
+         |no AS (SELECT DISTINCT nb.doc_id AS id_a, ob.doc_id AS id_b, 'new_old' AS kind
+         |       FROM nb JOIN ob ON nb.band = ob.band AND nb.bv = ob.bv),
+         |nn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 'new_new' AS kind
+         |       FROM nb a JOIN nb b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, kind FROM no
+         |UNION ALL SELECT id_a, id_b, kind FROM nn
+         |ORDER BY kind, id_a, id_b""".stripMargin
+    }
   )
 }

@@ -87,8 +87,11 @@ object Bm25 {
     score(pruned, index.stats, qTerms, k, k1, b)
   }
 
-  /** One row (n_docs, sum_dl) over non-empty docs — a single shuffle-free
-    * aggregation on the raw text, no token explode.
+  /** One row (n_docs, sum_dl) over non-empty docs — a shuffle-free
+    * single-row aggregation on the raw text. This is a second tokenization
+    * pass (Spark won't share the scan between two consumers of the token
+    * explode); for standing corpora [[buildIndex]] amortizes it into the
+    * persisted index so queries never pay it.
     */
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.select(tokenCount(col(textCol)).as("dl")).where(col("dl") > 0)

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band index for INCREMENTAL near-duplicate
+  * detection: shingle/hash the standing corpus once, store only its
+  * (id, band, bucket) rows, and check each new ingest batch against the
+  * index without ever re-reading the old text. This is the missing half of
+  * one-shot [[TextDedup.minHashCandidates]] at 100 TB — a daily batch is
+  * GBs, the corpus is the 100 TB; recomputing corpus signatures per batch
+  * would dwarf the actual work.
+  *
+  * Scale shape: the index is ~numBands x 16 bytes per document (three to
+  * four orders of magnitude smaller than the text). Batch-vs-corpus
+  * candidate generation shuffles only (band, bucket, id) triples on the
+  * 8-byte bucket hash; the degenerate-bucket cap bounds the worst key
+  * exactly like the one-shot path. `write` partitions by band so each of
+  * the nBands join tasks reads only its own slice.
+  */
+object MinHashIndex {
+
+  final case class Index(buckets: DataFrame, shingleN: Int, numHashes: Int,
+                         rowsPerBand: Int)
+
+  /** `(id, band, bucket)` LSH band rows for a corpus slice — the rows the
+    * index stores. Documents with fewer than `shingleN` tokens have no
+    * signature and produce no rows (same contract as the one-shot path).
+    */
+  def bands(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+            numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        minHashFast(col(textCol), shingleN, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(lshBuckets(col("sig"), rowsPerBand)).as(Seq("band", "bucket")))
+
+  /** Build and persist the index: band rows under `path/buckets`
+    * (partitioned by band) plus the hash parameters under `path/params`,
+    * so [[open]]/[[append]] can never silently mix incompatible hashes.
+    */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+            shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val s = df.sparkSession
+    bands(df, idCol, textCol, shingleN, numHashes, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+    import s.implicits._
+    Seq((shingleN, numHashes, rowsPerBand))
+      .toDF("shingle_n", "num_hashes", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def open(spark: SparkSession, path: String): Index = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Index(spark.read.parquet(s"$path/buckets"),
+      p.getAs[Int]("shingle_n"), p.getAs[Int]("num_hashes"),
+      p.getAs[Int]("rows_per_band"))
+  }
+
+  /** Add a new batch's band rows to a persisted index (after the batch has
+    * been admitted). Parameters come from the stored index, so appended
+    * rows are always hash-compatible.
+    */
+  def append(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val idx = open(df.sparkSession, path)
+    bands(df, idCol, textCol, idx.shingleN, idx.numHashes, idx.rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+  }
+
+  /** Near-duplicate candidate pairs for a new batch: `(id_a, id_b, kind)`
+    * where kind `new_old` pairs a batch doc (`id_a`) with an indexed doc
+    * (`id_b`), and `new_new` pairs two batch docs (`id_a < id_b`).
+    * Buckets whose COMBINED (index + batch) size exceeds `maxBucketSize`
+    * are dropped — identical semantics to the one-shot path's degeneracy
+    * cap. Old-old pairs are never emitted: the standing corpus was already
+    * deduped when it was admitted.
+    */
+  def candidates(index: Index, batch: DataFrame, idCol: String, textCol: String,
+                 maxBucketSize: Int = 1000): DataFrame = {
+    val nb = bands(batch, idCol, textCol, index.shingleN, index.numHashes,
+      index.rowsPerBand).withColumn("is_new", lit(true))
+    val all = nb.unionByName(
+      index.buckets.select(col("id"), col("band"), col("bucket"))
+        .withColumn("is_new", lit(false)))
+    val bounded = all.join(
+      all.groupBy("band", "bucket").count()
+        .where(col("count") <= maxBucketSize).drop("count"),
+      Seq("band", "bucket"), "left_semi")
+    val n = bounded.where(col("is_new"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val o = bounded.where(!col("is_new"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val newOld = n.join(o, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+      .withColumn("kind", lit("new_old"))
+    val newNew = n.join(n.withColumnRenamed("id_a", "id_b"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .withColumn("kind", lit("new_new"))
+    newOld.unionByName(newNew)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup families: docs 1/2 and 101/102 are light edits of each other;
+  // doc 50 is in the "old" corpus and near-dups new doc 100
+  private def mk(id: Long, text: String) = (id, text)
+  private def corpus = Seq(
+    mk(1, "the quick brown fox jumps over the lazy dog again and again today"),
+    mk(2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    mk(3, "completely different content about distributed query engines"),
+    mk(50, "rain in spain falls mainly on the plain every single autumn day"),
+    mk(4, "yet another unrelated document mentioning shuffles and partitions")
+  ).toDF("doc_id", "text")
+
+  // 100 is a light edit of old doc 50; 101/102 are exact dups of each other
+  // (every band collides — deterministic, unlike a one-word edit whose
+  // collision odds depend on which shingles win the min)
+  private def batch = Seq(
+    mk(100, "rain in spain falls mainly on the plain every single autumn night"),
+    mk(101, "novel content that resembles nothing in the standing corpus at all"),
+    mk(102, "novel content that resembles nothing in the standing corpus at all")
+  ).toDF("doc_id", "text")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+    df.select("id_a", "id_b", "kind").as[(Long, Long, String)].collect().toSet
+
+  test("incremental candidates equal the one-shot path restricted to new docs") {
+    val idx = MinHashIndex.Index(
+      MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
+    val got = pairs(MinHashIndex.candidates(idx, batch, "doc_id", "text"))
+    val newIds = Set(100L, 101L, 102L)
+    val oneShot = TextDedup
+      .minHashCandidates(corpus.unionByName(batch), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    val gotNorm = got.map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+    val oneNorm = oneShot.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(gotNorm == oneNorm)
+    assert(got.exists { case (a, b, k) => a == 100L && b == 50L && k == "new_old" })
+    assert(got.exists { case (a, b, k) => a == 101L && b == 102L && k == "new_new" })
+  }
+
+  test("write → open round-trips buckets and params; candidates unchanged") {
+    val dir = Files.createTempDirectory("mhidx").toString
+    MinHashIndex.write(corpus, "doc_id", "text", dir)
+    val opened = MinHashIndex.open(spark, dir)
+    assert((opened.shingleN, opened.numHashes, opened.rowsPerBand) == (3, 16, 4))
+    val inMem = MinHashIndex.Index(
+      MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
+    assert(pairs(MinHashIndex.candidates(opened, batch, "doc_id", "text")) ==
+      pairs(MinHashIndex.candidates(inMem, batch, "doc_id", "text")))
+    // the store is band-partitioned so each join task reads only its slice
+    assert(new java.io.File(s"$dir/buckets").listFiles()
+      .exists(_.getName.startsWith("band=")))
+  }
+
+  test("append admits a batch; the next batch sees it as old") {
+    val dir = Files.createTempDirectory("mhidx2").toString
+    MinHashIndex.write(corpus, "doc_id", "text", dir)
+    MinHashIndex.append(batch, "doc_id", "text", dir)
+    val idx = MinHashIndex.open(spark, dir)
+    val next = Seq(mk(200, "novel content that resembles nothing in the standing corpus at all"))
+      .toDF("doc_id", "text")
+    val got = pairs(MinHashIndex.candidates(idx, next, "doc_id", "text"))
+    assert(got.exists { case (a, b, k) => a == 200L && Set(101L, 102L)(b) && k == "new_old" },
+      s"appended docs must be findable, got $got")
+  }
+
+  test("combined bucket-size cap drops degenerate buckets") {
+    val boiler = (0 until 30).map(i => mk(1000 + i, "identical boilerplate text repeated verbatim across documents"))
+      .toDF("doc_id", "text")
+    val idx = MinHashIndex.Index(
+      MinHashIndex.bands(boiler, "doc_id", "text"), 3, 16, 4)
+    val oneNew = Seq(mk(2000, "identical boilerplate text repeated verbatim across documents"))
+      .toDF("doc_id", "text")
+    val uncapped = MinHashIndex.candidates(idx, oneNew, "doc_id", "text").count()
+    val capped = MinHashIndex.candidates(idx, oneNew, "doc_id", "text",
+      maxBucketSize = 10).count()
+    assert(uncapped == 30L)
+    assert(capped == 0L, "every bucket exceeds the cap → no candidates")
+  }
+}
