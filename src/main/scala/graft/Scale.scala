@@ -95,6 +95,27 @@ object Scale {
     val idx8 = Ivf.build(e8, 16, trainSample = 10000)
     idx8.assigned.cache().count()
     time("ivf_query_8x")(Ivf.query(idx8, qset, 5, 4).count())
+    // BM25: fixed query set, corpus grows — time must track the corpus scan
+    val bmq = d1.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 8)).as("q_text"))
+    time("bm25_1x")(Bm25.topK(d1, "doc_id", "text", bmq, "q_id", "q_text", 5).count())
+    time("bm25_16x")(Bm25.topK(d16, "doc_id", "text", bmq, "q_id", "q_text", 5).count())
+    // DSIR: fixed target corpus, raw side grows
+    val tgt = d1.where(col("doc_id") % 50 === 0)
+    time("dsir_1x")(Importance.weights(d1, tgt, "doc_id", "text").count())
+    time("dsir_16x")(Importance.weights(d16, tgt, "doc_id", "text").count())
+    // incremental near-dup: fixed new batch, standing index grows —
+    // index bands pre-materialized (parquet at real scale)
+    val mhb = d1.where(col("doc_id") % 20 === 0)
+    val mh1 = MinHashIndex.bands(d1.where(col("doc_id") % 20 =!= 0), "doc_id", "text")
+    mh1.cache().count()
+    time("mhidx_1x")(MinHashIndex.candidates(
+      MinHashIndex.Index(mh1, 3, 16, 4), mhb, "doc_id", "text").count())
+    val mh16 = MinHashIndex.bands(d16.where(col("doc_id") % 20 =!= 0), "doc_id", "text")
+    mh16.cache().count()
+    time("mhidx_16x")(MinHashIndex.candidates(
+      MinHashIndex.Index(mh16, 3, 16, 4), mhb, "doc_id", "text").count())
     spark.stop()
   }
 }
