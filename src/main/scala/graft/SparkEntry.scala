@@ -1108,6 +1108,30 @@ object SparkEntry {
         .agg(countDistinct(col("q_id")).as("n_queries"),
           // measured 0.68-0.90 across sf0.001/0.01/0.1 at shortlist=100
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- per-language data card: the release-summary table (volume,
+    // length distribution, exact-dup rate). Word-count-shaped: digests
+    // shuffle, text doesn't ---
+    "q79_data_card" -> ((s, dir) => {
+      graft.quality.DataCard
+        .build(t(s, dir, "documents"), "lang", "text", "n_chars")
+        .orderBy("stratum")
+    }),
+
+    // --- hard-negative mining for contrastive training: nearest neighbors
+    // of each probe that carry a DIFFERENT label — close in embedding
+    // space, wrong class. Rides Knn.bruteForce's bounded-shuffle ranking;
+    // the label attach is a broadcast-sized join per side ---
+    "q80_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8)
+      operators.Knn.bruteForce(probes, emb, k = 10)
+        .join(emb.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+        .join(emb.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+        .where(col("q_label") =!= col("n_label"))
+        .select("q_id", "n_id", "rank", "sim")
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -1933,6 +1957,34 @@ object SparkEntry {
     },
 
     "q78_pq_recall" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok"
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    "q79_data_card" ->
+      """WITH d AS (SELECT lang AS stratum,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tok,
+        |    n_chars, md5(text) AS fp FROM documents),
+        |fc AS (SELECT fp, COUNT(*) AS nfp FROM d GROUP BY fp)
+        |SELECT stratum, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  round(quantile_cont(n_tok, 0.5), 6) AS median_tokens,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM d JOIN fc USING (fp) GROUP BY stratum ORDER BY stratum""".stripMargin,
+
+    // q25's exact-cosine ranking + label attach + different-label filter
+    "q80_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, label AS n_label,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |s AS (SELECT q_id, q_label, n_id, n_label,
+        |        round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, q_label, n_id, n_label, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r
+        |WHERE rank <= 10 AND q_label <> n_label ORDER BY q_id, rank""".stripMargin
   )
 }

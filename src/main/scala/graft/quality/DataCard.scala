@@ -1,0 +1,38 @@
+package graft.quality
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-stratum corpus "data card" — the summary table a dataset release
+  * ships with (cf. "Datasheets for Datasets", Gebru et al., and the data
+  * cards attached to public pretraining corpora): volume, length
+  * distribution, and exact-duplication rate per language/source stratum.
+  *
+  * One narrow scan derives tokens/fingerprints; the fingerprint groupBy
+  * (the duplicate check) shuffles 16-byte digests, never text; the final
+  * per-stratum aggregation is one reduce over compact rows. At 100 TB this
+  * is a word-count-shaped job.
+  */
+object DataCard {
+
+  /** One row per stratum: doc count, token volume, median tokens, p90
+    * chars, and how many docs share their (exact, normalized) fingerprint
+    * with at least one other document CORPUS-WIDE (duplication crosses
+    * strata; the count is attributed to each copy's stratum).
+    */
+  def build(docs: DataFrame, strataCol: String, textCol: String,
+            charsCol: String): DataFrame = {
+    val d = docs.select(col(strataCol).as("stratum"),
+      tokenCount(col(textCol)).as("n_tok"), col(charsCol).as("n_chars"),
+      md5(col(textCol).cast("binary")).as("fp"))
+    val fc = d.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    d.join(fc, Seq("fp"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(expr("percentile(n_tok, 0.5)"), 6).as("median_tokens"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("dup_docs"))
+  }
+}
