@@ -45,7 +45,13 @@ object Importance {
       .select(bucketOf(col("g")).as("b"))
       .groupBy("b").agg(count(lit(1)).as(n))
     val tc = bucketCounts(target, "t_n")
-    val rc = bucketCounts(raw, "r_n")
+    val perDocBucket = raw
+      .select(col(idCol).as("doc_id"), explode(gramsOf(col(textCol))).as("g"))
+      .select(col("doc_id"), bucketOf(col("g")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n_db"))
+    // raw bucket counts roll up from the per-doc table — the raw corpus is
+    // tokenized and hashed ONCE, not once for counts and again for scoring
+    val rc = perDocBucket.groupBy("b").agg(sum("n_db").as("r_n"))
     val tTot = tc.agg(sum("t_n").as("t_tot"))
     val rTot = rc.agg(sum("r_n").as("r_tot"))
     // smoothed log ratio for EVERY bucket (absent buckets still get the
@@ -58,10 +64,6 @@ object Importance {
           (col("t_tot") + lit(alpha * buckets))) /
         ((coalesce(col("r_n"), lit(0L)) + lit(alpha)) /
           (col("r_tot") + lit(alpha * buckets)))), 6).as("lr"))
-    val perDocBucket = raw
-      .select(col(idCol).as("doc_id"), explode(gramsOf(col(textCol))).as("g"))
-      .select(col("doc_id"), bucketOf(col("g")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("n_db"))
     perDocBucket.join(broadcast(lr), Seq("b"))
       .withColumn("c", round(col("n_db") * col("lr"), 6))
       .groupBy("doc_id")

@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +30,13 @@ object Pq {
   }
 
   /** Train per-subspace codebooks on a bounded sample of (normalized)
-    * `vec`. Deterministic: seeded sample, seeded KMeans per subspace.
+    * `vec`. The sample is collected to the driver (it is bounded by
+    * `trainSample` BY CONSTRUCTION — ≤ trainSample x dim floats, a few MB,
+    * never data-scale) and each subspace runs a seeded Lloyd's iteration
+    * locally: m tiny k-means problems are driver math, not m distributed
+    * jobs — on a cluster the alternative costs m job round-trips to fit
+    * centers for 8-dimensional slices of a 10⁴-row sample. Deterministic:
+    * seeded sample, seeded init, first-index tie-breaks.
     */
   def train(corpus: DataFrame, m: Int = 8, kc: Int = 16,
             vec: String = "embedding", dim: Int = 64,
@@ -40,20 +44,60 @@ object Pq {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val sample = Ivf.boundedSample(
-      corpus.select(normalizeFast(col(vec)).as("v")), trainSample, seed)
-    // one cached sample feeds all m trainings
-    sample.cache().count()
-    val centers = try {
-      (0 until m).map { mi =>
-        val slices = sample.select(array_to_vector(
-          transform(slice(col("v"), mi * sub + 1, sub), _.cast("double")))
-          .as("features"))
-        val model = new KMeans().setK(kc).setSeed(seed + mi).setMaxIter(10)
-          .fit(slices)
-        model.clusterCenters.toSeq.map(_.toArray.toSeq)
-      }
-    } finally sample.unpersist()
+        corpus.select(transform(normalizeFast(col(vec)), _.cast("double")).as("v")),
+        trainSample, seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val centers = (0 until m).map { mi =>
+      val pts = sample.map(v => Array.tabulate(sub)(i => v(mi * sub + i)))
+      lloyd(pts, kc, iters = 10, new scala.util.Random(seed + mi))
+        .map(_.toSeq).toSeq
+    }
     Codebooks(m, kc, dim, centers)
+  }
+
+  /** Plain seeded Lloyd's: shuffled-index init, nearest-center assignment
+    * with first-index tie-breaks, empty clusters keep their old center.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                    rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = pts.head.length
+    val order = rnd.shuffle(pts.indices.toVector)
+    val centers = Array.tabulate(k)(i => pts(order(i % pts.length)).clone())
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) {
+            val diff = pts(p)(i) - centers(c)(i); dist += diff * diff; i += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centers
   }
 
   private def l2sq(a: Column, b: Column): Column =

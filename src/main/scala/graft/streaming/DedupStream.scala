@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.MinHashIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming corpus ingestion with INCREMENTAL near-duplicate rejection —
+  * the streaming face of [[MinHashIndex]]: every micro-batch is checked
+  * against the band index of everything admitted so far, duplicates are
+  * dropped, survivors are published and their band rows join the index.
+  * The standing corpus text is never re-read; per batch the work is
+  * O(batch + colliding bucket rows), which is what keeps a 100 TB corpus
+  * ingestible at stream latency.
+  *
+  * Within a batch the keep-first rule applies: a doc is rejected if it has
+  * any candidate in the index, or a batch-mate candidate with a smaller
+  * id. (Conservative on chains: if a~b and b~c, both b and c are dropped
+  * even though b's own match was dropped — duplicate suppression errs
+  * toward dropping.)
+  *
+  * Idempotency on retried batches: both the admitted output and the index
+  * band rows are written with DYNAMIC partition overwrite on `batch_id`,
+  * so a re-run batch replaces exactly its own partition instead of
+  * appending twice. Readers of the index ([[MinHashIndex.open]]) see
+  * `batch_id` as just another column.
+  */
+object DedupStream {
+
+  def run(spark: SparkSession, changesDir: String, schema: StructType,
+          indexDir: String, outDir: String, checkpointDir: String,
+          idCol: String, textCol: String, shingleN: Int = 3,
+          numHashes: Int = 16, rowsPerBand: Int = 4,
+          maxBucketSize: Int = 1000): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).json(changesDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val index = openOrEmpty(s, indexDir, batch, idCol,
+          shingleN, numHashes, rowsPerBand)
+        val cands = MinHashIndex.candidates(index, batch, idCol, textCol,
+          maxBucketSize)
+        val dropIds = cands.where(col("kind") === "new_old").select(col("id_a"))
+          .unionByName(cands.where(col("kind") === "new_new").select(col("id_b").as("id_a")))
+          .distinct().withColumnRenamed("id_a", idCol)
+        val admitted = batch.join(dropIds, Seq(idCol), "left_anti")
+        admitted.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$outDir/docs")
+        MinHashIndex.bands(admitted, idCol, textCol, shingleN, numHashes,
+            rowsPerBand)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$indexDir/buckets")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The admitted corpus across all batches. */
+  def admitted(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/docs")
+
+  private def openOrEmpty(spark: SparkSession, indexDir: String,
+                          batch: DataFrame, idCol: String, shingleN: Int,
+                          numHashes: Int, rowsPerBand: Int): MinHashIndex.Index = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets =
+      if (fs.exists(path)) spark.read.parquet(path.toString)
+      else batch.select(col(idCol).as("id")).limit(0)
+        .withColumn("band", lit(0))
+        .withColumn("bucket", lit(0L))
+    MinHashIndex.Index(buckets, shingleN, numHashes, rowsPerBand)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class DedupStreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def writeJson(dir: String, name: String, rows: Seq[(Long, String)]): Unit = {
+    val lines = rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+    Files.write(java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("admits unique docs, rejects dups vs the index and within a batch, survives re-runs") {
+    val root = Files.createTempDirectory("dedupstream").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val idx = s"$root/index"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    // batch 1: two uniques + an exact within-batch dup of doc 1
+    writeJson(in, "b1.json", Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "completely different content about distributed query engines",
+      3L -> "the quick brown fox jumps over the lazy dog tonight"))
+    DedupStream.run(spark, in, schema, idx, out, ckpt, "doc_id", "text")
+    val after1 = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(after1 == Set(1L, 2L), s"keep-first within batch, got $after1")
+
+    // batch 2: a dup of an ADMITTED doc (cross-batch, via the index),
+    // plus a fresh unique
+    writeJson(in, "b2.json", Seq(
+      10L -> "completely different content about distributed query engines",
+      11L -> "a genuinely novel document that matches nothing admitted before"))
+    DedupStream.run(spark, in, schema, idx, out, ckpt, "doc_id", "text")
+    val after2 = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(after2 == Set(1L, 2L, 11L), s"10 rejected via the index, got $after2")
+
+    // no new files: re-running the AvailableNow query changes nothing
+    DedupStream.run(spark, in, schema, idx, out, ckpt, "doc_id", "text")
+    val after3 = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(after3 == after2)
+
+    // the index holds band rows ONLY for admitted docs
+    val indexed = spark.read.parquet(s"$idx/buckets")
+      .select("id").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(indexed == Set(1L, 2L, 11L))
+  }
+}
