@@ -1,17 +1,16 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
   * into KMeans cells once, then answer queries by scanning only the
   * `nProbe` cells nearest each query — the classic coarse-quantization ANN
-  * index, built from Spark MLlib primitives.
+  * index.
   *
-  * Scale notes: training samples the corpus (KMeans on a bounded sample);
+  * Scale notes: training samples the corpus (driver-side seeded k-means++
+  * on a bounded sample — [[Lloyd]]);
   * assignment is one narrow pass; the index is the corpus re-partitioned
   * by `cell` and persisted `partitionBy("cell")` ([[write]]/[[open]]), so a
   * query's candidate read is PRUNED AT THE PARQUET SCAN to the probed
@@ -90,26 +89,31 @@ object Ivf {
     spark.createDataFrame(sampled, schema)
   }
 
-  /** Build the index: KMeans centroids (trained on up to ~`trainSample`
-    * rows, sampled without a pre-count) + cell assignment for every corpus
-    * vector.
+  /** Build the index: coarse centroids trained driver-side on up to
+    * ~`trainSample` rows (sampled without a pre-count; the fit is plain
+    * driver math via [[Lloyd]] — no distributed KMeans job round-trips)
+    * + in-plan argmin cell assignment for every corpus vector (one narrow
+    * pass, centroids ride as plan literals).
     */
   def build(corpus: DataFrame, nCells: Int, id: String = "vec_id",
             vec: String = "embedding", trainSample: Int = 100000,
             seed: Long = 42L): Index = {
     val spark = corpus.sparkSession
     val withVec = corpus.select(col(id).as("id"), col(vec).as("emb"))
-      .withColumn("features", array_to_vector(
-        // KMeans wants double vectors
-        transform(col("emb"), _.cast("double"))))
-    val train = boundedSample(withVec.select("features"), trainSample, seed)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .fit(train)
-    val assigned = model.transform(withVec)
-      .select(col("id"), col("emb"), col("prediction").as("cell"))
+    val sample = boundedSample(
+        withVec.select(transform(col("emb"), _.cast("double")).as("v")),
+        trainSample, seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = Lloyd.fit(sample, nCells, iters = 20, seed)
+    val cbLit = typedlit(centers.map(_.toSeq).toSeq)
+    val dists = transform(cbLit, c =>
+      aggregate(zip_with(transform(col("emb"), _.cast("double")), c,
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    val assigned = withVec.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray) }
+    val centroids = centers.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }
       .toDF("cell", "centroid")
     Index(centroids, assigned, nCells)
   }

@@ -50,54 +50,9 @@ object Pq {
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
     val centers = (0 until m).map { mi =>
       val pts = sample.map(v => Array.tabulate(sub)(i => v(mi * sub + i)))
-      lloyd(pts, kc, iters = 10, new scala.util.Random(seed + mi))
-        .map(_.toSeq).toSeq
+      Lloyd.fit(pts, kc, iters = 10, seed + mi).map(_.toSeq).toSeq
     }
     Codebooks(m, kc, dim, centers)
-  }
-
-  /** Plain seeded Lloyd's: shuffled-index init, nearest-center assignment
-    * with first-index tie-breaks, empty clusters keep their old center.
-    */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
-                    rnd: scala.util.Random): Array[Array[Double]] = {
-    val d = pts.head.length
-    val order = rnd.shuffle(pts.indices.toVector)
-    val centers = Array.tabulate(k)(i => pts(order(i % pts.length)).clone())
-    val assign = new Array[Int](pts.length)
-    for (_ <- 0 until iters) {
-      var p = 0
-      while (p < pts.length) {
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          var dist = 0.0; var i = 0
-          while (i < d) {
-            val diff = pts(p)(i) - centers(c)(i); dist += diff * diff; i += 1
-          }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        assign(p) = best; p += 1
-      }
-      val sums = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Int](k)
-      p = 0
-      while (p < pts.length) {
-        val c = assign(p); counts(c) += 1
-        var i = 0
-        while (i < d) { sums(c)(i) += pts(p)(i); i += 1 }
-        p += 1
-      }
-      var c = 0
-      while (c < k) {
-        if (counts(c) > 0) {
-          var i = 0
-          while (i < d) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
-        }
-        c += 1
-      }
-    }
-    centers
   }
 
   private def l2sq(a: Column, b: Column): Column =
