@@ -33,6 +33,19 @@ object Prof {
       "q_id", "q_text", k = 5).count())
     time("bm25 full 3rd")(graft.operators.Bm25.topK(d, "doc_id", "text", qs,
       "q_id", "q_text", k = 5).count())
+    // DSIR stage anatomy (q76 at sf0.1)
+    val grams = concat(wordShingles(col("text"), 1), wordShingles(col("text"), 2))
+    val bucketCol = (conv(substring(md5(concat(col("g"), lit(":imp"))), 1, 4), 16, 10)
+      .cast("long") % 4096).as("b")
+    time("dsir grams explode")(d.select(col("doc_id"), explode(grams).as("g")).count())
+    time("dsir buckets")(d.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), bucketCol).count())
+    time("dsir perdoc agg")(d.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), bucketCol)
+      .groupBy("doc_id", "b").count().count())
+    val tgt = d.where(col("source").isin("src0", "src1"))
+    time("dsir full 1st")(graft.operators.Importance.weights(d, tgt, "doc_id", "text").count())
+    time("dsir full 2nd")(graft.operators.Importance.weights(d, tgt, "doc_id", "text").count())
     spark.stop()
   }
 }

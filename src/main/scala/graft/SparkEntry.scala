@@ -1132,6 +1132,26 @@ object SparkEntry {
         .where(col("q_label") =!= col("n_label"))
         .select("q_id", "n_id", "rank", "sim")
         .orderBy("q_id", "rank")
+    }),
+
+    // --- canonical-copy selection: after clustering near-dups (q48's
+    // jaccard + connected components), keep ONE doc per cluster — the
+    // longest, ties to the lowest id — the "which copy survives dedup"
+    // policy. The argmax is the graft_kmin heap with k=1 ---
+    "q81_canonical_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 4, threshold = 0.05)
+      val comp = ConnectedComponents.components(s, docs.select("doc_id"),
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+      comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(call_function("graft_kmin",
+            struct((-col("n_chars")).as("o"), col("doc_id")), lit(1)).as("tk"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), col("tk")(0)("doc_id").as("kept_doc"),
+          col("n_members"), (col("n_members") - 1).as("n_dropped"))
+        .orderBy("component")
     })
   )
 
@@ -1985,6 +2005,33 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
         |      FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r
-        |WHERE rank <= 10 AND q_label <> n_label ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 10 AND q_label <> n_label ORDER BY q_id, rank""".stripMargin,
+
+    // q48's recursive-CTE clustering + longest-member (ties -> lowest id)
+    // canonical pick
+    "q81_canonical_docs" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |          WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.05),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        |j AS (SELECT component, comp.doc_id, n_chars FROM comp JOIN documents USING (doc_id)),
+        |rk AS (SELECT component, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY component) AS n_members
+        |      FROM j)
+        |SELECT component, doc_id AS kept_doc, n_members, n_members - 1 AS n_dropped
+        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
   )
 }
