@@ -116,6 +116,13 @@ object Scale {
     mh16.cache().count()
     time("mhidx_16x")(MinHashIndex.candidates(
       MinHashIndex.Index(mh16, 3, 16, 4), mhb, "doc_id", "text").count())
+    // PQ ADC search: fixed queries, code corpus grows — codes precomputed
+    // (the persisted-index shape), scan cost should track the 8-byte codes
+    val pqcb = Pq.train(e1, m = 8, kc = 16, trainSample = 10000)
+    val pqc1 = Pq.encode(e1, pqcb); pqc1.cache().count()
+    val pqc8 = Pq.encode(e8, pqcb); pqc8.cache().count()
+    time("pq_search_1x")(Pq.search(pqcb, pqc1, qset, 5).count())
+    time("pq_search_8x")(Pq.search(pqcb, pqc8, qset, 5).count())
     spark.stop()
   }
 }

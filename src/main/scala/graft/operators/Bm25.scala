@@ -94,12 +94,14 @@ object Bm25 {
     * persisted index so queries never pay it.
     */
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(tokenCount(col(textCol)).as("dl")).where(col("dl") > 0)
+    docs.select(size(shinglesAllFast(col(textCol), 1)).as("dl"))
+      .where(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
 
   /** `(term, doc_id, dl)` rows — one per token occurrence, dl > 0. */
   private def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+    docs.select(col(idCol).as("doc_id"),
+        shinglesAllFast(col(textCol), 1).as("__ts"))
       .where(size(col("__ts")) > 0)
       .select(col("doc_id"), size(col("__ts")).as("dl"),
         explode(col("__ts")).as("term"))

@@ -24,7 +24,7 @@ object DataCard {
   def build(docs: DataFrame, strataCol: String, textCol: String,
             charsCol: String): DataFrame = {
     val d = docs.select(col(strataCol).as("stratum"),
-      tokenCount(col(textCol)).as("n_tok"), col(charsCol).as("n_chars"),
+      size(shinglesAllFast(col(textCol), 1)).as("n_tok"), col(charsCol).as("n_chars"),
       md5(col(textCol).cast("binary")).as("fp"))
     val fc = d.groupBy("fp").agg(count(lit(1)).as("nfp"))
     d.join(fc, Seq("fp"))

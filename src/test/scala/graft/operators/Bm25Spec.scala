@@ -16,16 +16,20 @@ class Bm25Spec extends SparkSpec {
     (5L, "the plain is wide and the plain is dry and the plain is flat")
   ).toDF("doc_id", "text")
 
-  private def brute(queryTerms: Seq[String], k1: Double = 1.2,
-                    b: Double = 0.75): Seq[(Long, Double)] = {
-    // independent reference: plain Scala BM25 over the same corpus
-    val corpus = Seq(
-      1L -> "the quick brown fox jumps over the lazy dog",
-      2L -> "the brown dog sleeps",
-      3L -> "a zebra grazes on the plain",
-      4L -> "quick quick quick brown foxes",
-      5L -> "the plain is wide and the plain is dry and the plain is flat"
-    ).map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+  private val fixedCorpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the brown dog sleeps",
+    3L -> "a zebra grazes on the plain",
+    4L -> "quick quick quick brown foxes",
+    5L -> "the plain is wide and the plain is dry and the plain is flat")
+
+  /** Independent reference: plain Scala BM25 over `rawCorpus`. */
+  private def brute(queryTerms: Seq[String],
+                    rawCorpus: Seq[(Long, String)] = fixedCorpus,
+                    k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Double)] = {
+    val corpus = rawCorpus
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      .filter(_._2.nonEmpty)
     val n = corpus.size
     val avgdl = corpus.map(_._2.size).sum.toDouble / n
     val dfm = queryTerms.map(t => t -> corpus.count(_._2.contains(t))).toMap
@@ -83,6 +87,25 @@ class Bm25Spec extends SparkSpec {
     assert(got.length == 2)
     assert(got.map(_._2).toSeq == Seq(1L, 2L), "tie order by doc_id")
     assert(got.map(_._3).distinct.length == 1, "tied scores equal")
+  }
+
+  test("property: topK matches the scalar reference on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "rho", "sigma")
+    for (seed <- Seq(11, 29, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 30L).map(id =>
+        id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val qTerms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).distinct
+      val cdf = corpus.toDF("doc_id", "text")
+      val qs = Seq((1L, qTerms.mkString(" "))).toDF("q_id", "q_text")
+      val got = Bm25.topK(cdf, "doc_id", "text", qs, "q_id", "q_text", k = 30)
+        .orderBy("rank").select("doc_id", "score")
+        .as[(Long, Double)].collect().toSeq
+      val want = brute(qTerms, corpus)
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
   }
 
   test("topKIndexed over buildIndex equals the ad-hoc path") {
