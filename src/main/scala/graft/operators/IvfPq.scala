@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the canonical billion-scale ANN read path (Jégou et al., TPAMI
+  * 2011; the layout behind FAISS's IndexIVFPQ): coarse-quantize the corpus
+  * into [[Ivf]] cells AND store each vector's [[Pq]] codes next to its
+  * cell assignment. A query then
+  *
+  *   1. probes its `nProbe` nearest cells (broadcast centroids, kmin heap),
+  *   2. ADC-scores ONLY those cells' rows — and only their 8-byte code
+  *      column, thanks to parquet column pruning + `partitionBy("cell")`
+  *      directory pruning on a persisted index,
+  *   3. exact-reranks a per-query shortlist by true cosine — the only rows
+  *      whose float vectors are ever read, via a semi-join-shaped id join
+  *      against the same cell-pruned store.
+  *
+  * At 100 TB the read is nProbe/nCells of the files x (codes column only)
+  * — two multiplicative reductions before any vector math happens.
+  */
+object IvfPq {
+
+  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, coded: DataFrame)
+
+  /** Build both quantizers and the combined `(id, emb, cell, codes)`
+    * table in one narrow pass over the assigned corpus.
+    */
+  def build(corpus: DataFrame, nCells: Int, m: Int = 8, kc: Int = 16,
+            id: String = "vec_id", vec: String = "embedding", dim: Int = 64,
+            trainSample: Int = 100000, seed: Long = 42L): Index = {
+    val ivf = Ivf.build(corpus, nCells, id, vec, trainSample, seed)
+    val cb = Pq.train(corpus, m, kc, vec, dim, trainSample, seed)
+    val coded = ivf.assigned.withColumn("codes",
+      Pq.encodeExpr(normalizeFast(col("emb")), cb))
+    Index(ivf, cb, coded)
+  }
+
+  /** Persist: coded corpus `partitionBy("cell")` (codes AND vectors — the
+    * columnar format means ADC scans read only the code column), centroids
+    * and flattened codebooks alongside.
+    */
+  def write(index: Index, path: String): Unit = {
+    index.coded.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val s = index.coded.sparkSession
+    import s.implicits._
+    index.cb.centers.zipWithIndex
+      .flatMap { case (cs, mi) => cs.zipWithIndex.map { case (c, j) => (mi, j, c) } }
+      .toDF("mi", "j", "center")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((index.cb.m, index.cb.kc, index.cb.dim)).toDF("m", "kc", "dim")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def open(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val coded = spark.read.parquet(s"$path/cells")
+    val p = spark.read.parquet(s"$path/params").head()
+    val (m, kc, dim) = (p.getAs[Int]("m"), p.getAs[Int]("kc"), p.getAs[Int]("dim"))
+    val centers = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getAs[Int]("mi"), r.getAs[Int]("j"), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    Index(Ivf.Index(centroids, coded.drop("codes"), centroids.count().toInt),
+      Pq.Codebooks(m, kc, dim, centers), coded)
+  }
+
+  /** Top-k per query: probe → ADC within probed cells → exact rerank.
+    * Output `(q_id, n_id, sim, rank)`. `pruneCells` pushes the probed cell
+    * set as a static filter (directory pruning on a persisted index).
+    */
+  def query(index: Index, queries: DataFrame, k: Int, nProbe: Int,
+            qId: String = "vec_id", qVec: String = "embedding",
+            excludeSelf: Boolean = true, shortlist: Int = 50,
+            pruneCells: Boolean = true): DataFrame = {
+    graft.GraftFunctions.register(index.coded.sparkSession)
+    val q = queries.select(col(qId).as("q_id"),
+      normalizeFast(col(qVec)).as("q_emb"))
+    val probes = Ivf.probeCells(index.ivf, q, nProbe)
+      .withColumn("tbl", Pq.adcTable(col("q_emb"), index.cb))
+    val corpus =
+      if (pruneCells) {
+        // ≤ nCells values by construction — always collectable
+        val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+        index.coded.where(col("cell").isin(cells.map(Integer.valueOf): _*))
+      } else index.coded
+    // candidates: only probed cells' rows, only their code column does work
+    val scored = corpus.select(col("id"), col("cell"), col("codes"))
+      .join(probes, Seq("cell"))
+      .where(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
+      .select(col("q_id"), col("q_emb"), col("id"),
+        aggregate(zip_with(col("codes"), col("tbl"),
+          (c, t) => element_at(t, c + 1)), lit(0.0), _ + _).as("adist"))
+    val cand = math.max(k, shortlist)
+    val top = scored.groupBy("q_id")
+      .agg(first(col("q_emb")).as("q_emb"),
+        call_function("graft_kmin",
+          struct(col("adist").as("o"), col("id")), lit(cand)).as("tk"))
+      .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("n_id"))
+    // exact rerank: the only stage that reads float vectors, and only for
+    // the queries x shortlist candidate ids
+    top.join(index.coded.select(col("id").as("n_id"),
+        normalizeFast(col("emb")).as("n_vec")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dotFast(col("q_emb"), col("n_vec")), 6).as("sim"))
+      .groupBy("q_id")
+      .agg(call_function("graft_kmin",
+        struct((-col("sim")).as("o"), col("n_id"), col("sim")),
+        lit(k)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.n_id").as("n_id"),
+        col("e.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -83,7 +83,7 @@ object Pq {
     * center j). m x kc doubles per query, computed once on the (small)
     * broadcast side.
     */
-  private def adcTable(qvec: Column, cb: Codebooks): Column = {
+  private[operators] def adcTable(qvec: Column, cb: Codebooks): Column = {
     val cbLit = typedlit(cb.centers)
     transform(sequence(lit(0), lit(cb.m - 1)), mi => {
       val subvec = slice(qvec, mi * cb.sub + 1, lit(cb.sub))

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.Files
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters, 25 points each, 64-dim
+  private def corpus = {
+    val rnd = new scala.util.Random(13)
+    val protos = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val v = protos(c).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probe + ADC + rerank recovers brute-force neighbors") {
+    val idx = IvfPq.build(corpus, nCells = 4, m = 8, kc = 16, trainSample = 200)
+    val probes = corpus.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    val got = IvfPq.query(idx, probes, k = 5, nProbe = 3, shortlist = 25)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(probes, corpus, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("write → open round-trips; query plans only probed cell directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val idx = IvfPq.build(corpus, nCells = 4, m = 8, kc = 16, trainSample = 200)
+    val tmp = Files.createTempDirectory("graft_ivfpq_").toString
+    IvfPq.write(idx, tmp)
+    val opened = IvfPq.open(spark, tmp)
+    assert(opened.cb == idx.cb, "codebooks round-trip")
+    val probes = corpus.where("vec_id = 0")
+    val res = IvfPq.query(opened, probes, k = 3, nProbe = 1, shortlist = 10)
+    val inMem = IvfPq.query(idx, probes, k = 3, nProbe = 1, shortlist = 10)
+    assert(res.collect().toSeq == inMem.collect().toSeq)
+
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val cellScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty)
+    assert(new File(s"$tmp/cells").listFiles()
+      .count(_.getName.startsWith("cell=")) == 4)
+    // the ADC scan (the one whose read schema has codes but not emb)
+    // plans exactly 1 of the 4 cell dirs
+    val adcScans = cellScans.filter { s =>
+      val names = s.requiredSchema.fieldNames.toSet
+      names.contains("codes") && !names.contains("emb")
+    }
+    assert(adcScans.nonEmpty,
+      "ADC scan must read codes WITHOUT the float vectors (column pruning)")
+    assert(adcScans.map(_.selectedPartitions.partitionCount).max == 1,
+      "ADC scan should plan 1/4 cell directories")
+  }
+}
