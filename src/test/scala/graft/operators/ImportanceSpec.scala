@@ -18,7 +18,8 @@ class ImportanceSpec extends SparkSpec {
   private def docs = corpus.toDF("doc_id", "text", "grp")
 
   /** Independent scalar reference of the same DSIR weighting. */
-  private def reference(buckets: Int = 4096, alpha: Double = 1.0): Map[Long, Double] = {
+  private def reference(corpus: Seq[(Long, String, String)],
+                        buckets: Int = 4096, alpha: Double = 1.0): Map[Long, Double] = {
     def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     def grams(t: String) = { val ts = toks(t); ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
     def bucket(g: String): Long = {
@@ -48,9 +49,31 @@ class ImportanceSpec extends SparkSpec {
     val got = Importance.weights(docs, docs.where(col("grp") === "t"),
         "doc_id", "text")
       .as[(Long, Double)].collect().toMap
-    val want = reference()
+    val want = reference(corpus)
     assert(got.keySet == want.keySet, "whitespace-only doc excluded")
     for ((id, w) <- want) assert(got(id) == w, s"weight for doc $id")
+  }
+
+  test("property: weights match the scalar reference on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(5, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val c = (1L to 25L).map { id =>
+        val grp = if (rnd.nextDouble() < 0.3) "t" else "r"
+        (id, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), grp)
+      }
+      // ensure a non-empty target stratum
+      val withT = if (c.exists(_._3 == "t")) c
+        else c.updated(0, (c.head._1, c.head._2, "t"))
+      val df = withT.toDF("doc_id", "text", "grp")
+      val got = Importance.weights(df, df.where(col("grp") === "t"),
+          "doc_id", "text")
+        .as[(Long, Double)].collect().toMap
+      val want = reference(withT)
+      assert(got == want, s"seed $seed")
+    }
   }
 
   test("target-looking documents score higher than off-domain ones") {
