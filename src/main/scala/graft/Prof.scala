@@ -33,6 +33,17 @@ object Prof {
       "q_id", "q_text", k = 5).count())
     time("bm25 full 3rd")(graft.operators.Bm25.topK(d, "doc_id", "text", qs,
       "q_id", "q_text", k = 5).count())
+    // bm25 internals
+    import graft.operators.Bm25
+    val toksDf = d.select(col("doc_id"), shinglesAllFast(col("text"), 1).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+    val qt = qs.select(col("q_id"), explode(tokens(col("q_text"))).as("term"))
+    time("bm25 stats")(d.select(size(shinglesAllFast(col("text"), 1)).as("dl"))
+      .where(col("dl") > 0).agg(count(lit(1)), sum("dl")).count())
+    time("bm25 ptoks")(toksDf.join(broadcast(qt.select("term").distinct()), Seq("term")).count())
+    time("bm25 postings")(toksDf.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"), first("dl")).count())
     // DSIR stage anatomy (q76 at sf0.1)
     val grams = concat(wordShingles(col("text"), 1), wordShingles(col("text"), 2))
     val bucketCol = (conv(substring(md5(concat(col("g"), lit(":imp"))), 1, 4), 16, 10)

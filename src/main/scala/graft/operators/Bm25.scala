@@ -60,8 +60,7 @@ object Bm25 {
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     graft.GraftFunctions.register(docs.sparkSession)
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
     val toks = tokenize(docs, idCol, textCol)
     // broadcast prune: corpus tokens that match no query term die here,
     // before the postings shuffle
@@ -80,11 +79,31 @@ object Bm25 {
                   qTextCol: String, k: Int, k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {
     graft.GraftFunctions.register(index.postings.sparkSession)
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
     val pruned = index.postings
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
     score(pruned, index.stats, qTerms, k, k1, b)
+  }
+
+  /** `(q_id, term)` rows MATERIALIZED to a local relation: the query table
+    * is small by contract (requests, not a corpus), but it feeds two
+    * consumers (the distinct-term prune broadcast and the scoring attach)
+    * — left lazy, whatever derivation produced the queries would execute
+    * once per consumer. One eager job here, the same
+    * eager-small-side-at-construction shape as [[BloomPrune.mightJoin]]
+    * and [[Ivf.query]]'s probed-cell collect. Guarded so a corpus passed
+    * as "queries" by mistake fails loudly instead of flooding the driver.
+    */
+  private def localQueryTerms(queries: DataFrame, qIdCol: String,
+                              qTextCol: String): DataFrame = {
+    val qt = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val rows = qt.limit(1000001).collect()
+    require(rows.length <= 1000000,
+      "BM25 query set exceeds 1M (q_id, term) rows — queries must be a " +
+        "request set, not a corpus")
+    queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qt.schema)
   }
 
   /** One row (n_docs, sum_dl) over non-empty docs — a shuffle-free
