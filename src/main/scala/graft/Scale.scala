@@ -123,6 +123,13 @@ object Scale {
     val pqc8 = Pq.encode(e8, pqcb); pqc8.cache().count()
     time("pq_search_1x")(Pq.search(pqcb, pqc1, qset, 5).count())
     time("pq_search_8x")(Pq.search(pqcb, pqc8, qset, 5).count())
+    // IVF-PQ: both prunings compose — query cost should stay ~flat
+    val ipq1 = IvfPq.build(e1, 16, trainSample = 10000)
+    ipq1.coded.cache().count()
+    time("ivfpq_query_1x")(IvfPq.query(ipq1, qset, 5, 4).count())
+    val ipq8 = IvfPq.build(e8, 16, trainSample = 10000)
+    ipq8.coded.cache().count()
+    time("ivfpq_query_8x")(IvfPq.query(ipq8, qset, 5, 4).count())
     spark.stop()
   }
 }

@@ -1171,6 +1171,23 @@ object SparkEntry {
         .agg(countDistinct(col("q_id")).as("n_queries"),
           // measured 0.725-0.80 across sf0.001/0.01/0.1 at shortlist=200
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- leakage-safe splits: train/val/test assigned by NEAR-DUP CLUSTER
+    // (md5 of the q48 component id), not by document — near-duplicates can
+    // never straddle a split boundary, the eval-contamination guard every
+    // corpus release needs. Same md5-bucket determinism as q32/q51 ---
+    "q83_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 4, threshold = 0.05)
+      val comp = ConnectedComponents.components(s, docs.select("doc_id"),
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+      val bucket = (conv(substring(md5(concat(col("component").cast("string"),
+        lit(":split"))), 1, 4), 16, 10).cast("long") % 100)
+      comp.withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2000,6 +2017,31 @@ object SparkEntry {
 
     "q82_ivfpq_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    // q48's clustering + the q51 md5-bucket split applied to COMPONENT ids
+    "q83_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |          WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.05),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        |bk AS (SELECT doc_id, component,
+        |    CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR) || ':split'), 1, 4) AS INT) AS BIGINT) % 100 AS b
+        |  FROM comp)
+        |SELECT doc_id, component,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "q79_data_card" ->
       """WITH d AS (SELECT lang AS stratum,
