@@ -74,6 +74,20 @@ object Bm25 {
       qTerms, k, k1, b)
   }
 
+  /** Persist an index: postings (term, doc_id, tf, dl, df) + the one-row
+    * stats table. Like [[Ivf.write]]/[[MinHashIndex.write]], this is the
+    * pay-the-scan-once path: queries against the store never touch raw
+    * text again.
+    */
+  def write(index: Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"))
+
   /** Rank against a prebuilt [[Index]] (df already on the postings). */
   def topKIndexed(index: Index, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int, k1: Double = 1.2,

@@ -118,6 +118,18 @@ class Bm25Spec extends SparkSpec {
     assert(viaIdx == adhoc)
   }
 
+  test("write → open round-trips the index; results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    Bm25.write(idx, dir)
+    val qs = Seq((10L, "brown dog"), (12L, "the plain")).toDF("q_id", "q_text")
+    val direct = Bm25.topKIndexed(idx, qs, "q_id", "q_text", k = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val viaDisk = Bm25.topKIndexed(Bm25.open(spark, dir), qs, "q_id", "q_text", k = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(viaDisk == direct)
+  }
+
   test("corpus tokens are pruned by broadcast BEFORE any shuffle") {
     val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
     val plan = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
