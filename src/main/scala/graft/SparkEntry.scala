@@ -1883,10 +1883,9 @@ object SparkEntry {
         |FROM f ORDER BY media_id, idx""".stripMargin,
 
     // Mirrors Bm25.topK expression-for-expression: same idf smoothing, same
-    // left-associative double arithmetic, per-term round(6), sequential fold
-    // in (contrib, term) order (list_reduce folds left from the first
-    // element; Spark's aggregate folds from 0.0 — IEEE-identical for the
-    // strictly positive contributions).
+    // left-associative double arithmetic, per-term round(6), then an EXACT
+    // fixed-point sum (6-decimal contributions scale to integer numerators
+    // — order-independent long addition in both engines).
     "q74_bm25" ->
       """WITH q AS (SELECT doc_id AS q_id,
         |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
@@ -1907,7 +1906,7 @@ object SparkEntry {
         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
         |  FROM p JOIN dft USING (term) CROSS JOIN stats),
         |pd AS (SELECT q_id, doc_id,
-        |    round(list_reduce(list(contrib ORDER BY contrib, term), (a, b) -> a + b), 6) AS score
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
         |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
         |r AS (SELECT q_id, doc_id, score,
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
@@ -1916,9 +1915,9 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // Sparse half reproduces the q74 BM25 pipeline at k=10; dense half is
-    // the q25 cosine-rank pattern; fusion reciprocals are single exact
-    // double divisions summed in (contrib, run) sorted order — run 0 =
-    // sparse, run 1 = dense, matching Fuse.rrf's zipWithIndex tags.
+    // the q25 cosine-rank pattern; fusion reciprocals round to 9 decimals
+    // and sum exactly in fixed point — run 0 = sparse, run 1 = dense,
+    // matching Fuse.rrf's zipWithIndex tags.
     "q75_hybrid_rrf" ->
       """WITH q AS (SELECT doc_id AS q_id,
         |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
@@ -1939,7 +1938,7 @@ object SparkEntry {
         |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
         |  FROM p JOIN dft USING (term) CROSS JOIN stats),
         |pd AS (SELECT q_id, doc_id,
-        |    round(list_reduce(list(contrib ORDER BY contrib, term), (a, b) -> a + b), 6) AS score
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
         |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
         |sr AS (SELECT q_id, doc_id AS item, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, doc_id ASC) AS rank FROM pd),
@@ -1951,13 +1950,13 @@ object SparkEntry {
         |       FROM eq, ec WHERE q_id <> n_id),
         |er AS (SELECT q_id, n_id AS item, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
-        |runs AS (SELECT q_id, item, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 0 AS run
+        |runs AS (SELECT q_id, item, round(CAST(1.0 AS DOUBLE) / (60 + rank), 9) AS contrib, 0 AS run
         |           FROM sr WHERE rank <= 10
         |         UNION ALL
-        |         SELECT q_id, item, CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 1 AS run
+        |         SELECT q_id, item, round(CAST(1.0 AS DOUBLE) / (60 + rank), 9) AS contrib, 1 AS run
         |           FROM er WHERE rank <= 10),
         |fs AS (SELECT q_id, item,
-        |    round(list_reduce(list(contrib ORDER BY contrib, run), (a, b) -> a + b), 9) AS score
+        |    round(CAST(SUM(CAST(round(contrib * 1000000000, 0) AS BIGINT)) AS DOUBLE) / 1000000000, 9) AS score
         |  FROM runs GROUP BY q_id, item),
         |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, item ASC) AS rank FROM fs)
@@ -1966,7 +1965,7 @@ object SparkEntry {
 
     // Mirrors Importance.weights: md5-prefix bucket hashing (the q51
     // trick), add-1 smoothed log ratios rounded to 6, per-(doc,bucket)
-    // counts, sorted sequential fold.
+    // counts, exact fixed-point sum.
     "q76_importance_weights" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
         |uni AS (SELECT doc_id, unnest(ts) AS g FROM tok),
@@ -1988,8 +1987,9 @@ object SparkEntry {
         |  FROM bs LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tt CROSS JOIN rt),
         |db AS (SELECT doc_id, b, COUNT(*) AS n_db FROM bk GROUP BY doc_id, b),
         |c AS (SELECT doc_id, b, round(n_db * lr, 6) AS c FROM db JOIN lr USING (b)),
-        |w AS (SELECT doc_id, round(list_reduce(list(c ORDER BY c, b), (a, x) -> a + x), 6) AS weight
-        |      FROM c GROUP BY doc_id)
+        |w AS (SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(c * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS weight
+        |  FROM c GROUP BY doc_id)
         |SELECT doc_id, weight FROM w ORDER BY doc_id""".stripMargin,
 
     // Two documents share an LSH bucket iff their band's signature slice is

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * `postings.write.partitionBy(...)` exactly like [[Ivf.write]] and
   * rescore from the index without touching raw text.
   *
-  * IEEE portability: per-term contributions are rounded to 6 decimals and
-  * summed by a SEQUENTIAL fold in (contribution, term) sorted order, so an
-  * external engine (the DuckDB oracle, q74) reproduces the double result
-  * bit-for-bit — the same trick as q67's temperature normalizer.
+  * Portability: per-term contributions round to 6 decimals, and 6-decimal
+  * doubles scale to EXACT integer numerators — the per-doc score is an
+  * exact fixed-point long sum, order-independent by construction, so any
+  * engine (the DuckDB oracle, q74) reproduces the double bit-for-bit and
+  * Spark gets a codegen'd, map-side-partial SUM instead of per-group list
+  * state.
   */
 object Bm25 {
 
@@ -154,12 +156,16 @@ object Bm25 {
     val scored = postings.crossJoin(broadcast(stats))
       .withColumn("__contrib", contrib)
       .join(broadcast(qTerms), Seq("term"))
+    // Fixed-point exact summation: each contribution is ALREADY a
+    // 6-decimal value, so scaling by 1e6 recovers its integer numerator
+    // exactly (the double sits within ulps of the integer — never near a
+    // rounding boundary) and the per-doc score is an exact long SUM —
+    // order-independent, codegen'd, map-side partial-aggregatable. This
+    // replaces a per-group collect_list + sort_array + interpreted fold
+    // (memory ∝ group size, no partial aggregation) with O(1) state.
     val perDoc = scored.groupBy("q_id", "doc_id")
-      .agg(round(aggregate(
-        transform(
-          sort_array(collect_list(struct(col("__contrib").as("c"), col("term")))),
-          x => x("c")),
-        lit(0.0), (a, x) => a + x), 6).as("score"))
+      .agg(round(sum(round(col("__contrib") * 1e6, 0).cast("long"))
+        .cast("double") / 1e6, 6).as("score"))
     perDoc.groupBy("q_id")
       .agg(call_function("graft_kmin",
         struct((-col("score")).as("o"), col("doc_id"), col("score")),

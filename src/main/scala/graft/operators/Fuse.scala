@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * sees only ids and integer ranks — the 100 TB work stays inside the
   * upstream retrievers.
   *
-  * IEEE portability: each reciprocal is a single correctly-rounded double
-  * division of exact integers, so any engine reproduces it bit-for-bit;
-  * the per-item sum folds in (contribution, run) sorted order like
-  * [[Bm25]]'s scoring fold.
+  * Portability: each reciprocal is a single correctly-rounded double
+  * division of exact integers, rounded to 9 decimals; the per-item sum is
+  * then an exact fixed-point long addition ([[Bm25]]'s trick) —
+  * order-independent, reproduced bit-for-bit by any engine.
   */
 object Fuse {
 
@@ -36,15 +36,14 @@ object Fuse {
     graft.GraftFunctions.register(runs.head.sparkSession)
     val tagged = runs.zipWithIndex.map { case (r, i) =>
       r.select(col(qCol).as("q"), col(idCol).as("item"),
-        (lit(1.0) / (lit(c) + col(rankCol).cast("long"))).as("contrib"),
+        round(lit(1.0) / (lit(c) + col(rankCol).cast("long")), 9).as("contrib"),
         lit(i).as("run"))
     }.reduce(_ unionByName _)
+    // fixed-point exact sum of the 9-decimal reciprocals (see Bm25.score):
+    // order-independent long addition, no per-group list state
     val scored = tagged.groupBy("q", "item")
-      .agg(round(aggregate(
-        transform(
-          sort_array(collect_list(struct(col("contrib").as("cb"), col("run")))),
-          x => x("cb")),
-        lit(0.0), (a, x) => a + x), 9).as("score"))
+      .agg(round(sum(round(col("contrib") * 1e9, 0).cast("long"))
+        .cast("double") / 1e9, 9).as("score"))
     scored.groupBy("q")
       .agg(call_function("graft_kmin",
         struct((-col("score")).as("o"), col("item"), col("score")),

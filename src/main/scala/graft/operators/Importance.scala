@@ -66,14 +66,14 @@ object Importance {
           (col("t_tot") + lit(alpha * buckets))) /
         ((coalesce(col("r_n"), lit(0L)) + lit(alpha)) /
           (col("r_tot") + lit(alpha * buckets)))), 6).as("lr"))
+    // fixed-point exact sum of the 6-decimal contributions (see
+    // Bm25.score): order-independent long addition handles the negative
+    // log-ratios exactly too
     perDocBucket.join(broadcast(lr), Seq("b"))
       .withColumn("c", round(col("n_db") * col("lr"), 6))
       .groupBy("doc_id")
-      .agg(round(aggregate(
-        transform(
-          sort_array(collect_list(struct(col("c"), col("b")))),
-          x => x("c")),
-        lit(0.0), (a, x) => a + x), 6).as("weight"))
+      .agg(round(sum(round(col("c") * 1e6, 0).cast("long"))
+        .cast("double") / 1e6, 6).as("weight"))
       .withColumnRenamed("doc_id", idCol)
   }
 }

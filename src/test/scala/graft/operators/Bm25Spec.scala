@@ -46,7 +46,8 @@ class Bm25Spec extends SparkSpec {
         }
       }
       if (contribs.isEmpty) None
-      else Some(id -> BigDecimal(contribs.sorted.sum)
+      else Some(id -> contribs
+        .map(c => BigDecimal(java.lang.Double.toString(c))).sum
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy { case (id, s) => (-s, id) }
   }

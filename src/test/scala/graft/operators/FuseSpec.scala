@@ -20,9 +20,10 @@ class FuseSpec extends SparkSpec {
     val got = Fuse.rrf(Seq(runA, runB), "q_id", "item", "rank", k = 10)
       .as[(Long, Long, Double, Int)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    def rr(ranks: Int*) = BigDecimal(
-      ranks.map(r => 1.0 / (60 + r)).sorted.sum)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rr(ranks: Int*) = ranks
+      .map(r => BigDecimal(1.0 / (60 + r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      .toDouble
     assert(got((1L, 101L)) == rr(2, 1), "item in both runs sums both")
     assert(got((1L, 100L)) == rr(1), "item in one run contributes once")
     assert(got((1L, 103L)) == rr(2))

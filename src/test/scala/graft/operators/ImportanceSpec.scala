@@ -40,8 +40,9 @@ class ImportanceSpec extends SparkSpec {
       ((rCnt.getOrElse(b, 0) + alpha) / (rTot + alpha * buckets))))
     all.map { c =>
       val perB = grams(c._2).map(bucket).groupBy(identity).view.mapValues(_.size)
-      val contribs = perB.map { case (b, n) => (r6(n * lr(b)), b) }.toSeq.sorted
-      c._1 -> r6(contribs.map(_._1).foldLeft(0.0)(_ + _))
+      val contribs = perB.map { case (b, n) =>
+        BigDecimal(java.lang.Double.toString(r6(n * lr(b)))) }.toSeq
+      c._1 -> contribs.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
   }
 
