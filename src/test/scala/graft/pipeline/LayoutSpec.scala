@@ -46,13 +46,17 @@ class LayoutSpec extends SparkSpec {
     val naiveU = fileRanges(s"$tmp/naive", "u")
     assert(filesContaining(naiveU, 50L) >= 15)
 
-    // z-ordered: a point predicate on EITHER column overlaps few files
+    // z-ordered: a point predicate on EITHER column overlaps few files.
+    // Threshold has slack: repartitionByRange SAMPLES with a seed derived
+    // from the RDD id (a JVM-global counter), so range boundaries shift by
+    // ±1 file depending on how many jobs ran before this suite in the
+    // shared test session — 8-9/16 observed; naive is 15-16/16.
     val zU = fileRanges(s"$tmp/zorder", "u")
     val zT = fileRanges(s"$tmp/zorder", "t")
     assert(zU.size >= 12, s"expected ~16 output files, got ${zU.size}")
-    assert(filesContaining(zU, 50L) <= 8,
+    assert(filesContaining(zU, 50L) <= 10,
       s"u=50 overlaps ${filesContaining(zU, 50L)}/${zU.size} z-ordered files")
-    assert(filesContaining(zT, 50000L) <= 8,
+    assert(filesContaining(zT, 50000L) <= 10,
       s"t=50000 overlaps ${filesContaining(zT, 50000L)}/${zT.size} z-ordered files")
 
     // the rewrite is a pure re-layout: same rows
