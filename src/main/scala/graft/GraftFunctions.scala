@@ -60,6 +60,10 @@ object GraftFunctions {
         c => BloomContains(c(0), c(1)), "internal")
       reg.createOrReplaceTempFunction("graft_normalize",
         c => NormalizeText(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_pq_encode",
+        c => PqEncode(c(0), c(1)), "internal")
+      reg.createOrReplaceTempFunction("graft_pq_adc",
+        c => PqAdc(c(0), c(1)), "internal")
     }
   }
 }

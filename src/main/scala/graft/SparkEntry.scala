@@ -1094,19 +1094,19 @@ object SparkEntry {
 
     // --- product-quantized ANN (q62's scalar quantization is 4x; PQ is
     // 32x): ADC candidate scan over 8-code rows + exact rerank of a
-    // 100-candidate shortlist. Recall gate vs brute force, q65-style ---
+    // 200-candidate shortlist. Recall gate vs brute force, q65-style ---
     "q78_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.where(col("vec_id") < 8)
       val cb = operators.Pq.train(emb, m = 8, kc = 16, trainSample = 10000)
       val codes = operators.Pq.encode(emb, cb)
       val approx = operators.Pq.search(cb, codes, probes, k = 5,
-        shortlist = 100, rerank = Some(emb)).select(col("q_id"), col("n_id"))
+        shortlist = 200, rerank = Some(emb)).select(col("q_id"), col("n_id"))
       val exact = operators.Knn.bruteForce(probes, emb, k = 5)
         .select(col("q_id"), col("n_id"))
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .agg(countDistinct(col("q_id")).as("n_queries"),
-          // measured 0.68-0.90 across sf0.001/0.01/0.1 at shortlist=100
+          // measured 0.72-1.0 across sf0.001/0.01/0.1 at shortlist=200
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
     }),
 

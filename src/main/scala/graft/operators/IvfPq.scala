@@ -30,6 +30,7 @@ object IvfPq {
   def build(corpus: DataFrame, nCells: Int, m: Int = 8, kc: Int = 16,
             id: String = "vec_id", vec: String = "embedding", dim: Int = 64,
             trainSample: Int = 100000, seed: Long = 42L): Index = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     val ivf = Ivf.build(corpus, nCells, id, vec, trainSample, seed)
     val cb = Pq.train(corpus, m, kc, vec, dim, trainSample, seed)
     val coded = ivf.assigned.withColumn("codes",
@@ -92,8 +93,7 @@ object IvfPq {
       .join(probes, Seq("cell"))
       .where(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
       .select(col("q_id"), col("q_emb"), col("id"),
-        aggregate(zip_with(col("codes"), col("tbl"),
-          (c, t) => element_at(t, c + 1)), lit(0.0), _ + _).as("adist"))
+        call_function("graft_pq_adc", col("codes"), col("tbl")).as("adist"))
     val cand = math.max(k, shortlist)
     val top = scored.groupBy("q_id")
       .agg(first(col("q_emb")).as("q_emb"),

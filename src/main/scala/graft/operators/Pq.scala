@@ -60,24 +60,22 @@ object Pq {
 
   /** Codes for one (normalized) vector column: `array<int>` of length m,
     * each the argmin-distance center in its subspace (first on ties).
+    * Native expression — one tight loop per row; the codebooks ride as a
+    * foldable literal cached per task (PqSpec asserts equality with the
+    * interpreted HOF formulation).
     */
-  def encodeExpr(vec: Column, cb: Codebooks): Column = {
-    val cbLit = typedlit(cb.centers)
-    transform(sequence(lit(0), lit(cb.m - 1)), mi => {
-      val subvec = slice(vec, mi * cb.sub + 1, lit(cb.sub))
-      val dists = transform(element_at(cbLit, mi + 1),
-        c => l2sq(subvec, transform(c, _.cast("float"))))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
+  def encodeExpr(vec: Column, cb: Codebooks): Column =
+    call_function("graft_pq_encode", vec, typedlit(cb.centers))
 
   /** `(id, codes)` for the corpus — the persistable PQ index (32x smaller
     * than the vectors; write it like [[Ivf.write]] writes cells).
     */
   def encode(corpus: DataFrame, cb: Codebooks, id: String = "vec_id",
-             vec: String = "embedding"): DataFrame =
+             vec: String = "embedding"): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     corpus.select(col(id).as("id"),
       encodeExpr(normalizeFast(col(vec)), cb).as("codes"))
+  }
 
   /** Per-query ADC table: `table(mi)(j)` = l2sq(query subvector mi,
     * center j). m x kc doubles per query, computed once on the (small)
@@ -110,8 +108,7 @@ object Pq {
     val scored = codes.crossJoin(q)
       .where(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
       .select(col("q_id"), col("q_vec"), col("id"),
-        aggregate(zip_with(col("codes"), col("tbl"),
-          (c, t) => element_at(t, c + 1)), lit(0.0), _ + _).as("adist"))
+        call_function("graft_pq_adc", col("codes"), col("tbl")).as("adist"))
     val top = scored.groupBy("q_id")
       .agg(first(col("q_vec")).as("q_vec"),
         call_function("graft_kmin",

@@ -55,6 +55,36 @@ class PqSpec extends SparkSpec {
       s"ADC neighbors of a cluster-0 member must be cluster 0, got ${got.toSeq}")
   }
 
+  test("native encode equals the interpreted HOF formulation") {
+    import graft.functions.VectorFunctions._
+    val cb = Pq.train(corpus, m = 8, kc = 16, trainSample = 200)
+    // the HOF formulation the native expression replaced — kept here as
+    // the executable specification
+    val cbLit = typedlit(cb.centers)
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val hof = transform(sequence(lit(0), lit(cb.m - 1)), mi => {
+      val subvec = slice(normalizeFast(col("embedding")), mi * cb.sub + 1, lit(cb.sub))
+      val dists = transform(element_at(cbLit, mi + 1),
+        c => l2sq(subvec, transform(c, _.cast("float"))))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    graft.GraftFunctions.register(spark)
+    val both = corpus.select(col("vec_id"),
+      Pq.encodeExpr(normalizeFast(col("embedding")), cb).as("native"),
+      hof.as("hof"))
+    assert(both.where(not(col("native") <=> col("hof"))).count() == 0L,
+      "identical codes on every finite vector")
+    // DELIBERATE divergence on non-finite input: a zero vector normalizes
+    // to NaN; the HOF quirkily encodes it to code 0 (Spark treats NaN=NaN
+    // as true inside array_position), while the native expression returns
+    // null so garbage rows drop out of ADC scoring instead of competing
+    // with real candidates
+    val zero = Seq((9999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    assert(zero.select(Pq.encodeExpr(normalizeFast(col("embedding")), cb).isNull)
+      .head().getBoolean(0), "NaN vector encodes to null")
+  }
+
   test("ranking shuffles k-capped heaps over codes, not scored rows") {
     val cb = Pq.train(corpus, m = 4, kc = 4, trainSample = 100)
     val codes = Pq.encode(corpus, cb)
