@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.StructType
   * Idempotency on retried batches: both the admitted output and the index
   * band rows are written with DYNAMIC partition overwrite on `batch_id`,
   * so a re-run batch replaces exactly its own partition instead of
-  * appending twice. Readers of the index ([[MinHashIndex.open]]) see
-  * `batch_id` as just another column.
+  * appending twice. A retried batch (crash after the bands write but
+  * before the checkpoint commit) would otherwise see its OWN prior
+  * attempt's band rows in the index and drop every doc as a self-match —
+  * so the index open excludes rows carrying the current `batch_id`.
+  * Readers of the index ([[MinHashIndex.open]]) see `batch_id` as just
+  * another column.
   */
 object DedupStream {
 
@@ -37,26 +41,8 @@ object DedupStream {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val index = openOrEmpty(s, indexDir, batch, idCol,
-          shingleN, numHashes, rowsPerBand)
-        val cands = MinHashIndex.candidates(index, batch, idCol, textCol,
-          maxBucketSize)
-        val dropIds = cands.where(col("kind") === "new_old").select(col("id_a"))
-          .unionByName(cands.where(col("kind") === "new_new").select(col("id_b").as("id_a")))
-          .distinct().withColumnRenamed("id_a", idCol)
-        val admitted = batch.join(dropIds, Seq(idCol), "left_anti")
-        admitted.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(s"$outDir/docs")
-        MinHashIndex.bands(admitted, idCol, textCol, shingleN, numHashes,
-            rowsPerBand)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(s"$indexDir/buckets")
-        ()
+        processBatch(batch, batchId, indexDir, outDir, idCol, textCol,
+          shingleN, numHashes, rowsPerBand, maxBucketSize)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -64,17 +50,59 @@ object DedupStream {
     q
   }
 
+  /** One micro-batch of the stream: check against the standing index,
+    * drop duplicates, publish survivors, append their band rows. Exposed
+    * so retry semantics (same `batchId` re-run) are directly testable
+    * without crashing a running query mid-commit.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                   outDir: String, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 16,
+                   rowsPerBand: Int = 4, maxBucketSize: Int = 1000): Unit = {
+    val s = batch.sparkSession
+    val index = openOrEmpty(s, indexDir, batch, batchId, idCol,
+      shingleN, numHashes, rowsPerBand)
+    val cands = MinHashIndex.candidates(index, batch, idCol, textCol,
+      maxBucketSize)
+    val dropIds = cands.where(col("kind") === "new_old").select(col("id_a"))
+      .unionByName(cands.where(col("kind") === "new_new").select(col("id_b").as("id_a")))
+      .distinct().withColumnRenamed("id_a", idCol)
+    val admitted = batch.join(dropIds, Seq(idCol), "left_anti")
+    admitted.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$outDir/docs")
+    MinHashIndex.bands(admitted, idCol, textCol, shingleN, numHashes,
+        rowsPerBand)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$indexDir/buckets")
+    // both writes have materialized everything that read the cached
+    // batch bands — release them so a long-running stream stays bounded
+    MinHashIndex.releaseCaches()
+    ()
+  }
+
   /** The admitted corpus across all batches. */
   def admitted(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/docs")
 
+  /** Open the standing band index, EXCLUDING rows carried by the current
+    * `batchId`: on a retried batch they are the prior attempt's own output,
+    * and matching against them would drop every doc as a duplicate of
+    * itself before dynamic overwrite replaces the partition.
+    */
   private def openOrEmpty(spark: SparkSession, indexDir: String,
-                          batch: DataFrame, idCol: String, shingleN: Int,
-                          numHashes: Int, rowsPerBand: Int): MinHashIndex.Index = {
+                          batch: DataFrame, batchId: Long, idCol: String,
+                          shingleN: Int, numHashes: Int,
+                          rowsPerBand: Int): MinHashIndex.Index = {
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val buckets =
-      if (fs.exists(path)) spark.read.parquet(path.toString)
+      if (fs.exists(path))
+        spark.read.parquet(path.toString)
+          .where(col("batch_id") =!= lit(batchId))
       else batch.select(col(idCol).as("id")).limit(0)
         .withColumn("band", lit(0))
         .withColumn("bucket", lit(0L))

@@ -56,4 +56,43 @@ class DedupStreamSpec extends SparkSpec {
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
     assert(indexed == Set(1L, 2L, 11L))
   }
+
+  test("a retried batch (same batchId, bands already written) keeps its docs") {
+    val root = Files.createTempDirectory("dedupretry").toString
+    val idx = s"$root/index"; val out = s"$root/out"
+
+    val b0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "the quick brown fox jumps over the lazy dog tonight"),
+        org.apache.spark.sql.Row(2L, "completely different content about distributed query engines"))),
+      schema)
+    DedupStream.processBatch(b0, 0L, idx, out, "doc_id", "text")
+    val first = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(first == Set(1L, 2L))
+
+    // Crash between the bands write and the checkpoint commit ⇒ Spark
+    // replays batch 0. The index on disk already holds batch 0's band
+    // rows; the replay must NOT treat them as prior corpus (every doc
+    // would match itself and be dropped).
+    DedupStream.processBatch(b0, 0L, idx, out, "doc_id", "text")
+    val replayed = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(replayed == Set(1L, 2L),
+      s"replay of an uncommitted batch lost docs: $replayed")
+
+    // and a genuinely NEW batch still dedups against batch 0 via the index
+    val b1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(10L, "completely different content about distributed query engines"),
+        org.apache.spark.sql.Row(11L, "a genuinely novel document that matches nothing admitted before"))),
+      schema)
+    DedupStream.processBatch(b1, 1L, idx, out, "doc_id", "text")
+    val after = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(after == Set(1L, 2L, 11L), s"cross-batch dedup broken: $after")
+  }
 }
