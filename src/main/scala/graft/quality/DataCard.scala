@@ -1,7 +1,7 @@
 package graft.quality
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-stratum corpus "data card" — the summary table a dataset release
@@ -20,19 +20,31 @@ object DataCard {
     * chars, and how many docs share their (exact, normalized) fingerprint
     * with at least one other document CORPUS-WIDE (duplication crosses
     * strata; the count is attributed to each copy's stratum).
+    *
+    * Quantiles default to the mergeable KLL sketch (`graft_kll_quantiles`,
+    * ≤2.5% rank error at k=200, bounded memory): Spark's exact
+    * `percentile` buffers every group value in aggregation state, so a
+    * billion-doc stratum at 100 TB blows executor memory. Pass
+    * `exactPercentiles = true` only for small strata where the exact
+    * order statistic is worth the O(stratum) state.
     */
   def build(docs: DataFrame, strataCol: String, textCol: String,
-            charsCol: String): DataFrame = {
+            charsCol: String, exactPercentiles: Boolean = false): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val d = docs.select(col(strataCol).as("stratum"),
       size(shinglesAllFast(col(textCol), 1)).as("n_tok"), col(charsCol).as("n_chars"),
       md5(col(textCol).cast("binary")).as("fp"))
     val fc = d.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    def quantileOf(c: String, prob: Double): Column =
+      if (exactPercentiles) expr(s"percentile($c, $prob)")
+      else element_at(call_function("graft_kll_quantiles",
+        col(c).cast("double"), array(lit(prob)), lit(200)), 1)
     d.join(fc, Seq("fp"))
       .groupBy("stratum")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),
-        round(expr("percentile(n_tok, 0.5)"), 6).as("median_tokens"),
-        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        round(quantileOf("n_tok", 0.5), 6).as("median_tokens"),
+        round(quantileOf("n_chars", 0.9), 6).as("p90_chars"),
         sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("dup_docs"))
   }
 }

@@ -137,4 +137,36 @@ class QualitySpec extends SparkSpec {
       .filter(_.column == "Steps"))
     assert(results.head.unexpectedCount === 1 && !results.head.passed)
   }
+
+  test("DataCard: KLL quantiles track the exact card; exact mode available behind the flag") {
+    val docs = (1 to 300).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val words = (1 to (i % 37) + 3).map(j => s"w${(i * 31 + j) % 97}")
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+
+    val exact = DataCard.build(docs, "lang", "text", "n_chars",
+        exactPercentiles = true)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val approx = DataCard.build(docs, "lang", "text", "n_chars")
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+
+    assert(exact.keySet === Set("en", "fr"))
+    for (s <- exact.keySet) {
+      // exact columns identical between the two modes
+      assert(approx(s).getAs[Long]("n_docs") === exact(s).getAs[Long]("n_docs"))
+      assert(approx(s).getAs[Long]("n_tokens") === exact(s).getAs[Long]("n_tokens"))
+      assert(approx(s).getAs[Long]("dup_docs") === exact(s).getAs[Long]("dup_docs"))
+      // 150 docs per stratum fit inside the k=200 sketch, so the KLL
+      // quantile is an exact order statistic — allow only the one-rank
+      // gap between interpolation (exact percentile) and selection (KLL)
+      val medA = approx(s).getAs[Double]("median_tokens")
+      val medE = exact(s).getAs[Double]("median_tokens")
+      assert(math.abs(medA - medE) <= 1.0, s"median $s: kll=$medA exact=$medE")
+      val p90A = approx(s).getAs[Double]("p90_chars")
+      val p90E = exact(s).getAs[Double]("p90_chars")
+      assert(math.abs(p90A - p90E) <= 20.0, s"p90 $s: kll=$p90A exact=$p90E")
+    }
+  }
 }
