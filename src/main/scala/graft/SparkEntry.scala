@@ -1112,10 +1112,36 @@ object SparkEntry {
 
     // --- per-language data card: the release-summary table (volume,
     // length distribution, exact-dup rate). Word-count-shaped: digests
-    // shuffle, text doesn't ---
+    // shuffle, text doesn't. Quantiles come from the bounded-memory KLL
+    // sketch, so (q52's trick) the OUTPUT is the deterministic claim
+    // "the sketched quantile's exact rank interval straddles its target":
+    // for value v, P(x < v) ≤ p + tol and P(x ≤ v) ≥ p - tol, with
+    // tol = 0.025 (KLL rank error at k=200) + 2/n (order-statistic
+    // quantization in an n-doc stratum) ---
     "q79_data_card" -> ((s, dir) => {
-      graft.quality.DataCard
-        .build(t(s, dir, "documents"), "lang", "text", "n_chars")
+      val docs = t(s, dir, "documents")
+      val card = graft.quality.DataCard.build(docs, "lang", "text", "n_chars")
+      val d = docs.select(col("lang").as("stratum"),
+        size(shinglesAllFast(col("text"), 1)).cast("double").as("tok"),
+        col("n_chars").cast("double").as("chars"))
+      val tol = lit(0.025) + lit(2.0) / col("n")
+      def rankOk(v: String, p: Double): Column =
+        (col(s"below_$v") / col("n") <= lit(p) + tol) &&
+          (col(s"at_$v") / col("n") >= lit(p) - tol)
+      d.join(broadcast(card), Seq("stratum"))
+        .groupBy("stratum")
+        .agg(first("n_docs").as("n_docs"),
+          first("n_tokens").as("n_tokens"),
+          first("dup_docs").as("dup_docs"),
+          count(lit(1)).as("n"),
+          sum(when(col("tok") < col("median_tokens"), 1L).otherwise(0L)).as("below_med"),
+          sum(when(col("tok") <= col("median_tokens"), 1L).otherwise(0L)).as("at_med"),
+          sum(when(col("chars") < col("p90_chars"), 1L).otherwise(0L)).as("below_p90"),
+          sum(when(col("chars") <= col("p90_chars"), 1L).otherwise(0L)).as("at_p90"))
+        .select(col("stratum"), col("n_docs"), col("n_tokens"),
+          rankOk("med", 0.5).as("median_ok"),
+          rankOk("p90", 0.9).as("p90_ok"),
+          col("dup_docs"))
         .orderBy("stratum")
     }),
 
@@ -2043,6 +2069,9 @@ object SparkEntry {
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM bk ORDER BY doc_id""".stripMargin,
 
+    // q79's quantiles are KLL-sketched; like q52 the oracle asserts the
+    // deterministic rank-interval claim with literal trues and reproduces
+    // the exact (non-quantile) columns
     "q79_data_card" ->
       """WITH d AS (SELECT lang AS stratum,
         |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tok,
@@ -2050,8 +2079,7 @@ object SparkEntry {
         |fc AS (SELECT fp, COUNT(*) AS nfp FROM d GROUP BY fp)
         |SELECT stratum, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-        |  round(quantile_cont(n_tok, 0.5), 6) AS median_tokens,
-        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  true AS median_ok, true AS p90_ok,
         |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM d JOIN fc USING (fp) GROUP BY stratum ORDER BY stratum""".stripMargin,
 
