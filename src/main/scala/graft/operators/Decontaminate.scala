@@ -20,19 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  // Cached bench-shingle DataFrames, tracked so long-lived sessions can
-  // release them: the result DataFrame is lazy, so overlap() itself cannot
-  // know when the semi join has consumed the cache. Call [[releaseCaches]]
-  // after materializing results (or rely on Spark's LRU eviction).
-  private val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  // Cached bench-shingle DataFrames, keyed by (canonicalized bench plan,
+  // text column, shingle n) so re-running overlap() against the SAME bench
+  // set reuses one cache entry instead of pinning a new one per call — in
+  // a long-lived session the registry is bounded by the number of DISTINCT
+  // bench sets, not the number of overlap() calls. The result DataFrame is
+  // lazy, so overlap() itself cannot know when the semi join has consumed
+  // the cache: call [[releaseCaches]] per pipeline run (as Scale does), or
+  // rely on Spark's LRU eviction.
+  private val cached = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int), DataFrame]
 
   /** Unpersist every bench-shingle cache created by [[overlap]] so far.
     * Safe to call any time — a released cache just recomputes if re-read.
     */
   def releaseCaches(): Unit = cached.synchronized {
-    cached.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cached.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     cached.clear()
   }
+
+  private[operators] def cacheCount: Int = cached.synchronized(cached.size)
 
   /** Per-document count of DISTINCT shingles shared with `bench`:
     * `(idCol, n_overlap)` for contaminated docs only (no row = clean).
@@ -42,11 +49,13 @@ object Decontaminate {
     // cached: consumed twice — once by the eager Bloom build, once as the
     // exact semi join's right side — and without the cache the bench corpus
     // is silently shingled and deduped twice
-    val benchShingles = bench
-      .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
-      .distinct()
-      .cache()
-    cached.synchronized { cached += benchShingles }
+    val key = (bench.queryExecution.analyzed.canonicalized, textCol, shingleN)
+    val benchShingles = cached.synchronized {
+      cached.getOrElseUpdate(key, bench
+        .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
+        .distinct()
+        .cache())
+    }
     val trainShingles = train
       .select(col(idCol), explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
     BloomPrune.mightJoin(trainShingles, benchShingles, "__shingle", "__shingle",

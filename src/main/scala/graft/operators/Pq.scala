@@ -93,12 +93,16 @@ object Pq {
   /** Approximate top-`k` by ADC distance over the codes. If `rerank` is
     * given (the original corpus), a `shortlist`-sized ADC candidate set is
     * re-ranked by exact cosine — the standard PQ + exact-rerank pipeline.
+    * `rId`/`rVec` name the rerank corpus's id/vector columns (defaulting
+    * to the QUERY id column for the common self-search case — pass `rId`
+    * whenever the two tables name their ids differently).
     * Output `(q_id, n_id, rank)` (+ `sim` when re-ranked).
     */
   def search(cb: Codebooks, codes: DataFrame, queries: DataFrame, k: Int,
              qId: String = "vec_id", qVec: String = "embedding",
              excludeSelf: Boolean = true, shortlist: Int = 50,
-             rerank: Option[DataFrame] = None, rVec: String = "embedding")
+             rerank: Option[DataFrame] = None, rVec: String = "embedding",
+             rId: Option[String] = None)
       : DataFrame = {
     graft.GraftFunctions.register(codes.sparkSession)
     val q = broadcast(queries.select(col(qId).as("q_id"),
@@ -123,7 +127,7 @@ object Pq {
         // exact re-rank of the shortlist: join the candidate ids back to
         // their true vectors (queries x shortlist rows — tiny), re-score
         val exact = top.drop("adist", "rank")
-          .join(corpus.select(col(qId).as("n_id"),
+          .join(corpus.select(col(rId.getOrElse(qId)).as("n_id"),
             normalizeFast(col(rVec)).as("n_vec")), Seq("n_id"))
           .select(col("q_id"), col("n_id"),
             round(dotFast(col("q_vec"), col("n_vec")), 6).as("sim"))

@@ -42,4 +42,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(pruned.count() > 0, "sf0.001 should have contaminated docs")
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
+
+  test("cache registry is keyed by bench set — repeat calls don't grow it") {
+    Decontaminate.releaseCaches()
+    Decontaminate.overlap(train, bench, "doc_id", "text", shingleN = 4).count()
+    Decontaminate.overlap(train, bench, "doc_id", "text", shingleN = 4).count()
+    Decontaminate.overlap(train, bench, "doc_id", "text", shingleN = 4).count()
+    assert(Decontaminate.cacheCount === 1,
+      "same bench set must reuse one cache entry")
+    // a DIFFERENT shingle width is a different bench-shingle set
+    Decontaminate.overlap(train, bench, "doc_id", "text", shingleN = 3).count()
+    assert(Decontaminate.cacheCount === 2)
+    Decontaminate.releaseCaches()
+    assert(Decontaminate.cacheCount === 0)
+  }
 }

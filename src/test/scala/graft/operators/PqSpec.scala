@@ -45,6 +45,20 @@ class PqSpec extends SparkSpec {
       s"recall@5 = ${hit.toDouble / total} below 0.8")
   }
 
+  test("rerank corpus with a different id column works via rId") {
+    val cb = Pq.train(corpus, m = 8, kc = 16, trainSample = 200)
+    val codes = Pq.encode(corpus, cb)
+    val probes = corpus.where(col("vec_id") % 25 === 0)
+    val renamed = corpus.withColumnRenamed("vec_id", "item_id")
+      .withColumnRenamed("embedding", "emb2")
+    val viaRId = Pq.search(cb, codes, probes, k = 5, shortlist = 30,
+        rerank = Some(renamed), rVec = "emb2", rId = Some("item_id"))
+      .select("q_id", "n_id", "rank")
+    val baseline = Pq.search(cb, codes, probes, k = 5, shortlist = 30,
+        rerank = Some(corpus)).select("q_id", "n_id", "rank")
+    assert(viaRId.exceptAll(baseline).isEmpty && baseline.exceptAll(viaRId).isEmpty)
+  }
+
   test("ADC-only search still finds the right cluster") {
     val cb = Pq.train(corpus, m = 8, kc = 16, trainSample = 200)
     val codes = Pq.encode(corpus, cb)
