@@ -35,9 +35,15 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Full inverted index: `postings` = one row per (term, doc_id) with
-    * term frequency `tf`, document length `dl`, and the term's document
-    * frequency `df`; `stats` = one row (n_docs, sum_dl). Built in one pass
-    * over the text plus one shuffle on term.
+    * term frequency `tf` and document length `dl`; `stats` = (n_docs,
+    * sum_dl) rows that SUM to the corpus totals (one row per
+    * build/append). Document frequency is NOT stored: df is a corpus-wide
+    * count, so a stored copy goes stale the moment a batch is appended —
+    * instead [[topKIndexed]] counts it over the term-pruned postings
+    * (exact: pruning keeps every row of a matching term), which costs one
+    * small aggregation over rows the query reads anyway. That makes the
+    * index APPEND-ONLY: new docs add posting rows and one stats row,
+    * touching nothing that exists.
     */
   final case class Index(postings: DataFrame, stats: DataFrame)
 
@@ -45,17 +51,39 @@ object Bm25 {
     val toks = tokenize(docs, idCol, textCol)
     val postings = toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    // df joins back on the same key the groupBy just shuffled on — the
-    // exchange is reused, not repeated
-    val withDf = postings.join(
-      postings.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
-    Index(withDf, corpusStats(docs, textCol))
+    Index(postings, corpusStats(docs, textCol))
   }
+
+  // Cached tokenized-corpus projections for the ad-hoc topK path, keyed by
+  // (canonicalized docs plan, text column) — same bounded-registry pattern
+  // as Decontaminate's bench-shingle caches. Call [[releaseCaches]] per
+  // pipeline run, or rely on Spark's LRU eviction.
+  private val cachedTokens = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
+
+  /** Unpersist every tokenized-corpus cache created by [[topK]] so far. */
+  def releaseCaches(): Unit = cachedTokens.synchronized {
+    cachedTokens.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    cachedTokens.clear()
+  }
+
+  private[operators] def tokenCacheCount: Int =
+    cachedTokens.synchronized(cachedTokens.size)
 
   /** Top-k BM25 results per query: `(q_id, doc_id, score, rank)`, scores
     * rounded to 6 decimals, ties broken by ascending doc_id. Queries with
     * no matching document produce no rows. Query terms are deduplicated
     * (standard for short keyword queries).
+    *
+    * The corpus is tokenized ONCE into a spill-capable cached projection
+    * (token arrays, not text) feeding both consumers — the corpus stats
+    * row and the pruned postings; without the cache Spark re-runs the
+    * tokenizer per consumer, which dominated the dense-vocab Scale probe.
+    * The cache is corpus-sized (MEMORY_AND_DISK — it spills rather than
+    * evicts hot executor memory): the ad-hoc path is for one-shot corpora;
+    * a STANDING corpus should pay [[buildIndex]] once instead and query
+    * via [[topKIndexed]], which touches no raw text at all.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qIdCol: String, qTextCol: String,
@@ -63,7 +91,17 @@ object Bm25 {
     require(k > 0, s"k must be positive, got $k")
     graft.GraftFunctions.register(docs.sparkSession)
     val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
-    val toks = tokenize(docs, idCol, textCol)
+    val key = (docs.queryExecution.analyzed.canonicalized, textCol)
+    val tk = cachedTokens.synchronized {
+      cachedTokens.getOrElseUpdate(key, docs
+        .select(col(idCol).as("doc_id"), shinglesAllFast(col(textCol), 1).as("__ts"))
+        .where(size(col("__ts")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val stats = tk.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__ts"))).as("sum_dl"))
+    val toks = tk.select(col("doc_id"), size(col("__ts")).as("dl"),
+      explode(col("__ts")).as("term"))
     // broadcast prune: corpus tokens that match no query term die here,
     // before the postings shuffle
     val ptoks = toks.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
@@ -72,33 +110,84 @@ object Bm25 {
     // document frequency over the FULL corpus for the pruned terms —
     // postings already carry exactly those terms' rows
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    score(postings.join(dft, Seq("term")), corpusStats(docs, textCol),
-      qTerms, k, k1, b)
+    score(postings.join(dft, Seq("term")), stats, qTerms, k, k1, b)
   }
 
-  /** Persist an index: postings (term, doc_id, tf, dl, df) + the one-row
-    * stats table. Like [[Ivf.write]]/[[MinHashIndex.write]], this is the
-    * pay-the-scan-once path: queries against the store never touch raw
-    * text again.
+  /** Stable term → directory bucket count for the persisted postings
+    * layout. 256 directories keeps per-bucket file counts sane at corpus
+    * scale while a keyword query (tens of terms) still prunes ~90%+ of
+    * directories at file listing time.
+    */
+  val postingsBuckets = 256
+
+  /** Persist an index: postings (term, doc_id, tf, dl) partitioned by a
+    * stable hash bucket of the term — a query's file listing then touches
+    * only its own terms' directories ([[topKIndexed]] pushes the bucket
+    * set as a static partition filter, the same shape as [[Ivf.query]]'s
+    * probed-cell pruning) — plus the stats rows. Like
+    * [[Ivf.write]]/[[MinHashIndex.write]], this is the pay-the-scan-once
+    * path: queries against the store never touch raw text again.
     */
   def write(index: Index, path: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.postings
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
     index.stats.write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Add a new batch of documents to a persisted index: posting rows go
+    * into their term-hash bucket directories, corpus totals gain one
+    * summable stats row. Nothing already stored is touched ([[Index]]'s
+    * append-only layout). Append a batch at most once — doc ids are not
+    * deduped here (same contract as [[MinHashIndex.append]]).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val toks = tokenize(docs, idCol, textCol)
+    toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .repartition(col("__bucket"))
+      .write.mode("append").partitionBy("__bucket").parquet(s"$path/postings")
+    corpusStats(docs, textCol).write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Open a persisted index. Stats rows (one per build/append) collapse to
+    * the single corpus-total row here; the postings keep `__bucket` as a
+    * partition column so [[topKIndexed]] can prune directories.
+    */
   def open(spark: org.apache.spark.sql.SparkSession, path: String): Index =
     Index(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/stats")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
 
-  /** Rank against a prebuilt [[Index]] (df already on the postings). */
+  /** Rank against a prebuilt [[Index]]. Document frequency is computed
+    * over the term-pruned postings (exact — every stored row of a matching
+    * term survives the prune), so it is correct even after [[append]]s.
+    * On an [[open]]ed index the query-term bucket set is pushed as a
+    * static partition filter first: the parquet file listing touches only
+    * the query's own term directories.
+    */
   def topKIndexed(index: Index, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int, k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {
     graft.GraftFunctions.register(index.postings.sparkSession)
     val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
-    val pruned = index.postings
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-    score(pruned, index.stats, qTerms, k, k1, b)
+    val qDistinct = qTerms.select("term").distinct()
+    val store =
+      if (index.postings.columns.contains("__bucket")) {
+        // ≤ distinct query terms values — tiny local job on the
+        // materialized qTerms relation
+        val buckets = qDistinct
+          .select(pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+          .distinct().collect().map(_.getLong(0))
+        index.postings.where(col("__bucket")
+          .isin(buckets.map(java.lang.Long.valueOf): _*))
+      } else index.postings
+    val pruned = store.join(broadcast(qDistinct), Seq("term"))
+    val withDf = pruned.join(
+      pruned.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    score(withDf, index.stats, qTerms, k, k1, b)
   }
 
   /** `(q_id, term)` rows MATERIALIZED to a local relation: the query table
@@ -123,10 +212,10 @@ object Bm25 {
   }
 
   /** One row (n_docs, sum_dl) over non-empty docs — a shuffle-free
-    * single-row aggregation on the raw text. This is a second tokenization
-    * pass (Spark won't share the scan between two consumers of the token
-    * explode); for standing corpora [[buildIndex]] amortizes it into the
-    * persisted index so queries never pay it.
+    * single-row aggregation on the raw text. Only the one-time
+    * build/append paths pay this second tokenization pass (batch-sized on
+    * append); [[topK]] shares its cached token projection instead, and
+    * [[topKIndexed]] reads the persisted stats rows.
     */
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.select(size(shinglesAllFast(col(textCol), 1)).as("dl"))

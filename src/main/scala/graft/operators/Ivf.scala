@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
@@ -45,6 +45,45 @@ object Ivf {
     val centroids = spark.read.parquet(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/cells")
     Index(centroids, assigned, centroids.count().toInt)
+  }
+
+  /** Encode a new batch with the STORED centroids and append its rows to
+    * the cell directories — the daily-ingest path: no retraining, no
+    * re-read of the standing corpus, one narrow assignment pass over the
+    * batch plus a `mode("append")` write into `partitionBy("cell")`.
+    *
+    * Centroids do not move (standard IVF practice — FAISS's `add` does the
+    * same): cell populations drift as the data distribution does, which
+    * degrades probe recall gradually, not correctness — every vector still
+    * lands in its argmin cell, so a query that probes that cell finds it.
+    * Rebuild via [[build]]+[[write]] when drift makes cells lopsided
+    * (watch cell-size skew via `open(...).assigned.groupBy("cell").count`).
+    * Caller contract (as [[MinHashIndex.append]]): append a batch at most
+    * once — this layer does not dedup ids.
+    */
+  def append(df: DataFrame, path: String, id: String = "vec_id",
+             vec: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
+      .sortBy(_._1).map(_._2)
+    df.select(col(id).as("id"), col(vec).as("emb"))
+      .withColumn("cell", assignCell(col("emb"), centers))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Argmin-distance cell id for one vector column; `centers(i)` must be
+    * cell i's centroid. Centroids ride as a plan literal — the assignment
+    * is a narrow, codegen-friendly pass.
+    */
+  private[operators] def assignCell(emb: Column, centers: Seq[Seq[Double]]): Column = {
+    val cbLit = typedlit(centers)
+    val dists = transform(cbLit, c =>
+      aggregate(zip_with(transform(emb, _.cast("double")), c,
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Deterministic per-partition reservoir sample of ≤ `maxRows` rows with
@@ -105,12 +144,8 @@ object Ivf {
         trainSample, seed)
       .collect().map(_.getSeq[Double](0).toArray)
     val centers = Lloyd.fit(sample, nCells, iters = 20, seed)
-    val cbLit = typedlit(centers.map(_.toSeq).toSeq)
-    val dists = transform(cbLit, c =>
-      aggregate(zip_with(transform(col("emb"), _.cast("double")), c,
-        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     val assigned = withVec.withColumn("cell",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
+      assignCell(col("emb"), centers.map(_.toSeq).toSeq))
     import spark.implicits._
     val centroids = centers.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toSeq) }

@@ -59,14 +59,42 @@ object IvfPq {
   def open(spark: SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val coded = spark.read.parquet(s"$path/cells")
+    Index(Ivf.Index(centroids, coded.drop("codes"), centroids.count().toInt),
+      readCodebooks(spark, path), coded)
+  }
+
+  private def readCodebooks(spark: SparkSession, path: String): Pq.Codebooks = {
     val p = spark.read.parquet(s"$path/params").head()
     val (m, kc, dim) = (p.getAs[Int]("m"), p.getAs[Int]("kc"), p.getAs[Int]("dim"))
     val centers = spark.read.parquet(s"$path/codebooks")
       .collect().map(r => (r.getAs[Int]("mi"), r.getAs[Int]("j"), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    Index(Ivf.Index(centroids, coded.drop("codes"), centroids.count().toInt),
-      Pq.Codebooks(m, kc, dim, centers), coded)
+    Pq.Codebooks(m, kc, dim, centers)
+  }
+
+  /** Encode a new batch with the STORED centroids AND codebooks, appending
+    * `(id, emb, codes)` rows to the cell directories — [[Ivf.append]]'s
+    * daily-ingest path with the PQ code column computed in the same narrow
+    * pass. Neither quantizer retrains (codebook drift degrades ADC
+    * precision gradually, never correctness — the exact rerank reads true
+    * vectors); rebuild when cell skew or recall says so. Append a batch at
+    * most once — ids are not deduped here.
+    */
+  def append(df: DataFrame, path: String, id: String = "vec_id",
+             vec: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    graft.GraftFunctions.register(spark)
+    val cb = readCodebooks(spark, path)
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
+      .sortBy(_._1).map(_._2)
+    df.select(col(id).as("id"), col(vec).as("emb"))
+      .withColumn("cell", Ivf.assignCell(col("emb"), centers))
+      .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Top-k per query: probe → ADC within probed cells → exact rerank.
@@ -101,8 +129,10 @@ object IvfPq {
           struct(col("adist").as("o"), col("id")), lit(cand)).as("tk"))
       .select(col("q_id"), col("q_emb"), explode(col("tk.id")).as("n_id"))
     // exact rerank: the only stage that reads float vectors, and only for
-    // the queries x shortlist candidate ids
-    top.join(index.coded.select(col("id").as("n_id"),
+    // the queries x shortlist candidate ids — joined against the SAME
+    // cell-pruned store as the ADC scan, so on a persisted index the
+    // vector read also touches only the nProbe probed cell directories
+    top.join(corpus.select(col("id").as("n_id"),
         normalizeFast(col("emb")).as("n_vec")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dotFast(col("q_emb"), col("n_vec")), 6).as("sim"))

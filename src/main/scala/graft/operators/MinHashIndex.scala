@@ -68,18 +68,45 @@ object MinHashIndex {
       .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
+  // Cached batch-band DataFrames, keyed by (canonicalized batch plan,
+  // columns, hash params) — candidates() consumes the batch's band rows
+  // from FOUR plan positions (the cap self-join's both sides via `all`,
+  // then `n` twice); without a cache the batch text is shingled/hashed
+  // once per consumer. Same bounded-registry pattern as Decontaminate's;
+  // [[DedupStream.processBatch]] releases per micro-batch.
+  private val cachedBands = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
+
+  /** Unpersist every batch-band cache created by [[candidates]] so far. */
+  def releaseCaches(): Unit = cachedBands.synchronized {
+    cachedBands.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    cachedBands.clear()
+  }
+
+  private[operators] def bandCacheCount: Int =
+    cachedBands.synchronized(cachedBands.size)
+
   /** Near-duplicate candidate pairs for a new batch: `(id_a, id_b, kind)`
     * where kind `new_old` pairs a batch doc (`id_a`) with an indexed doc
     * (`id_b`), and `new_new` pairs two batch docs (`id_a < id_b`).
     * Buckets whose COMBINED (index + batch) size exceeds `maxBucketSize`
     * are dropped — identical semantics to the one-shot path's degeneracy
     * cap. Old-old pairs are never emitted: the standing corpus was already
-    * deduped when it was admitted.
+    * deduped when it was admitted. The batch's band rows are computed in
+    * ONE shingle pass and cached (batch-sized by contract) for the four
+    * plan positions that read them.
     */
   def candidates(index: Index, batch: DataFrame, idCol: String, textCol: String,
                  maxBucketSize: Int = 1000): DataFrame = {
-    val nb = bands(batch, idCol, textCol, index.shingleN, index.numHashes,
-      index.rowsPerBand).withColumn("is_new", lit(true))
+    val key = (batch.queryExecution.analyzed.canonicalized,
+      s"$idCol|$textCol|${index.shingleN}|${index.numHashes}|${index.rowsPerBand}")
+    val nb = cachedBands.synchronized {
+      cachedBands.getOrElseUpdate(key,
+        bands(batch, idCol, textCol, index.shingleN, index.numHashes,
+            index.rowsPerBand).withColumn("is_new", lit(true))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val all = nb.unionByName(
       index.buckets.select(col("id"), col("band"), col("bucket"))
         .withColumn("is_new", lit(false)))

@@ -131,6 +131,67 @@ class Bm25Spec extends SparkSpec {
     assert(viaDisk == direct)
   }
 
+  test("append extends a persisted index; results equal a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+    Bm25.write(Bm25.buildIndex(
+      docs.where($"doc_id" <= 3), "doc_id", "text"), dir)
+    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir)
+    val qs = Seq((10L, "brown dog"), (11L, "quick"), (12L, "the plain"))
+      .toDF("q_id", "q_text")
+    val full = Bm25.topKIndexed(Bm25.buildIndex(docs, "doc_id", "text"),
+        qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val incremental = Bm25.topKIndexed(Bm25.open(spark, dir),
+        qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(incremental == full,
+      "append must reproduce the full rebuild exactly (tf, df, stats)")
+  }
+
+  test("opened-index query prunes postings directories to the query's term buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Bm25.write(Bm25.buildIndex(docs, "doc_id", "text"), dir)
+    val nDirs = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("__bucket="))
+    assert(nDirs > 2, s"corpus terms should spread over >2 buckets, got $nDirs")
+    val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
+    val res = Bm25.topKIndexed(Bm25.open(spark, dir), qs, "q_id", "q_text", k = 3)
+    assert(res.collect().head.getLong(1) == 3L)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val postingScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "expected parquet scans of the postings store")
+    // one query term ⇒ one bucket directory planned, on EVERY postings scan
+    postingScans.foreach { sc =>
+      assert(sc.selectedPartitions.partitionCount === 1,
+        s"single-term query should plan 1/$nDirs bucket dirs, " +
+          s"planned ${sc.selectedPartitions.partitionCount}")
+      assert(sc.partitionFilters.nonEmpty,
+        "bucket isin should be a partition filter at the scan")
+    }
+  }
+
+  test("topK tokenizes the corpus once — cache registry keyed by corpus") {
+    Bm25.releaseCaches()
+    val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
+    Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3).count()
+    Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3).count()
+    assert(Bm25.tokenCacheCount === 1,
+      "repeat topK over the same corpus must reuse one token cache")
+    Bm25.releaseCaches()
+    assert(Bm25.tokenCacheCount === 0)
+  }
+
   test("corpus tokens are pruned by broadcast BEFORE any shuffle") {
     val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
     val plan = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)

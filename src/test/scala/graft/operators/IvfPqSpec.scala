@@ -30,6 +30,33 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("append encodes with stored centroids AND codebooks; queries see the batch") {
+    val tmp = Files.createTempDirectory("graft_ivfpqapp_").toString
+    val base = corpus.where(col("vec_id") % 100 < 20)   // 80 rows
+    val batch = corpus.where(col("vec_id") % 100 >= 20) // 20 rows, new ids
+    IvfPq.write(IvfPq.build(base, nCells = 4, m = 8, kc = 16, trainSample = 200), tmp)
+    IvfPq.append(batch, tmp)
+
+    val opened = IvfPq.open(spark, tmp)
+    assert(opened.coded.count() === 100)
+    // appended rows carry codes from the STORED codebooks
+    val batchCodes = opened.coded.join(batch.select(col("vec_id").as("id")), Seq("id"))
+      .select("codes").as[Seq[Int]].collect()
+    assert(batchCodes.length === 20 && batchCodes.forall(_.length == 8))
+    // no new cell directories
+    val cellDirs = new File(s"$tmp/cells").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs === 4)
+    // a probe finds its appended cluster-mates
+    val probes = batch.where(col("vec_id").isin(20L, 120L, 220L, 320L))
+    val got = IvfPq.query(opened, probes, k = 5, nProbe = 3, shortlist = 25)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(probes, corpus, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall after append $recall")
+  }
+
   test("write → open round-trips; query plans only probed cell directories") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

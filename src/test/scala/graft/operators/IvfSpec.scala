@@ -155,6 +155,39 @@ class IvfSpec extends SparkSpec {
     Ivf.boundedSample(poisoned, maxRows = 10) // must not throw
   }
 
+  test("append encodes with STORED centroids and extends the cell directories") {
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5))
+      a(axis) = 1.0f + 0.01f * i
+      a
+    }
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft_ivfapp_").toString
+    Ivf.write(Ivf.build(base, nCells = 3), tmp)
+
+    // a later batch from the same clusters — new ids, stored centroids
+    val batch = (for (axis <- Seq(0, 3, 6); i <- 20 until 30)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.append(batch, tmp)
+
+    val opened = Ivf.open(spark, tmp)
+    assert(opened.assigned.count() === 90)
+    // appended rows landed in their argmin cell: cell directories still
+    // number nCells (no new partition values appeared)
+    val cellDirs = new File(s"$tmp/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.size === 3, s"append created new cells: $cellDirs")
+    // and a query whose true neighbors are appended docs finds them
+    // through the same nProbe=1 pruned read
+    val probe = batch.where("vec_id = 1029")
+    val got = Ivf.query(opened, probe, k = 3, nProbe = 1)
+      .select("n_id").as[Long].collect().toSet
+    val brute = Knn.bruteForce(probe, base.unionByName(batch), k = 3)
+      .select("n_id").as[Long].collect().toSet
+    assert(got === brute, "appended docs must be reachable at nProbe=1")
+  }
+
   test("distributed zip ingest routes members and parses lines in executors") {
     val tmp = Files.createTempDirectory("graft_dzip_").toFile
     def writeZip(name: String, entries: (String, String)*): Unit = {

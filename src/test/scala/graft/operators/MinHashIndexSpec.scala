@@ -85,4 +85,23 @@ class MinHashIndexSpec extends SparkSpec {
     assert(uncapped == 30L)
     assert(capped == 0L, "every bucket exceeds the cap → no candidates")
   }
+
+  test("batch bands are cached — one shingle pass feeds the four consumers") {
+    MinHashIndex.releaseCaches()
+    val idx = MinHashIndex.Index(
+      MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
+    val out = MinHashIndex.candidates(idx, batch, "doc_id", "text")
+    out.count()
+    assert(MinHashIndex.bandCacheCount === 1)
+    // the same batch again (even under a different cap) reuses the entry
+    MinHashIndex.candidates(idx, batch, "doc_id", "text", maxBucketSize = 5).count()
+    assert(MinHashIndex.bandCacheCount === 1)
+    // the executed plan reads the cache instead of re-hashing the batch:
+    // every minhash computation left sits inside the InMemoryRelation build
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected cached band reads in:\n${plan.take(1500)}")
+    MinHashIndex.releaseCaches()
+    assert(MinHashIndex.bandCacheCount === 0)
+  }
 }
