@@ -1214,8 +1214,126 @@ object SparkEntry {
       comp.withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
         .orderBy("doc_id")
+    }),
+
+    // --- the persisted-index READ path under the oracle gate: build+write
+    // once into a content-addressed scratch dir (signature of the source
+    // files — regenerated testdata misses and rebuilds), then every run
+    // times open → probe → pruned scan only. The brute-force truth is
+    // computed once at build time and persisted beside the index, so reps
+    // after the first never scan the corpus ---
+    "q84_ivf_indexed_query" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = cachedIndexDir(s, dir, "embeddings", "ivf16")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/truth/_SUCCESS"))) {
+        Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000), path)
+        Knn.bruteForce(emb.where(col("vec_id") < 8), emb, k = 5)
+          .select("q_id", "n_id")
+          .write.mode("overwrite").parquet(s"$path/truth")
+      }
+      val idx = Ivf.open(s, path)
+      val probes = emb.where(col("vec_id") < 8)
+      val approx = Ivf.query(idx, probes, k = 5, nProbe = 8)
+        .select(col("q_id"), col("n_id"))
+      s.read.parquet(s"$path/truth")
+        .join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- the corpus-release pipeline COMPOSED end to end, the way a real
+    // user ships a training set: near-dup clusters → canonical copy per
+    // cluster → benchmark decontamination → DSIR importance selection →
+    // leakage-safe split by cluster → release card. Every stage is the
+    // already-oracle-checked operator (q48/q81/q70/q76/q83); this entry
+    // proves they compose in ONE declarative plan ---
+    "q85_corpus_release" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 4, threshold = 0.05)
+      val comp = ConnectedComponents.components(s, docs.select("doc_id"),
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+      val canon = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(call_function("graft_kmin",
+          struct((-col("n_chars")).as("o"), col("doc_id")), lit(1)).as("tk"))
+        .select(col("component"), col("tk")(0)("doc_id").as("doc_id"))
+      val bench = docs.where(col("doc_id") % 29 === 0)
+      val trainCand = docs.join(canon, "doc_id")
+        .where(col("doc_id") % 29 =!= 0)
+      val cleaned = Decontaminate.clean(trainCand, bench, "doc_id", "text",
+        shingleN = 4)
+      val w = operators.Importance.weights(docs,
+        docs.where(col("source").isin("src0", "src1")), "doc_id", "text")
+      // DSIR selection: the 200 most target-like docs corpus-wide (weights
+      // are log-ratios — negative when target ⊂ raw, so ranking, not a
+      // sign test, is the selection). Global top-N via the graft_kmin
+      // bounded heap, never a single-partition window; the expensive
+      // clustering branch is consumed exactly once.
+      val sel = w.agg(call_function("graft_kmin",
+          struct((-col("weight")).as("o"), col("doc_id")), lit(200)).as("tk"))
+        .select(explode(col("tk.doc_id")).as("doc_id"))
+      val selected = cleaned.join(w, "doc_id")
+        .join(sel, Seq("doc_id"), "left_semi")
+      val bucket = (conv(substring(md5(concat(col("component").cast("string"),
+        lit(":split"))), 1, 4), 16, 10).cast("long") % 100)
+      selected
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("n_tokens"),
+          round(sum(round(col("weight") * 1e6, 0).cast("long"))
+            .cast("double") / 1e6, 6).as("sum_weight"))
+        .orderBy("split")
+    }),
+
+    // --- BM25 against the PERSISTED postings index: build+write once into
+    // the content-addressed scratch dir, then every run is open →
+    // bucket-pruned postings read → score. Hash-exact against the same
+    // SQL as q74 (the index path must reproduce the ad-hoc path bit for
+    // bit) ---
+    "q86_bm25_indexed_query" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = cachedIndexDir(s, dir, "documents", "bm25")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")))
+        operators.Bm25.write(
+          operators.Bm25.buildIndex(docs, "doc_id", "text"), path)
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      operators.Bm25.topKIndexed(operators.Bm25.open(s, path),
+          qs, "q_id", "q_text", k = 5)
+        .orderBy("q_id", "rank")
     })
   )
+
+  /** Content-addressed scratch dir for the persisted-index query entries
+    * (q84/q86): the path embeds a digest of the source table's file names,
+    * lengths, and mtimes, so regenerated testdata can never be served by a
+    * stale index — the lookup simply misses and the entry rebuilds.
+    */
+  private def cachedIndexDir(s: SparkSession, dir: String, table: String,
+                             name: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = src.getFileSystem(s.sessionState.newHadoopConf())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.toString).foreach(c => fold(c.getPath))
+      else md.update(
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime};"
+          .getBytes("UTF-8"))
+    }
+    fold(src)
+    val sig = md.digest().map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_idx/$sig/$name"
+  }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables — every declared query has one. The hash-based queries
@@ -2124,6 +2242,106 @@ object SparkEntry {
         |        COUNT(*) OVER (PARTITION BY component) AS n_members
         |      FROM j)
         |SELECT component, doc_id AS kept_doc, n_members, n_members - 1 AS n_dropped
-        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // q84: identical claim shape to q65 — the recall gate is deterministic
+    // even though the index is approximate
+    "q84_ivf_indexed_query" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    // q85: the q48 clustering CTEs + q81 canonical rank + q70
+    // decontamination + q76 DSIR weights + q83 split hash, ending in the
+    // exact release-card aggregation
+    "q85_corpus_release" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |        WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.05),
+        |edges AS (SELECT ia AS a, ib AS b FROM prs UNION SELECT ib, ia FROM prs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        |rk AS (SELECT component, comp.doc_id,
+        |        row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, comp.doc_id ASC) AS rn
+        |      FROM comp JOIN documents USING (doc_id)),
+        |canon AS (SELECT component, doc_id FROM rk WHERE rn = 1),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+        |contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)),
+        |cleaned AS (SELECT component, doc_id FROM canon
+        |            WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |uni AS (SELECT doc_id, unnest(ts) AS g FROM tok),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 1)) u(i) WHERE len(ts) >= 2),
+        |ag AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |bk AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(g || ':imp'), 1, 4) AS INT) AS BIGINT) % 4096 AS b
+        |  FROM ag),
+        |rc AS (SELECT b, COUNT(*) AS r_n FROM bk GROUP BY b),
+        |tc AS (SELECT b, COUNT(*) AS t_n FROM bk JOIN documents USING (doc_id)
+        |       WHERE source IN ('src0', 'src1') GROUP BY b),
+        |tt AS (SELECT SUM(t_n) AS t_tot FROM tc),
+        |rt AS (SELECT SUM(r_n) AS r_tot FROM rc),
+        |bs AS (SELECT i AS b FROM generate_series(0, 4095) s(i)),
+        |lr AS (SELECT b, round(ln(
+        |    ((CAST(COALESCE(t_n, 0) AS DOUBLE) + 1.0) / (CAST(t_tot AS DOUBLE) + 4096.0)) /
+        |    ((CAST(COALESCE(r_n, 0) AS DOUBLE) + 1.0) / (CAST(r_tot AS DOUBLE) + 4096.0))), 6) AS lr
+        |  FROM bs LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tt CROSS JOIN rt),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n_db FROM bk GROUP BY doc_id, b),
+        |c AS (SELECT doc_id, b, round(n_db * lr, 6) AS c FROM db JOIN lr USING (b)),
+        |w AS (SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(c * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS weight
+        |  FROM c GROUP BY doc_id),
+        |topw AS (SELECT doc_id FROM (SELECT doc_id,
+        |          row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rn FROM w)
+        |        WHERE rn <= 200),
+        |sel AS (SELECT component, cleaned.doc_id, weight
+        |        FROM cleaned JOIN w ON w.doc_id = cleaned.doc_id
+        |        JOIN topw ON topw.doc_id = cleaned.doc_id),
+        |spl AS (SELECT doc_id, weight,
+        |    CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR) || ':split'), 1, 4) AS INT) AS BIGINT) % 100 AS bb
+        |  FROM sel),
+        |nt AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tok FROM tok)
+        |SELECT CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(weight * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_weight
+        |FROM spl JOIN nt USING (doc_id) GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // q86: the persisted-postings path must reproduce the ad-hoc BM25
+    // pipeline bit for bit — identical SQL to q74
+    "q86_bm25_indexed_query" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM pd)
+        |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }
