@@ -101,6 +101,7 @@ object Scale {
         concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 8)).as("q_text"))
     time("bm25_1x")(Bm25.topK(d1, "doc_id", "text", bmq, "q_id", "q_text", 5).count())
     time("bm25_16x")(Bm25.topK(d16, "doc_id", "text", bmq, "q_id", "q_text", 5).count())
+    Bm25.releaseCaches()
     // DSIR: fixed target corpus, raw side grows
     val tgt = d1.where(col("doc_id") % 50 === 0)
     time("dsir_1x")(Importance.weights(d1, tgt, "doc_id", "text").count())
@@ -130,6 +131,23 @@ object Scale {
     val ipq8 = IvfPq.build(e8, 16, trainSample = 10000)
     ipq8.coded.cache().count()
     time("ivfpq_query_8x")(IvfPq.query(ipq8, qset, 5, 4).count())
+    // --- round-8 probes ---
+    // persisted-index APPEND: a fixed daily batch against a 1x vs 8x
+    // standing index — cost must track the BATCH (append reads only the
+    // tiny centroid table, never the stored cells)
+    val ivfDir1 = java.nio.file.Files.createTempDirectory("scale_ivf1_").toString
+    val ivfDir8 = java.nio.file.Files.createTempDirectory("scale_ivf8_").toString
+    Ivf.write(idx1, ivfDir1)
+    Ivf.write(idx8, ivfDir8)
+    val abatch = e1.where(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + lit(90000000L)).as("vec_id"), col("embedding"))
+    time("ivf_append_1x") { Ivf.append(abatch, ivfDir1); abatch.count() }
+    time("ivf_append_8x") { Ivf.append(abatch, ivfDir8); abatch.count() }
+    // persisted-index READ path (open → probe → PRUNED scan, the q84
+    // shape): per-query cost must stay ~flat as the stored corpus grows,
+    // because file listing only touches the probed cell directories
+    time("ivf_open_query_1x")(Ivf.query(Ivf.open(spark, ivfDir1), qset, 5, 4).count())
+    time("ivf_open_query_8x")(Ivf.query(Ivf.open(spark, ivfDir8), qset, 5, 4).count())
     spark.stop()
   }
 }
