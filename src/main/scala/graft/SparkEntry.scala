@@ -1270,13 +1270,15 @@ object SparkEntry {
       // DSIR selection: the 200 most target-like docs corpus-wide (weights
       // are log-ratios — negative when target ⊂ raw, so ranking, not a
       // sign test, is the selection). Global top-N via the graft_kmin
-      // bounded heap, never a single-partition window; the expensive
-      // clustering branch is consumed exactly once.
+      // bounded heap, never a single-partition window; the heap carries
+      // the weight through, so BOTH expensive branches (clustering, DSIR)
+      // are consumed exactly once.
       val sel = w.agg(call_function("graft_kmin",
-          struct((-col("weight")).as("o"), col("doc_id")), lit(200)).as("tk"))
-        .select(explode(col("tk.doc_id")).as("doc_id"))
-      val selected = cleaned.join(w, "doc_id")
-        .join(sel, Seq("doc_id"), "left_semi")
+          struct((-col("weight")).as("o"), col("doc_id"), col("weight")),
+          lit(200)).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.weight").as("weight"))
+      val selected = cleaned.join(sel, "doc_id")
       val bucket = (conv(substring(md5(concat(col("component").cast("string"),
         lit(":split"))), 1, 4), 16, 10).cast("long") % 100)
       selected
