@@ -1292,6 +1292,32 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // --- IVF-PQ against the PERSISTED store (the q84 shape for the
+    // billion-scale read path): open → probe → ADC over the probed cells'
+    // code column → exact rerank, all against cell-pruned directories ---
+    "q87_ivfpq_indexed_query" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = cachedIndexDir(s, dir, "embeddings", "ivfpq16")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/truth/_SUCCESS"))) {
+        operators.IvfPq.write(operators.IvfPq.build(emb, nCells = 16, m = 8,
+          kc = 16, trainSample = 10000), path)
+        Knn.bruteForce(emb.where(col("vec_id") < 8), emb, k = 5)
+          .select("q_id", "n_id")
+          .write.mode("overwrite").parquet(s"$path/truth")
+      }
+      val idx = operators.IvfPq.open(s, path)
+      val probes = emb.where(col("vec_id") < 8)
+      val approx = operators.IvfPq
+        .query(idx, probes, k = 5, nProbe = 8, shortlist = 200)
+        .select(col("q_id"), col("n_id"))
+      s.read.parquet(s"$path/truth")
+        .join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
     // --- BM25 against the PERSISTED postings index: build+write once into
     // the content-addressed scratch dir, then every run is open →
     // bucket-pruned postings read → score. Hash-exact against the same
@@ -2246,9 +2272,11 @@ object SparkEntry {
         |SELECT component, doc_id AS kept_doc, n_members, n_members - 1 AS n_dropped
         |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
 
-    // q84: identical claim shape to q65 — the recall gate is deterministic
-    // even though the index is approximate
+    // q84/q87: identical claim shape to q65/q82 — the recall gate is
+    // deterministic even though the index is approximate
     "q84_ivf_indexed_query" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+    "q87_ivfpq_indexed_query" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
