@@ -141,13 +141,26 @@ object Scale {
     Ivf.write(idx8, ivfDir8)
     val abatch = e1.where(col("vec_id") % 100 === 0)
       .select((col("vec_id") + lit(90000000L)).as("vec_id"), col("embedding"))
-    time("ivf_append_1x") { Ivf.append(abatch, ivfDir1); abatch.count() }
-    time("ivf_append_8x") { Ivf.append(abatch, ivfDir8); abatch.count() }
+    time("ivf_append_1x") { Ivf.append(abatch, ivfDir1, batchId = 1); abatch.count() }
+    time("ivf_append_8x") { Ivf.append(abatch, ivfDir8, batchId = 1); abatch.count() }
     // persisted-index READ path (open → probe → PRUNED scan, the q84
     // shape): per-query cost must stay ~flat as the stored corpus grows,
     // because file listing only touches the probed cell directories
     time("ivf_open_query_1x")(Ivf.query(Ivf.open(spark, ivfDir1), qset, 5, 4).count())
     time("ivf_open_query_8x")(Ivf.query(Ivf.open(spark, ivfDir8), qset, 5, 4).count())
+    // COMPACTION: a season of daily appends leaves one file layer per
+    // (cell, batch); compactTo collapses the store back to one file per
+    // cell — the open→query time should drop back toward the
+    // freshly-written index's
+    for (b <- 2 to 16)
+      Ivf.append(abatch.select((col("vec_id") + lit(b)).as("vec_id"),
+        col("embedding")), ivfDir1, batchId = b)
+    time("ivf_open_query_fragmented")(
+      Ivf.query(Ivf.open(spark, ivfDir1), qset, 5, 4).count())
+    val ivfDirC = java.nio.file.Files.createTempDirectory("scale_ivfc_").toString
+    time("ivf_compact") { Ivf.compactTo(spark, ivfDir1, ivfDirC); 0L }
+    time("ivf_open_query_compacted")(
+      Ivf.query(Ivf.open(spark, ivfDirC), qset, 5, 4).count())
     spark.stop()
   }
 }

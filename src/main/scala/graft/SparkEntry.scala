@@ -1360,7 +1360,10 @@ object SparkEntry {
     }
     fold(src)
     val sig = md.digest().map("%02x".format(_)).mkString.take(16)
-    s"${System.getProperty("java.io.tmpdir")}/graft_idx/$sig/$name"
+    // bump when the persisted-index layout changes (v2: inner batch_id
+    // partitions for retry-idempotent appends) — a stale cached store
+    // would otherwise keep exercising the old layout forever
+    s"${System.getProperty("java.io.tmpdir")}/graft_idx/$sig/v2-$name"
   }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

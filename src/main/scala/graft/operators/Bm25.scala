@@ -131,25 +131,42 @@ object Bm25 {
   def write(index: Index, path: String): Unit = {
     index.postings
       .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .withColumn("batch_id", lit(0L))
       .repartition(col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
-    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").partitionBy("__bucket", "batch_id")
+      .parquet(s"$path/postings")
+    index.stats.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/stats")
   }
 
   /** Add a new batch of documents to a persisted index: posting rows go
     * into their term-hash bucket directories, corpus totals gain one
-    * summable stats row. Nothing already stored is touched ([[Index]]'s
-    * append-only layout). Append a batch at most once — doc ids are not
-    * deduped here (same contract as [[MinHashIndex.append]]).
+    * summable stats row. Doc ids are not deduped here (same contract as
+    * [[MinHashIndex.append]]).
+    *
+    * RETRY-IDEMPOTENT as [[Ivf.append]]: postings land under
+    * `(__bucket, batch_id)` and the stats row under `batch_id` via dynamic
+    * partition overwrite — a replayed append (tokenization is
+    * deterministic, so the partition set is identical) replaces its prior
+    * attempt instead of double-counting every term. Distinct batches need
+    * distinct ids > 0 (0 is the base build).
     */
-  def append(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+  def append(docs: DataFrame, idCol: String, textCol: String, path: String,
+             batchId: Long): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val toks = tokenize(docs, idCol, textCol)
     toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("__bucket"))
-      .write.mode("append").partitionBy("__bucket").parquet(s"$path/postings")
-    corpusStats(docs, textCol).write.mode("append").parquet(s"$path/stats")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket", "batch_id").parquet(s"$path/postings")
+    corpusStats(docs, textCol).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/stats")
   }
 
   /** Open a persisted index. Stats rows (one per build/append) collapse to
@@ -160,6 +177,17 @@ object Bm25 {
     Index(spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/stats")
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+
+  /** Rewrite a persisted index into a fresh fully-compacted store at
+    * `dest`: posting rows collapse back to batch 0 (one co-located
+    * shuffle partition per term bucket) and the per-append stats rows
+    * fold into a single corpus-total row — the small-files maintenance
+    * pass after a season of daily [[append]]s. New directory; the atomic
+    * swap is the caller's snapshot/publish step.
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, path: String,
+                dest: String): Unit =
+    write(open(spark, path), dest)
 
   /** Rank against a prebuilt [[Index]]. Document frequency is computed
     * over the term-pruned postings (exact — every stored row of a matching

@@ -27,13 +27,17 @@ object Ivf {
                          nCells: Int)
 
   /** Persist the index: corpus vectors under `path/cells` partitioned by
-    * `cell` (re-partitioned so each cell's rows are co-located — one
-    * shuffle now buys every future query its pruned scan), centroids under
-    * `path/centroids`. Parquet on any Hadoop FS.
+    * `(cell, batch_id)` (re-partitioned so each cell's rows are co-located —
+    * one shuffle now buys every future query its pruned scan), centroids
+    * under `path/centroids`. Parquet on any Hadoop FS. `cell` stays the
+    * OUTER partition level, so probed-cell directory pruning is unaffected
+    * by the inner `batch_id` split that makes [[append]] retry-idempotent
+    * (the base build is batch 0).
     */
   def write(index: Index, path: String): Unit = {
-    index.assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.assigned.withColumn("batch_id", lit(0L)).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -57,12 +61,20 @@ object Ivf {
     * degrades probe recall gradually, not correctness — every vector still
     * lands in its argmin cell, so a query that probes that cell finds it.
     * Rebuild via [[build]]+[[write]] when drift makes cells lopsided
-    * (watch cell-size skew via `open(...).assigned.groupBy("cell").count`).
-    * Caller contract (as [[MinHashIndex.append]]): append a batch at most
-    * once — this layer does not dedup ids.
+    * (watch cell-size skew via [[cellStats]]).
+    *
+    * RETRY-IDEMPOTENT: the batch lands under its own `batch_id` inner
+    * partitions via dynamic partition overwrite, so a replayed append (an
+    * orchestrator retrying a crashed daily-ingest step — the reference's
+    * own cadence) REPLACES its prior attempt's rows instead of duplicating
+    * them: cell assignment is deterministic given the stored centroids, so
+    * both attempts write exactly the same `(cell, batch_id)` partition set.
+    * Callers must give each DISTINCT batch a distinct id > 0 (0 is the
+    * base build — reusing it would overwrite base partitions).
     */
-  def append(df: DataFrame, path: String, id: String = "vec_id",
-             vec: String = "embedding"): Unit = {
+  def append(df: DataFrame, path: String, batchId: Long,
+             id: String = "vec_id", vec: String = "embedding"): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
@@ -70,8 +82,36 @@ object Ivf {
       .sortBy(_._1).map(_._2)
     df.select(col(id).as("id"), col(vec).as("emb"))
       .withColumn("cell", assignCell(col("emb"), centers))
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id").parquet(s"$path/cells")
+  }
+
+  /** Rewrite a persisted index into a fresh fully-compacted store at
+    * `dest`: every cell collapses back to batch 0 with its rows co-located
+    * in one shuffle partition — the maintenance pass that undoes the
+    * small-files accumulation of daily [[append]]s (each append adds ≥1
+    * file per touched cell; after a year that is 365 files per cell
+    * directory, and open's file listing + scan pay for every one).
+    * Writes to a NEW directory rather than in place: an in-place rewrite
+    * is not atomic on object stores, so the swap belongs to the caller's
+    * snapshot/publish step (see [[graft.pipeline.Snapshots]]).
+    */
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit =
+    write(open(spark, path), dest)
+
+  /** Per-cell population of an index — the drift/skew monitor [[append]]'s
+    * no-retrain contract tells operators to watch: `(cell, n)` plus the
+    * max/mean skew ratio broadcast onto every row. Rebuild when `skew`
+    * says one probe does many cells' worth of work.
+    */
+  def cellStats(index: Index): DataFrame = {
+    val counts = index.assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(
+        counts.agg((max("n") / avg("n")).as("skew"))))
+      .orderBy("cell")
   }
 
   /** Argmin-distance cell id for one vector column; `centers(i)` must be

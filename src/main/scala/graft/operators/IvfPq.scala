@@ -43,8 +43,9 @@ object IvfPq {
     * and flattened codebooks alongside.
     */
   def write(index: Index, path: String): Unit = {
-    index.coded.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    index.coded.withColumn("batch_id", lit(0L)).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .parquet(s"$path/cells")
     index.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val s = index.coded.sparkSession
     import s.implicits._
@@ -78,11 +79,17 @@ object IvfPq {
     * daily-ingest path with the PQ code column computed in the same narrow
     * pass. Neither quantizer retrains (codebook drift degrades ADC
     * precision gradually, never correctness — the exact rerank reads true
-    * vectors); rebuild when cell skew or recall says so. Append a batch at
-    * most once — ids are not deduped here.
+    * vectors); rebuild when cell skew or recall says so.
+    *
+    * RETRY-IDEMPOTENT as [[Ivf.append]]: the batch's rows land under its
+    * own `batch_id` inner partitions via dynamic partition overwrite
+    * (assignment and encoding are deterministic given the stored
+    * centroids/codebooks, so a replayed attempt rewrites exactly the same
+    * partition set). Distinct batches need distinct ids > 0.
     */
-  def append(df: DataFrame, path: String, id: String = "vec_id",
-             vec: String = "embedding"): Unit = {
+  def append(df: DataFrame, path: String, batchId: Long,
+             id: String = "vec_id", vec: String = "embedding"): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
     graft.GraftFunctions.register(spark)
     val cb = readCodebooks(spark, path)
@@ -93,9 +100,22 @@ object IvfPq {
     df.select(col(id).as("id"), col(vec).as("emb"))
       .withColumn("cell", Ivf.assignCell(col("emb"), centers))
       .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id").parquet(s"$path/cells")
   }
+
+  /** Rewrite a persisted index into a fresh fully-compacted store at
+    * `dest` — [[Ivf.compactTo]]'s small-files maintenance pass for the
+    * coded layout (cells collapse to batch 0, one co-located shuffle
+    * partition per cell; centroids/codebooks/params copied through).
+    * Writes to a NEW directory; the atomic swap is the caller's
+    * snapshot/publish step.
+    */
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit =
+    write(open(spark, path), dest)
 
   /** Top-k per query: probe → ADC within probed cells → exact rerank.
     * Output `(q_id, n_id, sim, rank)`. `pruneCells` pushes the probed cell

@@ -44,7 +44,9 @@ object MinHashIndex {
             shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit = {
     val s = df.sparkSession
     bands(df, idCol, textCol, shingleN, numHashes, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("band", "batch_id")
+      .parquet(s"$path/buckets")
     import s.implicits._
     Seq((shingleN, numHashes, rowsPerBand))
       .toDF("shingle_n", "num_hashes", "rows_per_band")
@@ -61,11 +63,24 @@ object MinHashIndex {
   /** Add a new batch's band rows to a persisted index (after the batch has
     * been admitted). Parameters come from the stored index, so appended
     * rows are always hash-compatible.
+    *
+    * RETRY-IDEMPOTENT as [[Ivf.append]]: rows land under `(band, batch_id)`
+    * via dynamic partition overwrite — hashing is deterministic, so a
+    * replayed append rewrites exactly its own prior partitions. Distinct
+    * batches need distinct ids > 0 (0 is the base build). [[DedupStream]]
+    * keeps its own outer `batch_id` layout (overwrite-by-stream-batch) —
+    * this path is for BATCH orchestration, where the retry unit is the
+    * whole append call.
     */
-  def append(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+  def append(df: DataFrame, idCol: String, textCol: String, path: String,
+             batchId: Long): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val idx = open(df.sparkSession, path)
     bands(df, idCol, textCol, idx.shingleN, idx.numHashes, idx.rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band", "batch_id").parquet(s"$path/buckets")
   }
 
   // Cached batch-band DataFrames, keyed by (canonicalized batch plan,

@@ -135,7 +135,9 @@ class Bm25Spec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
     Bm25.write(Bm25.buildIndex(
       docs.where($"doc_id" <= 3), "doc_id", "text"), dir)
-    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir)
+    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir, batchId = 1)
+    // a replayed append (same batchId) must not double-count tf/df/stats
+    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir, batchId = 1)
     val qs = Seq((10L, "brown dog"), (11L, "quick"), (12L, "the plain"))
       .toDF("q_id", "q_text")
     val full = Bm25.topKIndexed(Bm25.buildIndex(docs, "doc_id", "text"),
@@ -146,6 +148,25 @@ class Bm25Spec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq
     assert(incremental == full,
       "append must reproduce the full rebuild exactly (tf, df, stats)")
+  }
+
+  test("compactTo folds appended postings and stats; ranking unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    Bm25.write(Bm25.buildIndex(
+      docs.where($"doc_id" <= 3), "doc_id", "text"), dir)
+    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir, batchId = 1)
+    val dest = java.nio.file.Files.createTempDirectory("bm25cmpd").toString
+    Bm25.compactTo(spark, dir, dest)
+    val qs = Seq((10L, "brown dog"), (11L, "quick"), (12L, "the plain"))
+      .toDF("q_id", "q_text")
+    def ans(p: String) = Bm25.topKIndexed(Bm25.open(spark, p),
+        qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ans(dest) == ans(dir))
+    // per-append stats rows folded into the single batch-0 corpus total
+    assert(spark.read.parquet(s"$dest/stats").count() === 1)
+    assert(new java.io.File(s"$dest/stats").listFiles()
+      .map(_.getName).count(_.startsWith("batch_id=")) === 1)
   }
 
   test("opened-index query prunes postings directories to the query's term buckets") {

@@ -30,12 +30,35 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("compactTo rewrites the coded store; query answers unchanged") {
+    val tmp = Files.createTempDirectory("graft_ivfpqcmp_").toString
+    val base = corpus.where(col("vec_id") % 100 < 20)
+    val batch = corpus.where(col("vec_id") % 100 >= 20)
+    IvfPq.write(IvfPq.build(base, nCells = 4, m = 8, kc = 16, trainSample = 200), tmp)
+    IvfPq.append(batch, tmp, batchId = 1)
+    val dest = Files.createTempDirectory("graft_ivfpqcmpd_").toString
+    IvfPq.compactTo(spark, tmp, dest)
+    val probes = batch.where(col("vec_id").isin(20L, 120L, 220L, 320L))
+    def ans(p: String) = IvfPq
+      .query(IvfPq.open(spark, p), probes, k = 5, nProbe = 3, shortlist = 25)
+      .select("q_id", "n_id", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(ans(dest) === ans(tmp))
+    // one batch-0 dir per cell after compaction
+    for (cellDir <- new File(s"$dest/cells").listFiles()
+           .filter(_.getName.startsWith("cell="))) {
+      assert(cellDir.listFiles().filter(_.getName.startsWith("batch_id="))
+        .map(_.getName).toSet === Set("batch_id=0"))
+    }
+  }
+
   test("append encodes with stored centroids AND codebooks; queries see the batch") {
     val tmp = Files.createTempDirectory("graft_ivfpqapp_").toString
     val base = corpus.where(col("vec_id") % 100 < 20)   // 80 rows
     val batch = corpus.where(col("vec_id") % 100 >= 20) // 20 rows, new ids
     IvfPq.write(IvfPq.build(base, nCells = 4, m = 8, kc = 16, trainSample = 200), tmp)
-    IvfPq.append(batch, tmp)
+    IvfPq.append(batch, tmp, batchId = 1)
+    // replayed append (same batchId) replaces its prior attempt
+    IvfPq.append(batch, tmp, batchId = 1)
 
     val opened = IvfPq.open(spark, tmp)
     assert(opened.coded.count() === 100)

@@ -169,7 +169,9 @@ class IvfSpec extends SparkSpec {
     // a later batch from the same clusters — new ids, stored centroids
     val batch = (for (axis <- Seq(0, 3, 6); i <- 20 until 30)
       yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
-    Ivf.append(batch, tmp)
+    Ivf.append(batch, tmp, batchId = 1)
+    // replayed append (same batchId) replaces its prior attempt
+    Ivf.append(batch, tmp, batchId = 1)
 
     val opened = Ivf.open(spark, tmp)
     assert(opened.assigned.count() === 90)
@@ -186,6 +188,49 @@ class IvfSpec extends SparkSpec {
     val brute = Knn.bruteForce(probe, base.unionByName(batch), k = 3)
       .select("n_id").as[Long].collect().toSet
     assert(got === brute, "appended docs must be reachable at nProbe=1")
+  }
+
+  test("compactTo collapses appended batches; queries and cellStats survive") {
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5))
+      a(axis) = 1.0f + 0.01f * i
+      a
+    }
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft_ivfcmp_").toString
+    Ivf.write(Ivf.build(base, nCells = 3), tmp)
+    // two daily batches — each adds files under its own batch_id
+    val b1 = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val b2 = (for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+      yield ((2000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.append(b1, tmp, batchId = 1)
+    Ivf.append(b2, tmp, batchId = 2)
+
+    val dest = Files.createTempDirectory("graft_ivfcmpd_").toString
+    Ivf.compactTo(spark, tmp, dest)
+    val src = Ivf.open(spark, tmp)
+    val dst = Ivf.open(spark, dest)
+    assert(dst.assigned.count() === 90)
+    // every cell collapsed to a single batch-0 directory with ONE file
+    for (cellDir <- new File(s"$dest/cells").listFiles()
+           .filter(_.getName.startsWith("cell="))) {
+      val batches = cellDir.listFiles().filter(_.getName.startsWith("batch_id="))
+      assert(batches.map(_.getName).toSet === Set("batch_id=0"),
+        s"${cellDir.getName}: ${batches.map(_.getName).toSet}")
+      assert(batches.head.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    // identical answers through the compacted store
+    val probe = b2.where("vec_id = 2025")
+    def ans(i: Ivf.Index) = Ivf.query(i, probe, k = 3, nProbe = 1)
+      .select("n_id", "sim").as[(Long, Double)].collect().toSet
+    assert(ans(dst) === ans(src))
+    // the skew monitor: populations sum to the corpus, skew >= 1
+    val stats = Ivf.cellStats(dst).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === 90L)
+    assert(stats.map(_.getAs[Int]("cell")).toSet === Set(0, 1, 2))
+    assert(stats.forall(_.getAs[Double]("skew") >= 1.0))
   }
 
   test("distributed zip ingest routes members and parses lines in executors") {

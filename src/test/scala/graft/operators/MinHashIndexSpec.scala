@@ -63,7 +63,15 @@ class MinHashIndexSpec extends SparkSpec {
   test("append admits a batch; the next batch sees it as old") {
     val dir = Files.createTempDirectory("mhidx2").toString
     MinHashIndex.write(corpus, "doc_id", "text", dir)
-    MinHashIndex.append(batch, "doc_id", "text", dir)
+    MinHashIndex.append(batch, "doc_id", "text", dir, batchId = 1)
+    // a REPLAYED append (same batchId — an orchestrator retry) must
+    // replace its prior attempt, not duplicate the batch's band rows
+    MinHashIndex.append(batch, "doc_id", "text", dir, batchId = 1)
+    val storedRows = spark.read.parquet(s"$dir/buckets").count()
+    assert(storedRows ===
+      MinHashIndex.bands(corpus, "doc_id", "text").count() +
+        MinHashIndex.bands(batch, "doc_id", "text").count(),
+      "replayed append duplicated band rows")
     val idx = MinHashIndex.open(spark, dir)
     val next = Seq(mk(200, "novel content that resembles nothing in the standing corpus at all"))
       .toDF("doc_id", "text")
