@@ -132,6 +132,19 @@ object Scale {
     ipq8.coded.cache().count()
     time("ivfpq_query_8x")(IvfPq.query(ipq8, qset, 5, 4).count())
     // --- round-8 probes ---
+    persistedIndexProbes(spark, e1, idx1, idx8, qset, time)
+    spark.stop()
+  }
+
+  /** The persisted-index probe section (append cost vs standing size, the
+    * pruned open→query read path, fragmentation after a season of appends,
+    * and the compaction payoff). Shared by [[main]] and the standalone
+    * [[ScaleIdx]] runner so these can be re-measured without the full rig.
+    */
+  def persistedIndexProbes(spark: org.apache.spark.sql.SparkSession,
+      e1: org.apache.spark.sql.DataFrame, idx1: Ivf.Index, idx8: Ivf.Index,
+      qset: org.apache.spark.sql.DataFrame,
+      time: String => (=> Long) => Unit): Unit = {
     // persisted-index APPEND: a fixed daily batch against a 1x vs 8x
     // standing index — cost must track the BATCH (append reads only the
     // tiny centroid table, never the stored cells)
@@ -161,6 +174,29 @@ object Scale {
     time("ivf_compact") { Ivf.compactTo(spark, ivfDir1, ivfDirC); 0L }
     time("ivf_open_query_compacted")(
       Ivf.query(Ivf.open(spark, ivfDirC), qset, 5, 4).count())
+  }
+}
+
+/** Standalone runner for just the persisted-index probes — builds the 1x
+  * and 8x in-memory indexes it needs and skips the rest of the rig.
+  */
+object ScaleIdx {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val e1 = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+    val e8 = (0 until 8).map(i => e1.select(
+      (col("vec_id") + lit(i * 1000000)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    val qset = e1.where(col("vec_id") % 500 === 0)
+    val idx1 = Ivf.build(e1, 16, trainSample = 10000)
+    idx1.assigned.cache().count()
+    val idx8 = Ivf.build(e8, 16, trainSample = 10000)
+    idx8.assigned.cache().count()
+    Scale.persistedIndexProbes(spark, e1, idx1, idx8, qset, time)
     spark.stop()
   }
 }

@@ -1337,6 +1337,36 @@ object SparkEntry {
       operators.Bm25.topKIndexed(operators.Bm25.open(s, path),
           qs, "q_id", "q_text", k = 5)
         .orderBy("q_id", "rank")
+    }),
+
+    // --- SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters
+    // localize the quadratic pair search, exact cosine within clusters,
+    // min-id representative per duplicate group. The embeddings table has
+    // NO natural near-parallel pairs (max pairwise cosine 0.479), so the
+    // gate INJECTS a perturbed copy of every 10th vector (cosine ~1 with
+    // its original, +0.001 on one coordinate) and asserts exactly those
+    // copies are pruned — each back to its own original — while every
+    // original survives. Deterministic: seeded k-means++, exact cosine,
+    // min-id closure ---
+    "q88_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+      val union = emb.select("vec_id", "embedding").unionByName(copies)
+      operators.SemDedup.prune(union, nClusters = 8, tau = 0.95)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("vec_id") >= 100000L,
+              when(!col("keep") && col("rep") === col("vec_id") - 100000L, 1)
+                .otherwise(0))
+            .otherwise(1)).cast("boolean").as("copies_pruned_ok"),
+          min(when(col("vec_id") < 100000L,
+              when(col("keep"), 1).otherwise(0)).otherwise(1))
+            .cast("boolean").as("originals_kept_ok"))
     })
   )
 
@@ -2281,6 +2311,13 @@ object SparkEntry {
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "q87_ivfpq_indexed_query" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    // q88: the gate literals are exact, not tolerances — 550 docs in
+    // (500 + 50 injected copies), exactly the 50 copies pruned, each to
+    // its own original, every original kept
+    "q88_semdedup" ->
+      ("SELECT CAST(550 AS BIGINT) AS n_docs, CAST(500 AS BIGINT) AS n_kept, " +
+        "true AS copies_pruned_ok, true AS originals_kept_ok"),
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the
