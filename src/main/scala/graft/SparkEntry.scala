@@ -1367,6 +1367,33 @@ object SparkEntry {
           min(when(col("vec_id") < 100000L,
               when(col("keep"), 1).otherwise(0)).otherwise(1))
             .cast("boolean").as("originals_kept_ok"))
+    }),
+
+    // --- trainable quality classifier (the GPT-3/CCNet model-based
+    // filter): hashed-n-gram logistic regression, distributed batch GD.
+    // The synthetic corpus's word distribution is IDENTICAL across
+    // langs/sources (verified: top unigrams match), so no natural label is
+    // learnable — the gate INJECTS a separable signal (marker vocabulary
+    // by label parity), trains on 80%, and requires >=95% holdout
+    // accuracy. Deterministic task, thresholded gate (q65-style) ---
+    "q89_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" crisp coherent wellformed lucid polished prose")))
+          .otherwise(concat(col("text"),
+            lit(" zzjunk zzspam zzgarble zznoise zzblather zzdrivel")))
+          .as("text"),
+        (col("doc_id") % 2 === 0).cast("int").as("label"))
+      val trainSet = labeled.where(col("doc_id") % 5 =!= 0)
+      val testSet = labeled.where(col("doc_id") % 5 === 0)
+      val model = quality.QualityClassifier.train(trainSet, "doc_id", "text",
+        "label", nBuckets = 4096, iters = 100, lr = 1.0)
+      quality.QualityClassifier.score(testSet, "doc_id", "text", model)
+        .join(testSet.select("doc_id", "label"), Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          (sum(when((col("score") >= 0.5) === (col("label") === 1), 1)
+            .otherwise(0)).cast("double") / count(lit(1)) >= 0.95).as("acc_ok"))
     })
   )
 
@@ -2318,6 +2345,12 @@ object SparkEntry {
     "q88_semdedup" ->
       ("SELECT CAST(550 AS BIGINT) AS n_docs, CAST(500 AS BIGINT) AS n_kept, " +
         "true AS copies_pruned_ok, true AS originals_kept_ok"),
+
+    // q89: the holdout count comes from the same table DuckDB reads, so
+    // the literal-gate row stays correct at every scale factor
+    "q89_quality_classifier" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_test, true AS acc_ok " +
+        "FROM documents WHERE doc_id % 5 = 0"),
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the

@@ -33,6 +33,22 @@ object TextDedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Choose (bands, rowsPerBand) for [[minHashCandidates]] from a target
+    * Jaccard threshold: over the factorizations b×r = numHashes, pick the
+    * one whose S-curve inflection (1/b)^(1/r) is closest to the threshold
+    * (the standard LSH tuning rule — Leskovec/Rajaraman/Ullman, MMDS §3.4).
+    * Returns (numBands, rowsPerBand). Driver-side arithmetic only.
+    */
+  def tuneBands(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(numHashes > 0, s"numHashes > 0: $numHashes")
+    val options = for (r <- 1 to numHashes if numHashes % r == 0)
+      yield (numHashes / r, r)
+    options.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** MinHash-LSH candidate pairs: shingle → minhash signature → banded
     * buckets → self-join within buckets. Returns distinct (idA < idB) pairs.
     *

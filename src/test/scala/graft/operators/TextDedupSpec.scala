@@ -82,4 +82,17 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect()
     assert(out.toSeq === Seq((1L, 2L, "p q r s t")))
   }
+
+  test("tuneBands picks the factorization whose S-curve inflection is nearest") {
+    // 16 hashes: inflections (b,r) -> (1/b)^(1/r): (16,1)=.0625, (8,2)=.354,
+    // (4,4)=.707, (2,8)=.917, (1,16)=1.0
+    assert(TextDedup.tuneBands(0.05, 16) === (16, 1))
+    assert(TextDedup.tuneBands(0.3, 16) === (8, 2))
+    assert(TextDedup.tuneBands(0.7, 16) === (4, 4))
+    assert(TextDedup.tuneBands(0.9, 16) === (2, 8))
+    // the repo default (b=4, r=4) is the right choice near 0.7 — documents
+    // the implicit threshold the defaults encode
+    assert(TextDedup.tuneBands(0.65, 16) === (4, 4))
+    intercept[IllegalArgumentException](TextDedup.tuneBands(0.0, 16))
+  }
 }
