@@ -1394,6 +1394,19 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_test"),
           (sum(when((col("score") >= 0.5) === (col("label") === 1), 1)
             .otherwise(0)).cast("double") / count(lit(1)) >= 0.95).as("acc_ok"))
+    }),
+
+    // --- bigram-LM perplexity scoring (CCNet's filter): train add-1
+    // bigram counts on the English subset, score EVERY document's mean
+    // bigram log-prob. Fully hash-exact: counts are integers, per-bigram
+    // log contributions round to 6 decimals and fold as exact longs
+    // (Bm25's portability convention), so DuckDB reproduces every double ---
+    "q90_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = quality.NgramLm.train(
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
     })
   )
 
@@ -2351,6 +2364,29 @@ object SparkEntry {
     "q89_quality_classifier" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_test, true AS acc_ok " +
         "FROM documents WHERE doc_id % 5 = 0"),
+
+    // q90: context counts are BIGRAM-LEFT counts (the last token of a doc
+    // opens no bigram), vocab is distinct tokens over the whole training
+    // subset; the same fixed-point fold as q74/q76
+    "q90_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |tr AS (SELECT ts FROM tok WHERE lang = 'en' AND len(ts) >= 2),
+        |tbg AS (SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM tbg GROUP BY 1, 2),
+        |cc AS (SELECT a, count(*) AS n_a FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en')),
+        |sbg AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |contrib AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN bc USING (a, b) LEFT JOIN cc USING (a) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the

@@ -1,0 +1,79 @@
+package graft.quality
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model scoring — the perplexity filter of the CCNet
+  * curation recipe (Wenzek et al. 2020: score crawl text with an LM
+  * trained on the target corpus; keep the low-perplexity head/middle).
+  * Add-k–smoothed bigram probabilities,
+  * `p(b|a) = (c(a,b) + k) / (c(a,·) + k·V)`, scored as the per-document
+  * MEAN log-probability over its bigrams (perplexity = exp(−mean), so
+  * ranking by mean log-prob IS ranking by perplexity, without the exp).
+  *
+  * Scale shape: the model is two count tables — bigram `(a, b, n_ab)` and
+  * context `(a, n_a)` — built with one groupBy each over the TARGET corpus
+  * (small by definition in this recipe); scoring the full corpus explodes
+  * each doc once to its bigram rows, joins the count tables, and
+  * aggregates per doc on a compact key ([[graft.operators.Importance]]'s
+  * shape). Count tables usually broadcast; when the target vocabulary is
+  * too big for that, the joins degrade gracefully to shuffles on the gram.
+  *
+  * Portability ([[graft.operators.Bm25]]'s convention): per-bigram log
+  * contributions round to 6 decimals and per-doc sums fold as exact longs
+  * (order-independent), so DuckDB reproduces every double bit-for-bit.
+  */
+object NgramLm {
+
+  /** `bigrams`: `(a, b, n_ab)`; `contexts`: `(a, n_a)` where `n_a` counts
+    * bigrams whose left token is `a` (NOT raw unigram occurrences — the
+    * final token of a doc opens no bigram); `vocab` = distinct training
+    * tokens.
+    */
+  final case class Model(bigrams: DataFrame, contexts: DataFrame,
+                         vocab: Long, k: Double)
+
+  /** Bigram rows `(doc_id, a, b)` of each document, in order of
+    * appearance; docs with fewer than 2 tokens produce none.
+    */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
+
+  /** Count the target corpus once: two aggregations and a distinct. */
+  def train(target: DataFrame, idCol: String, textCol: String,
+            k: Double = 1.0): Model = {
+    val bg = bigramRows(target, idCol, textCol)
+    val bigrams = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val contexts = bg.groupBy("a").agg(count(lit(1)).as("n_a"))
+    val vocab = target.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    Model(bigrams, contexts, vocab, k)
+  }
+
+  /** Mean log-probability per document: `(<id>, n_bigrams, avg_logp)`,
+    * 6-decimal; docs with fewer than 2 tokens are absent. Unseen bigrams
+    * and unseen contexts fall back to the smoothing mass (never −∞).
+    */
+  def scoreAvgLogProb(df: DataFrame, idCol: String, textCol: String,
+                      model: Model): DataFrame = {
+    val contrib = bigramRows(df, idCol, textCol)
+      .join(broadcast(model.bigrams), Seq("a", "b"), "left")
+      .join(broadcast(model.contexts), Seq("a"), "left")
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("n_ab"), lit(0L)) + lit(model.k)) /
+            (coalesce(col("n_a"), lit(0L)) + lit(model.k * model.vocab))), 6)
+          .as("c"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("c") * 1e6, 0).cast("long")).cast("double")
+          / 1e6 / count(lit(1)), 6).as("avg_logp"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+}
