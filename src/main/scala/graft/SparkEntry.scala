@@ -1407,6 +1407,33 @@ object SparkEntry {
         docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
       quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
         .orderBy("doc_id")
+    }),
+
+    // --- PCA over the embedding column (the dimensionality-reduction /
+    // whitening step in front of ANN indexing): one distributed pass
+    // accumulates (n, Σv, Σvvᵀ), the 64×64 eigenproblem solves on the
+    // driver (deterministic Jacobi), projection is k narrow graft_dots.
+    // Gate: eigenvalues descend, axes are unit, and the projected
+    // per-dimension variances EQUAL the eigenvalues (the defining PCA
+    // property, checked at 1e-3 relative) ---
+    "q91_pca_whiten" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = operators.Pca.fit(emb, "embedding", k = 8)
+      val eigsDesc = m.values.zip(m.values.tail)
+        .forall { case (a, b) => a >= b - 1e-12 }
+      val unit = m.vectors.forall(c =>
+        math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)
+      val proj = operators.Pca.project(emb, "vec_id", "embedding", m)
+      val varCols = (0 until 8).map(j =>
+        var_pop(element_at(col("proj"), j + 1)).as(s"v$j"))
+      proj.agg(count(lit(1)).as("n_vectors"), varCols: _*)
+        .select(col("n_vectors"),
+          lit(eigsDesc).as("eigs_desc_ok"),
+          lit(unit).as("axes_unit_ok"),
+          (0 until 8).map(j =>
+              abs(col(s"v$j") - lit(m.values(j))) <=
+                lit(1e-3) * greatest(lit(1.0), lit(m.values(j))))
+            .reduce(_ && _).as("var_match_ok"))
     })
   )
 
@@ -2387,6 +2414,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q91: gate literals (q65-style); the vector count comes from the table
+    "q91_pca_whiten" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS eigs_desc_ok, " +
+        "true AS axes_unit_ok, true AS var_match_ok FROM embeddings"),
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the

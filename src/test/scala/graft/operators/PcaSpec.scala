@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // data = a*u + b*w in 8-dim, with var(a) >> var(b): PC1 must recover u
+  private val u = Array(0.6, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+  private val w = Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+  private def mk(i: Int): (Long, Array[Float]) = {
+    // deterministic "noise-free" coefficients with known variances
+    val a = 3.0 * math.sin(i * 1.7)     // var ~ 4.5
+    val b = 0.7 * math.cos(i * 2.3)     // var ~ 0.245
+    (i.toLong, Array.tabulate(8)(d => (a * u(d) + b * w(d) + 0.05).toFloat))
+  }
+  private val corpus = (0 until 200).map(mk).toDF("vec_id", "embedding")
+
+  test("PC1 recovers the dominant axis; eigenvalues descend; axes are unit") {
+    val m = Pca.fit(corpus, "embedding", k = 3)
+    assert(m.values.length === 3 && m.vectors.length === 3)
+    assert(m.values.zip(m.values.tail).forall { case (x, y) => x >= y - 1e-12 })
+    m.vectors.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9) }
+    val cos1 = m.vectors(0).zip(u).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos1) > 0.999, s"PC1 misaligned: $cos1")
+    val cos2 = m.vectors(1).zip(w).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos2) > 0.999, s"PC2 misaligned: $cos2")
+    // sign convention + fixed sweep order make the fit reproducible for
+    // well-separated eigenvalues (the rank-2 data's near-zero pairs span a
+    // degenerate subspace where any basis is a valid answer — skip those)
+    val m2 = Pca.fit(corpus, "embedding", k = 3)
+    m.vectors.take(2).zip(m2.vectors.take(2)).foreach { case (c1, c2) =>
+      c1.zip(c2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) } }
+  }
+
+  test("projection variance matches the eigenvalues; whitening equalizes it") {
+    val m = Pca.fit(corpus, "embedding", k = 2)
+    def vars(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      (0 until 2).map { j =>
+        df.select(element_at(col("proj"), j + 1).as("p"))
+          .agg(var_pop(col("p"))).collect()(0).getDouble(0)
+      }.toArray
+    val raw = vars(Pca.project(corpus, "vec_id", "embedding", m))
+    raw.zip(m.values).foreach { case (s2, ev) =>
+      assert(math.abs(s2 - ev) < 1e-6 * math.max(1.0, ev), s"$s2 vs $ev") }
+    val white = vars(Pca.project(corpus, "vec_id", "embedding", m, whiten = true))
+    white.foreach(s2 => assert(math.abs(s2 - 1.0) < 1e-3, s"whitened var $s2"))
+  }
+
+  test("pairwise L2 distances survive a full-energy projection") {
+    val m = Pca.fit(corpus, "embedding", k = 2) // data IS rank 2 (+mean)
+    val full = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val proj = Pca.project(corpus.where(col("vec_id") < 10), "vec_id", "embedding", m)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- 0L until 10L; j <- (i + 1) until 10L) {
+      val dFull = d2(full(i), full(j))
+      val dProj = d2(proj(i), proj(j))
+      assert(math.abs(dFull - dProj) < 1e-4 * math.max(1.0, dFull),
+        s"pair ($i,$j): full $dFull vs projected $dProj")
+    }
+  }
+}
