@@ -177,6 +177,64 @@ object Scale {
   }
 }
 
+/** Scaling probes for the round-8 learned-model operators ("big data,
+  * small model" shapes — DESIGN.md §18): scoring/projection cost must
+  * track the corpus linearly while the model side stays constant, and
+  * fit/train cost must track its own input, not the scoring corpus.
+  */
+object ScaleQual {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    val d16 = (0 until 16).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"), col("lang")))
+      .reduce(_ union _)
+    time("warmup")(d16.count())
+    // classifier: train ONCE on the 1x corpus (labels = injected marker
+    // parity, the q89 task), then score 1x vs 16x — scoring is the
+    // 100 TB path and must be linear in the corpus
+    val labeled = d1.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(" crisp coherent prose")))
+        .otherwise(concat(col("text"), lit(" zzjunk zzspam zzgarble"))).as("text"),
+      (col("doc_id") % 2 === 0).cast("int").as("label"))
+    val qcm = graft.quality.QualityClassifier.train(
+      labeled, "doc_id", "text", "label", nBuckets = 4096, iters = 20, lr = 1.0)
+    time("qc_score_1x")(graft.quality.QualityClassifier
+      .score(d1, "doc_id", "text", qcm).count())
+    time("qc_score_16x")(graft.quality.QualityClassifier
+      .score(d16, "doc_id", "text", qcm).count())
+    // bigram LM: train once on the English 1x subset, score 1x vs 16x
+    val lm = graft.quality.NgramLm.train(
+      d1.where(col("lang") === "en"), "doc_id", "text")
+    time("lm_score_1x")(graft.quality.NgramLm
+      .scoreAvgLogProb(d1, "doc_id", "text", lm).count())
+    time("lm_score_16x")(graft.quality.NgramLm
+      .scoreAvgLogProb(d16, "doc_id", "text", lm).count())
+    // PCA: fit is one pass over its own input; project is narrow
+    val e1 = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+    val e8 = (0 until 8).map(i => e1.select(
+      (col("vec_id") + lit(i * 1000000)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ union _)
+    var pm: Pca.Model = null
+    time("pca_fit_1x") { pm = Pca.fit(e1, "embedding", 8); 1L }
+    time("pca_fit_8x") { Pca.fit(e8, "embedding", 8); 1L }
+    time("pca_project_1x")(Pca.project(e1, "vec_id", "embedding", pm).count())
+    time("pca_project_8x")(Pca.project(e8, "vec_id", "embedding", pm).count())
+    // SemDeDup: cluster-scoped pair search — sum(c_i^2) grows with the
+    // corpus, k-means cost with the bounded train sample only
+    time("semdedup_prune_1x")(SemDedup.prune(e1, nClusters = 16, tau = 0.95,
+      trainSample = 10000).count())
+    time("semdedup_prune_8x")(SemDedup.prune(e8, nClusters = 16, tau = 0.95,
+      trainSample = 10000).count())
+    spark.stop()
+  }
+}
+
 /** Standalone runner for just the persisted-index probes — builds the 1x
   * and 8x in-memory indexes it needs and skips the rest of the rig.
   */
