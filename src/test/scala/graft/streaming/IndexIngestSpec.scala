@@ -79,6 +79,35 @@ class IndexIngestSpec extends SparkSpec {
       "replayed micro-batch duplicated index rows")
   }
 
+  test("streams micro-batches into a persisted IVF-PQ index; coded store grows") {
+    val root = Files.createTempDirectory("ivfpqingest").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val idx = s"$root/ivfpq"; val ckpt = s"$root/ckpt"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    graft.operators.IvfPq.write(
+      graft.operators.IvfPq.build(base, nCells = 3, m = 4, kc = 16,
+        dim = 8, trainSample = 200), idx)
+
+    writeVecJson(in, "b1.json",
+      for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+        yield (1000 + axis * 100 + i).toLong -> v(axis, i))
+    IndexIngest.runIvfPq(spark, in, vecSchema, idx, ckpt)
+
+    val opened = graft.operators.IvfPq.open(spark, idx)
+    assert(opened.coded.count() === 75)
+    // a streamed row is findable through the persisted coded store
+    val probe = Seq((9999L, v(3, 24))).toDF("vec_id", "embedding")
+    val got = graft.operators.IvfPq
+      .query(opened, probe, k = 3, nProbe = 1, shortlist = 25)
+      .select("n_id").as[Long].collect().toSet
+    assert(got.exists(id => id >= 1320L && id <= 1324L),
+      s"expected a streamed axis-3 vector among the neighbors, got $got")
+    // replay with no new files appends nothing
+    IndexIngest.runIvfPq(spark, in, vecSchema, idx, ckpt)
+    assert(graft.operators.IvfPq.open(spark, idx).coded.count() === 75)
+  }
+
   test("streams documents into a persisted BM25 index; ranking equals a batch rebuild") {
     val root = Files.createTempDirectory("bm25ingest").toString
     val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
