@@ -1434,6 +1434,33 @@ object SparkEntry {
               abs(col(s"v$j") - lit(m.values(j))) <=
                 lit(1e-3) * greatest(lit(1.0), lit(m.values(j))))
             .reduce(_ && _).as("var_match_ok"))
+    }),
+
+    // --- OPQ-lite IVF-PQ (Ge et al. 2013 approximated): an UNCENTERED
+    // full-rank PCA rotation preserves cosine exactly, and the snake-deal
+    // axis permutation gives each PQ subspace comparable energy instead of
+    // eigen order's everything-in-subspace-0. The recall gate judges the
+    // rotated index against brute-force truth in the ORIGINAL space —
+    // legitimate only because the rotation is exactly cosine-preserving ---
+    "q92_opq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rot = operators.Pca.balancedForPq(
+        operators.Pca.fit(emb, "embedding", k = 64, center = false), mSub = 8)
+      val rotated = operators.Pca.project(emb, "vec_id", "embedding", rot)
+        .select(col("vec_id"),
+          transform(col("proj"), _.cast("float")).as("embedding"))
+      val idx = operators.IvfPq.build(rotated, nCells = 16, m = 8, kc = 16,
+        trainSample = 10000)
+      val approx = operators.IvfPq
+        .query(idx, rotated.where(col("vec_id") < 8), k = 5, nProbe = 8,
+          shortlist = 200)
+        .select(col("q_id"), col("n_id"))
+      val exact = operators.Knn
+        .bruteForce(emb.where(col("vec_id") < 8), emb, k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
     })
   )
 
@@ -2419,6 +2446,11 @@ object SparkEntry {
     "q91_pca_whiten" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS eigs_desc_ok, " +
         "true AS axes_unit_ok, true AS var_match_ok FROM embeddings"),
+
+    // q92: same claim shape as q82 — the rotation is exactly
+    // cosine-preserving, so original-space truth is the right oracle
+    "q92_opq_recall" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the

@@ -30,8 +30,15 @@ object Pca {
   final case class Model(mean: Array[Double], values: Array[Double],
                          vectors: Array[Array[Double]])
 
-  /** One pass over the corpus → top-k principal axes of the covariance. */
-  def fit(df: DataFrame, vec: String, k: Int): Model = {
+  /** One pass over the corpus → top-k principal axes of the covariance
+    * (`center = true`) or of the raw second-moment matrix
+    * (`center = false`). The uncentered variant is a pure ROTATION: a
+    * full-rank orthonormal basis that preserves dot products — and
+    * therefore cosine — exactly, which is what [[balancedForPq]]'s
+    * OPQ-style preprocessing needs (centering would shift vectors and
+    * change their cosines).
+    */
+  def fit(df: DataFrame, vec: String, k: Int, center: Boolean = true): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = df.select(transform(col(vec), _.cast("double")).as("v"))
@@ -66,10 +73,31 @@ object Pca {
     val (n, s, g) = parts
     val d = s.length
     require(k > 0 && k <= d, s"k must be in [1, $d]: $k")
-    val mean = s.map(_ / n)
+    val mean = if (center) s.map(_ / n) else new Array[Double](d)
     val cov = Array.tabulate(d, d)((i, j) => g(i * d + j) / n - mean(i) * mean(j))
     val (values, vectors) = jacobiEigen(cov)
     Model(mean, values.take(k), vectors.take(k))
+  }
+
+  /** Re-order a full-rank model's axes so that [[graft.operators.Pq]]'s
+    * contiguous m-dim subspaces each receive comparable energy — the cheap
+    * approximation of OPQ (Ge et al. 2013): plain PCA order would dump
+    * nearly all variance into the FIRST subspace, starving the others'
+    * codebooks; dealing the variance-sorted axes snake-wise into `mSub`
+    * groups balances them. Use with `fit(center = false)` so the rotation
+    * preserves cosine, then encode the projected vectors.
+    */
+  def balancedForPq(m: Model, mSub: Int): Model = {
+    require(m.vectors.length % mSub == 0,
+      s"k=${m.vectors.length} must divide into $mSub subspaces")
+    val groups = Array.fill(mSub)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    m.values.indices.foreach { i =>
+      val round = i / mSub
+      val j = if (round % 2 == 0) i % mSub else mSub - 1 - (i % mSub)
+      groups(j) += i
+    }
+    val order = groups.flatMap(_.toArray)
+    Model(m.mean, order.map(m.values), order.map(m.vectors))
   }
 
   /** `(<id>, proj)` — k-dim projection (optionally whitened by

@@ -49,6 +49,34 @@ class PcaSpec extends SparkSpec {
     white.foreach(s2 => assert(math.abs(s2 - 1.0) < 1e-3, s"whitened var $s2"))
   }
 
+  test("uncentered full-rank fit is a rotation: dot products exact; balancedForPq equalizes subspace energy") {
+    val m0 = Pca.fit(corpus, "embedding", k = 8, center = false)
+    assert(m0.mean.forall(_ == 0.0))
+    val full = corpus.where(col("vec_id") < 8)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val rot = Pca.project(corpus.where(col("vec_id") < 8), "vec_id", "embedding", m0)
+      .as[(Long, Seq[Double])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- 0L until 8L; j <- i until 8L)
+      assert(math.abs(dot(full(i), full(j)) - dot(rot(i), rot(j))) < 1e-6,
+        s"pair ($i,$j)")
+    // snake deal into 4 groups of 2: groups {0,7},{1,6},{2,5},{3,4} — the
+    // top axes spread across DIFFERENT subspaces instead of eigen order's
+    // [v0 v1 | v2 v3 | ...] which dumps all energy into subspace 0
+    val bal = Pca.balancedForPq(m0, mSub = 4)
+    val expect = Seq(0, 7, 1, 6, 2, 5, 3, 4)
+    assert(bal.values.toSeq === expect.map(m0.values),
+      s"${bal.values.toSeq} vs expected deal of ${m0.values.toSeq}")
+    assert(bal.vectors.toSeq.map(_.toSeq) ===
+      expect.map(i => m0.vectors(i).toSeq))
+    // the top subspace's energy strictly drops vs plain eigen order
+    val gE = bal.values.grouped(2).map(_.sum).toArray
+    val g0 = m0.values.grouped(2).map(_.sum).toArray
+    assert(gE.max < g0.max, s"balanced ${gE.toSeq} vs plain ${g0.toSeq}")
+  }
+
   test("pairwise L2 distances survive a full-energy projection") {
     val m = Pca.fit(corpus, "embedding", k = 2) // data IS rank 2 (+mean)
     val full = corpus.where(col("vec_id") < 10)
