@@ -114,6 +114,32 @@ object Pca {
     df.select(col(id), array(dims: _*).as("proj"))
   }
 
+  /** Persist a model (one parquet row per axis, in order, plus the mean
+    * as axis −1) so a rotation/projection trained once can be reopened by
+    * every later job — e.g. stored NEXT TO a persisted [[IvfPq]] store
+    * whose vectors were encoded in the rotated basis (reopening the index
+    * without the rotation would make new queries unencodable). Composes
+    * with [[graft.pipeline.IndexVersions]] like any other index artifact.
+    */
+  def write(model: Model, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = (-1, 0.0, model.mean.toSeq) +:
+      model.values.indices.map(j => (j, model.values(j), model.vectors(j).toSeq))
+    rows.toSeq.toDF("axis", "value", "vec")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a persisted model. */
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val (meanRow, axes) = (rows.head, rows.tail)
+    require(meanRow._1 == -1, s"malformed PCA model at $path")
+    Model(meanRow._3, axes.map(_._2), axes.map(_._3))
+  }
+
   /** Cyclic Jacobi on a symmetric matrix: all eigenpairs, descending
     * value. Deterministic: fixed sweep order, convergence by off-diagonal
     * norm, sign convention on the returned axes.

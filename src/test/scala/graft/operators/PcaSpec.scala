@@ -77,6 +77,22 @@ class PcaSpec extends SparkSpec {
     assert(gE.max < g0.max, s"balanced ${gE.toSeq} vs plain ${g0.toSeq}")
   }
 
+  test("write/open round-trips the model; projections identical") {
+    val m = Pca.balancedForPq(
+      Pca.fit(corpus, "embedding", k = 8, center = false), mSub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pcamodel").toString
+    Pca.write(m, dir, spark)
+    val re = Pca.open(spark, dir)
+    assert(re.mean.toSeq === m.mean.toSeq)
+    assert(re.values.toSeq === m.values.toSeq)
+    assert(re.vectors.toSeq.map(_.toSeq) === m.vectors.toSeq.map(_.toSeq))
+    val a = Pca.project(corpus, "vec_id", "embedding", m)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    val b = Pca.project(corpus, "vec_id", "embedding", re)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(a === b)
+  }
+
   test("pairwise L2 distances survive a full-energy projection") {
     val m = Pca.fit(corpus, "embedding", k = 2) // data IS rank 2 (+mean)
     val full = corpus.where(col("vec_id") < 10)
