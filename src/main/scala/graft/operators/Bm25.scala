@@ -55,11 +55,15 @@ object Bm25 {
   }
 
   // Cached tokenized-corpus projections for the ad-hoc topK path, keyed by
-  // (canonicalized docs plan, text column) — same bounded-registry pattern
-  // as Decontaminate's bench-shingle caches. Call [[releaseCaches]] per
-  // pipeline run, or rely on Spark's LRU eviction.
+  // (canonicalized docs plan, id AND text columns — the projection carries
+  // the id column, so a key without it would serve the wrong ids to a
+  // caller using a different id column on the same corpus). The registry
+  // is LRU-bounded at `maxTokenCaches` so a long-lived session over many
+  // corpora cannot pin unbounded MEMORY_AND_DISK state; call
+  // [[releaseCaches]] per pipeline run to drop everything eagerly.
   private val cachedTokens = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
+  private val maxTokenCaches = 4
 
   /** Unpersist every tokenized-corpus cache created by [[topK]] so far. */
   def releaseCaches(): Unit = cachedTokens.synchronized {
@@ -91,12 +95,20 @@ object Bm25 {
     require(k > 0, s"k must be positive, got $k")
     graft.GraftFunctions.register(docs.sparkSession)
     val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
-    val key = (docs.queryExecution.analyzed.canonicalized, textCol)
+    val key = (docs.queryExecution.analyzed.canonicalized, s"$idCol|$textCol")
     val tk = cachedTokens.synchronized {
-      cachedTokens.getOrElseUpdate(key, docs
+      val df = cachedTokens.getOrElseUpdate(key, docs
         .select(col(idCol).as("doc_id"), shinglesAllFast(col(textCol), 1).as("__ts"))
         .where(size(col("__ts")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // LRU: move the hit to the tail, then evict from the head past cap
+      cachedTokens.remove(key); cachedTokens.put(key, df)
+      while (cachedTokens.size > maxTokenCaches) {
+        val (k0, v0) = cachedTokens.head
+        cachedTokens.remove(k0)
+        try v0.unpersist() catch { case _: Throwable => () }
+      }
+      df
     }
     val stats = tk.agg(count(lit(1)).as("n_docs"),
       sum(size(col("__ts"))).as("sum_dl"))

@@ -99,6 +99,21 @@ object MinHashIndex {
     cachedBands.clear()
   }
 
+  /** Unpersist ONLY the cache entry for this (batch, columns, params) —
+    * what a per-micro-batch caller ([[graft.streaming.DedupStream]]) wants:
+    * clearing the whole registry would evict entries belonging to OTHER
+    * concurrent streams or batch users in the same session.
+    */
+  def releaseCache(batch: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, rowsPerBand: Int): Unit = {
+    val key = (batch.queryExecution.analyzed.canonicalized,
+      s"$idCol|$textCol|$shingleN|$numHashes|$rowsPerBand")
+    cachedBands.synchronized {
+      cachedBands.remove(key).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
+  }
+
   private[operators] def bandCacheCount: Int =
     cachedBands.synchronized(cachedBands.size)
 

@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
   * version's store (safe — appends are retry-idempotent and additive);
   * when `Ivf.cellStats` skew or small-file accumulation says so, seal a
   * compacted successor via [[compactLatest]] and let readers roll forward.
+  *
+  * Single-writer per root ([[Snapshots]]' contract): two CONCURRENT
+  * publishers can resolve the same next version number and interleave
+  * builds into one directory before either seals it — serialize publishes
+  * through the orchestrator (the reference's workflow concurrency is 1).
+  * Retries of a crashed publish are safe: the debris version is unsealed
+  * and its number is burned.
   */
 object IndexVersions {
 

@@ -62,9 +62,13 @@ object NgramLm {
     */
   def scoreAvgLogProb(df: DataFrame, idCol: String, textCol: String,
                       model: Model): DataFrame = {
+    // no broadcast hint: Spark auto-broadcasts the count tables when they
+    // fit under the threshold, and falls back to a shuffle join when a
+    // huge training vocabulary makes them too big — a forced broadcast
+    // would OOM the driver instead of degrading
     val contrib = bigramRows(df, idCol, textCol)
-      .join(broadcast(model.bigrams), Seq("a", "b"), "left")
-      .join(broadcast(model.contexts), Seq("a"), "left")
+      .join(model.bigrams, Seq("a", "b"), "left")
+      .join(model.contexts, Seq("a"), "left")
       .select(col("doc_id"),
         round(log(
           (coalesce(col("n_ab"), lit(0L)) + lit(model.k)) /

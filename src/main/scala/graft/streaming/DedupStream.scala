@@ -79,8 +79,10 @@ object DedupStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$indexDir/buckets")
     // both writes have materialized everything that read the cached
-    // batch bands — release them so a long-running stream stays bounded
-    MinHashIndex.releaseCaches()
+    // batch bands — release THIS batch's entry so a long-running stream
+    // stays bounded (a global clear would evict other streams' caches)
+    MinHashIndex.releaseCache(batch, idCol, textCol,
+      index.shingleN, index.numHashes, index.rowsPerBand)
     ()
   }
 

@@ -52,6 +52,19 @@ class Bm25Spec extends SparkSpec {
     }.sortBy { case (id, s) => (-s, id) }
   }
 
+  test("token cache is keyed by the id column too") {
+    val alt = docs.withColumn("alt_id", col("doc_id") + 100L)
+    val qs = Seq((10L, "quick brown dog")).toDF("q_id", "q_text")
+    val first = Bm25.topK(alt, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // same corpus plan + text column, DIFFERENT id column: must not be
+    // served the first call's cached projection (which carries doc_id)
+    val second = Bm25.topK(alt, "alt_id", "text", qs, "q_id", "q_text", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(second === first.map(_ + 100L), s"$second vs $first")
+    Bm25.releaseCaches()
+  }
+
   test("topK matches an independent scalar BM25 computation") {
     val qs = Seq((10L, "brown dog"), (11L, "zebra"), (12L, "the plain"))
       .toDF("q_id", "q_text")

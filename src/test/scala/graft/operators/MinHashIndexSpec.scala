@@ -30,6 +30,23 @@ class MinHashIndexSpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
     df.select("id_a", "id_b", "kind").as[(Long, Long, String)].collect().toSet
 
+  test("releaseCache drops only its own registry entry") {
+    val idx = MinHashIndex.Index(
+      MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
+    val other = Seq(mk(300, "an entirely separate batch with its own cached band rows"))
+      .toDF("doc_id", "text")
+    MinHashIndex.candidates(idx, batch, "doc_id", "text").count()
+    MinHashIndex.candidates(idx, other, "doc_id", "text").count()
+    val before = MinHashIndex.bandCacheCount
+    MinHashIndex.releaseCache(batch, "doc_id", "text", 3, 16, 4)
+    assert(MinHashIndex.bandCacheCount === before - 1,
+      "keyed release must drop exactly its own entry")
+    // the other batch's entry still serves
+    MinHashIndex.candidates(idx, other, "doc_id", "text").count()
+    assert(MinHashIndex.bandCacheCount === before - 1)
+    MinHashIndex.releaseCaches()
+  }
+
   test("incremental candidates equal the one-shot path restricted to new docs") {
     val idx = MinHashIndex.Index(
       MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
