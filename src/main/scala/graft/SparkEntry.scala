@@ -2409,12 +2409,14 @@ object SparkEntry {
     "q87_ivfpq_indexed_query" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
 
-    // q88: the gate literals are exact, not tolerances — 550 docs in
-    // (500 + 50 injected copies), exactly the 50 copies pruned, each to
-    // its own original, every original kept
+    // q88: the gate counts are exact, not tolerances, and DERIVE from the
+    // table the Spark side reads (n originals + every-10th injected copy;
+    // exactly the copies pruned, each to its own original, every original
+    // kept) — hardcoded literals would break at any other embeddings size
     "q88_semdedup" ->
-      ("SELECT CAST(550 AS BIGINT) AS n_docs, CAST(500 AS BIGINT) AS n_kept, " +
-        "true AS copies_pruned_ok, true AS originals_kept_ok"),
+      ("SELECT count(*) + count(*) FILTER (WHERE vec_id % 10 = 0) AS n_docs, " +
+        "count(*) AS n_kept, true AS copies_pruned_ok, " +
+        "true AS originals_kept_ok FROM embeddings"),
 
     // q89: the holdout count comes from the same table DuckDB reads, so
     // the literal-gate row stays correct at every scale factor

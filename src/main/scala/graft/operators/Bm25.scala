@@ -45,7 +45,8 @@ object Bm25 {
     * index APPEND-ONLY: new docs add posting rows and one stats row,
     * touching nothing that exists.
     */
-  final case class Index(postings: DataFrame, stats: DataFrame)
+  final case class Index(postings: DataFrame, stats: DataFrame,
+                         buckets: Int = postingsBuckets)
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
     val toks = tokenize(docs, idCol, textCol)
@@ -125,10 +126,13 @@ object Bm25 {
     score(postings.join(dft, Seq("term")), stats, qTerms, k, k1, b)
   }
 
-  /** Stable term → directory bucket count for the persisted postings
+  /** Default term → directory bucket count for the persisted postings
     * layout. 256 directories keeps per-bucket file counts sane at corpus
     * scale while a keyword query (tens of terms) still prunes ~90%+ of
-    * directories at file listing time.
+    * directories at file listing time. The count a store was WRITTEN with
+    * is persisted beside it (`params`) and always wins at read/append
+    * time — pruning with a different modulus than the writer's would
+    * silently skip directories that hold matching terms.
     */
   val postingsBuckets = 256
 
@@ -136,19 +140,37 @@ object Bm25 {
     * stable hash bucket of the term — a query's file listing then touches
     * only its own terms' directories ([[topKIndexed]] pushes the bucket
     * set as a static partition filter, the same shape as [[Ivf.query]]'s
-    * probed-cell pruning) — plus the stats rows. Like
+    * probed-cell pruning) — plus the stats rows and a params row recording
+    * the bucket count (the layout contract readers/appenders must follow,
+    * persisted like [[MinHashIndex.write]]'s params). Like
     * [[Ivf.write]]/[[MinHashIndex.write]], this is the pay-the-scan-once
     * path: queries against the store never touch raw text again.
     */
-  def write(index: Index, path: String): Unit = {
+  def write(index: Index, path: String, buckets: Int = postingsBuckets): Unit = {
     index.postings
-      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("batch_id", lit(0L))
       .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket", "batch_id")
       .parquet(s"$path/postings")
     index.stats.withColumn("batch_id", lit(0L))
       .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/stats")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("postings_buckets")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** The bucket count a store was written with; compiled default for
+    * stores that predate the params file.
+    */
+  private def storedBuckets(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      spark.read.parquet(p.toString).head().getAs[Int]("postings_buckets")
+    else postingsBuckets
   }
 
   /** Add a new batch of documents to a persisted index: posting rows go
@@ -166,10 +188,14 @@ object Bm25 {
   def append(docs: DataFrame, idCol: String, textCol: String, path: String,
              batchId: Long): Unit = {
     require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
+    // the STORE's bucket count, not the compiled default — appending with
+    // a different modulus would scatter a term across two bucket dirs and
+    // break the reader's partition prune
+    val buckets = storedBuckets(docs.sparkSession, path)
     val toks = tokenize(docs, idCol, textCol)
     toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+      .withColumn("__bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("__bucket"))
       .write.mode("overwrite")
@@ -188,7 +214,8 @@ object Bm25 {
   def open(spark: org.apache.spark.sql.SparkSession, path: String): Index =
     Index(spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/stats")
-        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")),
+      storedBuckets(spark, path))
 
   /** Rewrite a persisted index into a fresh fully-compacted store at
     * `dest`: posting rows collapse back to batch 0 (one co-located
@@ -198,8 +225,10 @@ object Bm25 {
     * swap is the caller's snapshot/publish step.
     */
   def compactTo(spark: org.apache.spark.sql.SparkSession, path: String,
-                dest: String): Unit =
-    write(open(spark, path), dest)
+                dest: String): Unit = {
+    val idx = open(spark, path)
+    write(idx, dest, idx.buckets)
+  }
 
   /** Rank against a prebuilt [[Index]]. Document frequency is computed
     * over the term-pruned postings (exact — every stored row of a matching
@@ -219,7 +248,7 @@ object Bm25 {
         // ≤ distinct query terms values — tiny local job on the
         // materialized qTerms relation
         val buckets = qDistinct
-          .select(pmod(xxhash64(col("term")), lit(postingsBuckets.toLong)))
+          .select(pmod(xxhash64(col("term")), lit(index.buckets.toLong)))
           .distinct().collect().map(_.getLong(0))
         index.postings.where(col("__bucket")
           .isin(buckets.map(java.lang.Long.valueOf): _*))

@@ -87,10 +87,15 @@ object MinHashIndex {
   // columns, hash params) — candidates() consumes the batch's band rows
   // from FOUR plan positions (the cap self-join's both sides via `all`,
   // then `n` twice); without a cache the batch text is shingled/hashed
-  // once per consumer. Same bounded-registry pattern as Decontaminate's;
-  // [[DedupStream.processBatch]] releases per micro-batch.
+  // once per consumer. Unlike Decontaminate's bench-set registry (whose
+  // keys are naturally few), every distinct BATCH is a distinct key, so
+  // the registry is LRU-bounded like Bm25.cachedTokens: a direct caller
+  // of candidates() that never releases cannot pin unbounded
+  // MEMORY_AND_DISK state. [[DedupStream.processBatch]] still releases
+  // its own entry eagerly per micro-batch.
   private val cachedBands = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]
+  private val maxBandCaches = 4
 
   /** Unpersist every batch-band cache created by [[candidates]] so far. */
   def releaseCaches(): Unit = cachedBands.synchronized {
@@ -132,10 +137,18 @@ object MinHashIndex {
     val key = (batch.queryExecution.analyzed.canonicalized,
       s"$idCol|$textCol|${index.shingleN}|${index.numHashes}|${index.rowsPerBand}")
     val nb = cachedBands.synchronized {
-      cachedBands.getOrElseUpdate(key,
+      val df = cachedBands.getOrElseUpdate(key,
         bands(batch, idCol, textCol, index.shingleN, index.numHashes,
             index.rowsPerBand).withColumn("is_new", lit(true))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // LRU: move the hit to the tail, then evict from the head past cap
+      cachedBands.remove(key); cachedBands.put(key, df)
+      while (cachedBands.size > maxBandCaches) {
+        val (k0, v0) = cachedBands.head
+        cachedBands.remove(k0)
+        try v0.unpersist() catch { case _: Throwable => () }
+      }
+      df
     }
     val all = nb.unionByName(
       index.buckets.select(col("id"), col("band"), col("bucket"))

@@ -41,8 +41,14 @@ object DedupStream {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexDir, outDir, idCol, textCol,
+        // same checkpoint-to-store binding as [[IndexIngest]]: a recreated
+        // checkpoint restarts engine ids at 0 and dynamic overwrite would
+        // silently replace batch 0's admitted docs and band rows
+        val appendId = StreamBinding.resolveAppendId(batch.sparkSession,
+          checkpointDir, indexDir, s"$indexDir/buckets", batchId)
+        processBatch(batch, appendId, indexDir, outDir, idCol, textCol,
           shingleN, numHashes, rowsPerBand, maxBucketSize)
+        StreamBinding.recordWritten(batch.sparkSession, indexDir, appendId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.StructType
   * partition), so a micro-batch replayed after a crash between the append
   * and the checkpoint commit REPLACES its prior attempt's rows instead of
   * double-appending them. The streaming engine's `batchId` (which restarts
-  * reuse for the replay) maps 1:1 onto the append's batch id, shifted by
-  * +1 because streaming ids start at 0 and the base build owns batch 0.
+  * reuse for the replay) maps onto append ids through a
+  * [[StreamBinding checkpoint-to-store binding]] rather than blindly:
+  * overwrite-as-idempotence cuts both ways, and a recreated checkpoint, a
+  * second stream on the same store, or a manual `append` inside the
+  * stream's id range would otherwise silently replace good batches. The
+  * binding pins `base = max batch id at first contact` (the base build
+  * owns batch 0), maps streaming batch b to `base + 1 + b`, and refuses
+  * loudly on token mismatch or foreign-id collision.
   *
   * Drift contract is inherited from the batch appends: quantizers never
   * retrain on-stream (recall degrades gradually as the distribution moves,
@@ -37,7 +43,7 @@ object IndexIngest {
              indexPath: String, checkpointDir: String,
              idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
     start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
-      ivfBatch(batch, batchId, indexPath, idCol, vecCol)
+      ivfBatch(batch, batchId, indexPath, checkpointDir, idCol, vecCol)
     }
 
   /** As [[runIvf]] for a persisted [[IvfPq]] index (stored centroids AND
@@ -47,7 +53,7 @@ object IndexIngest {
                indexPath: String, checkpointDir: String,
                idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
     start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
-      ivfPqBatch(batch, batchId, indexPath, idCol, vecCol)
+      ivfPqBatch(batch, batchId, indexPath, checkpointDir, idCol, vecCol)
     }
 
   /** Stream new documents from JSON files in `changesDir` into a persisted
@@ -57,25 +63,41 @@ object IndexIngest {
               indexPath: String, checkpointDir: String,
               idCol: String, textCol: String): StreamingQuery =
     start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
-      bm25Batch(batch, batchId, indexPath, idCol, textCol)
+      bm25Batch(batch, batchId, indexPath, checkpointDir, idCol, textCol)
     }
 
-  /** One micro-batch → one idempotent append. Exposed (as
-    * [[DedupStream.processBatch]]) so retry semantics — the same streaming
-    * `batchId` re-run after an uncommitted crash — are directly testable.
-    * Empty batches write no partitions and are free.
+  /** One micro-batch → one idempotent append, routed through the
+    * [[StreamBinding]] (resolve id → append → record high-water mark).
+    * Exposed (as [[DedupStream.processBatch]]) so retry semantics — the
+    * same streaming `batchId` re-run after an uncommitted crash — are
+    * directly testable. Empty batches write no partitions and are free.
     */
   def ivfBatch(batch: DataFrame, batchId: Long, indexPath: String,
-               idCol: String, vecCol: String): Unit =
-    Ivf.append(batch, indexPath, batchId + 1, idCol, vecCol)
+               checkpointDir: String, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/cells", batchId)
+    Ivf.append(batch, indexPath, appendId, idCol, vecCol)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
 
   def ivfPqBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                 idCol: String, vecCol: String): Unit =
-    IvfPq.append(batch, indexPath, batchId + 1, idCol, vecCol)
+                 checkpointDir: String, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/cells", batchId)
+    IvfPq.append(batch, indexPath, appendId, idCol, vecCol)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
 
   def bm25Batch(batch: DataFrame, batchId: Long, indexPath: String,
-                idCol: String, textCol: String): Unit =
-    Bm25.append(batch, idCol, textCol, indexPath, batchId + 1)
+                checkpointDir: String, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/postings", batchId)
+    Bm25.append(batch, idCol, textCol, indexPath, appendId)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
 
   private def start(spark: SparkSession, changesDir: String,
                     schema: StructType, checkpointDir: String)

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+
+/** Checkpoint-to-store binding for streaming index ingest.
+  *
+  * The batch appends ([[graft.operators.Ivf.append]] and friends) are
+  * retry-idempotent via dynamic partition overwrite under an inner
+  * `batch_id` partition — which means a WRONG batch id does not fail, it
+  * silently REPLACES someone else's rows. A streaming job that maps its
+  * engine `batchId` blindly onto append ids is therefore exposed to three
+  * silent-data-loss scenarios: a deleted-and-recreated checkpoint restarts
+  * engine ids at 0; a second stream on the same store issues the same ids;
+  * and an interleaved manual `append` can land inside the stream's id
+  * range and be overwritten by the next micro-batch.
+  *
+  * This object closes all three with two tiny marker files:
+  *
+  *   - `<checkpointDir>/graft_stream_token` — a UUID identifying THIS
+  *     checkpoint lineage, created on first use. Deleting the checkpoint
+  *     deletes the token; a recreated checkpoint gets a fresh UUID.
+  *   - `<indexPath>/_stream_binding` — `token`, `base` (max batch id that
+  *     existed in the store at bind time) and `max_written` (high-water
+  *     mark of append ids this stream has written).
+  *
+  * Resolution: streaming batch `b` maps to append id `base + 1 + b`. The
+  * binding is created on the stream's first micro-batch and REFUSED with
+  * an explicit error if the store is already bound to a different token
+  * (second stream / recreated checkpoint) — the operator must either point
+  * the new stream at a fresh store or consciously delete the binding after
+  * verifying no id ranges collide. A new (non-replay) batch additionally
+  * verifies its target id is not already present in the store, so a manual
+  * append that raced into the stream's range fails loudly instead of being
+  * overwritten.
+  *
+  * Single-writer contract (same as [[graft.pipeline.IndexVersions]]): one
+  * stream owns a store's binding; the markers detect violations, they do
+  * not arbitrate concurrent writers racing within one micro-batch.
+  */
+object StreamBinding {
+
+  final case class Binding(token: String, base: Long, maxWritten: Long)
+
+  private val BindingFile = "_stream_binding"
+  private val TokenFile = "graft_stream_token"
+
+  /** Distinct `batch_id` values present in a store's partitioned dataset
+    * dir — covers both the retrieval indexes' two-level layout
+    * (`batch_id=*` nested under an outer partition) and [[DedupStream]]'s
+    * one-level `batch_id=*` layout. One file listing, no data read.
+    * Missing dir ⇒ empty (a store that has never been written).
+    */
+  def existingBatchIds(spark: SparkSession, dataDir: String): Set[Long] = {
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else (fs.globStatus(new Path(p, "batch_id=*")) ++
+          fs.globStatus(new Path(p, "*/batch_id=*")))
+      .toSet[org.apache.hadoop.fs.FileStatus]
+      .map(_.getPath.getName.stripPrefix("batch_id="))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+  }
+
+  /** Resolve the append id for streaming micro-batch `streamBatchId`,
+    * creating or validating the checkpoint-to-store binding. Throws (never
+    * overwrites) on a token mismatch or an id collision with rows this
+    * stream did not write. Call [[recordWritten]] after the append lands.
+    */
+  def resolveAppendId(spark: SparkSession, checkpointDir: String,
+                      indexPath: String, dataDir: String,
+                      streamBatchId: Long): Long = {
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val token = readOrCreateToken(fs, checkpointDir)
+    val bindingPath = new Path(indexPath, BindingFile)
+    val binding = readBinding(fs, bindingPath) match {
+      case Some(b) if b.token == token => b
+      case Some(b) =>
+        throw new IllegalStateException(
+          s"index store $indexPath is bound to streaming checkpoint token " +
+          s"${b.token}, but this stream (checkpoint $checkpointDir) has token " +
+          s"$token — a second stream or a deleted-and-recreated checkpoint " +
+          "would silently overwrite previously appended batches. Point this " +
+          "stream at a fresh store, or delete the store's " +
+          s"$BindingFile after verifying no batch-id ranges collide.")
+      case None =>
+        val base = (existingBatchIds(spark, dataDir) + 0L).max
+        val b = Binding(token, base, base)
+        writeBinding(fs, bindingPath, b)
+        b
+    }
+    val target = binding.base + 1 + streamBatchId
+    // a replay of our own batch (target <= maxWritten) legitimately hits an
+    // existing partition; anything else colliding means a foreign writer
+    if (target > binding.maxWritten &&
+        existingBatchIds(spark, dataDir).contains(target)) {
+      throw new IllegalStateException(
+        s"streaming batch $streamBatchId maps to append batch_id=$target in " +
+        s"$indexPath, but that batch already exists and was not written by " +
+        "this stream (manual append or foreign writer inside the stream's " +
+        "id range) — refusing to overwrite it.")
+    }
+    target
+  }
+
+  /** Advance the binding's high-water mark after an append lands, so a
+    * later replay of that batch is recognized as our own.
+    */
+  def recordWritten(spark: SparkSession, indexPath: String, appendId: Long): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val bindingPath = new Path(indexPath, BindingFile)
+    val b = readBinding(fs, bindingPath).getOrElse(
+      throw new IllegalStateException(
+        s"no $BindingFile under $indexPath — resolveAppendId must run first"))
+    if (appendId > b.maxWritten)
+      writeBinding(fs, bindingPath, b.copy(maxWritten = appendId))
+  }
+
+  private def readOrCreateToken(fs: FileSystem, checkpointDir: String): String = {
+    val p = new Path(checkpointDir, TokenFile)
+    if (fs.exists(p)) readSmall(fs, p).trim
+    else {
+      val t = java.util.UUID.randomUUID().toString
+      writeSmall(fs, p, t)
+      t
+    }
+  }
+
+  private def readBinding(fs: FileSystem, p: Path): Option[Binding] =
+    if (!fs.exists(p)) None
+    else {
+      val kv = readSmall(fs, p).linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+      // an unparseable binding is a hard error, NOT a rebind: silently
+      // rebinding after corruption re-derives a higher base and a replayed
+      // batch would then duplicate instead of replace
+      (for {
+        t <- kv.get("token"); b <- kv.get("base").map(_.toLong)
+        m <- kv.get("max_written").map(_.toLong)
+      } yield Binding(t, b, m)).orElse(throw new IllegalStateException(
+        s"corrupt stream binding at $p (${readSmall(fs, p).take(200)}); " +
+        "repair or remove it after verifying batch-id ranges manually"))
+    }
+
+  private def writeBinding(fs: FileSystem, p: Path, b: Binding): Unit =
+    writeSmall(fs, p,
+      s"token=${b.token}\nbase=${b.base}\nmax_written=${b.maxWritten}\n")
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -163,6 +163,35 @@ class Bm25Spec extends SparkSpec {
       "append must reproduce the full rebuild exactly (tf, df, stats)")
   }
 
+  test("stored bucket count wins over the compiled default on open and append") {
+    // a store written with a DIFFERENT bucket count than the compiled
+    // default (as after any future change to postingsBuckets): open must
+    // prune with the stored modulus and append must bucket with it, or
+    // queries silently miss matching directories
+    val dir = java.nio.file.Files.createTempDirectory("bm25bk").toString
+    Bm25.write(Bm25.buildIndex(
+      docs.where($"doc_id" <= 3), "doc_id", "text"), dir, buckets = 8)
+    Bm25.append(docs.where($"doc_id" > 3), "doc_id", "text", dir, batchId = 1)
+    val opened = Bm25.open(spark, dir)
+    assert(opened.buckets === 8)
+    val bucketVals = spark.read.parquet(s"$dir/postings")
+      .select("__bucket").distinct().as[Long].collect()
+    assert(bucketVals.forall(b => b >= 0 && b < 8),
+      s"appended postings must use the stored 8-bucket layout, got $bucketVals")
+    val qs = Seq((10L, "brown dog"), (11L, "quick"), (12L, "the plain"))
+      .toDF("q_id", "q_text")
+    val got = Bm25.topKIndexed(opened, qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val full = Bm25.topKIndexed(Bm25.buildIndex(docs, "doc_id", "text"),
+        qs, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got == full)
+    // compaction preserves the stored layout contract
+    val dest = java.nio.file.Files.createTempDirectory("bm25bkc").toString
+    Bm25.compactTo(spark, dir, dest)
+    assert(Bm25.open(spark, dest).buckets === 8)
+  }
+
   test("compactTo folds appended postings and stats; ranking unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toString
     Bm25.write(Bm25.buildIndex(

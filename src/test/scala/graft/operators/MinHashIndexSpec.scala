@@ -47,6 +47,22 @@ class MinHashIndexSpec extends SparkSpec {
     MinHashIndex.releaseCaches()
   }
 
+  test("band-cache registry is LRU-bounded for direct candidates() callers") {
+    MinHashIndex.releaseCaches()
+    val idx = MinHashIndex.Index(
+      MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)
+    // six distinct batches, none released — a direct caller that never
+    // calls releaseCache must not pin unbounded persisted state
+    (0 until 6).foreach { i =>
+      val b = Seq(mk(500L + i, s"distinct batch number $i with its very own band rows here"))
+        .toDF("doc_id", "text")
+      MinHashIndex.candidates(idx, b, "doc_id", "text").count()
+    }
+    assert(MinHashIndex.bandCacheCount <= 4,
+      s"registry must evict past its cap, holds ${MinHashIndex.bandCacheCount}")
+    MinHashIndex.releaseCaches()
+  }
+
   test("incremental candidates equal the one-shot path restricted to new docs") {
     val idx = MinHashIndex.Index(
       MinHashIndex.bands(corpus, "doc_id", "text"), 3, 16, 4)

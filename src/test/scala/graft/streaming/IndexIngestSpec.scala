@@ -73,10 +73,73 @@ class IndexIngestSpec extends SparkSpec {
       yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
     // crash between the append and the checkpoint commit ⇒ the engine
     // replays streaming batch 0 — the append must replace, not duplicate
-    IndexIngest.ivfBatch(batch, 0L, idx, "vec_id", "embedding")
-    IndexIngest.ivfBatch(batch, 0L, idx, "vec_id", "embedding")
+    val ckpt = s"$root/ckpt"
+    IndexIngest.ivfBatch(batch, 0L, idx, ckpt, "vec_id", "embedding")
+    IndexIngest.ivfBatch(batch, 0L, idx, ckpt, "vec_id", "embedding")
     assert(Ivf.open(spark, idx).assigned.count() === 75,
       "replayed micro-batch duplicated index rows")
+  }
+
+  test("a recreated checkpoint or second stream is refused, not overwritten") {
+    val root = Files.createTempDirectory("idxbind").toString
+    val idx = s"$root/ivf"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.write(Ivf.build(base, nCells = 3), idx)
+
+    val b0 = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val b1 = (for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+      yield ((2000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    IndexIngest.ivfBatch(b0, 0L, idx, s"$root/ckptA", "vec_id", "embedding")
+    IndexIngest.ivfBatch(b1, 1L, idx, s"$root/ckptA", "vec_id", "embedding")
+    assert(Ivf.open(spark, idx).assigned.count() === 90)
+
+    // a deleted-and-recreated checkpoint restarts engine batch ids at 0;
+    // with a blind batchId+1 mapping this would silently REPLACE the first
+    // appended batch's rows — the binding must refuse instead
+    val fresh = (for (axis <- Seq(0, 3, 6); i <- 30 until 35)
+      yield ((3000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      IndexIngest.ivfBatch(fresh, 0L, idx, s"$root/ckptB", "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("bound to streaming checkpoint token"))
+    assert(Ivf.open(spark, idx).assigned.count() === 90,
+      "refused batch must not have touched the store")
+  }
+
+  test("binding bases on pre-existing appends; foreign id collision is refused") {
+    val root = Files.createTempDirectory("idxbase").toString
+    val idx = s"$root/ivf"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.write(Ivf.build(base, nCells = 3), idx)
+
+    // a manual daily append already owns batch 5 BEFORE the stream starts:
+    // the stream must bind base=5 and write batch 6, not batch 1
+    val manual = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.append(manual, idx, 5L, "vec_id", "embedding")
+
+    val b0 = (for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+      yield ((2000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    IndexIngest.ivfBatch(b0, 0L, idx, s"$root/ckpt", "vec_id", "embedding")
+    assert(StreamBinding.existingBatchIds(spark, s"$idx/cells") === Set(0L, 5L, 6L))
+    assert(Ivf.open(spark, idx).assigned.count() === 90)
+
+    // a manual append that later races INTO the stream's id range: the
+    // stream's next batch targets that id and must refuse, not overwrite
+    val foreign = (for (axis <- Seq(0, 3, 6); i <- 30 until 32)
+      yield ((4000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.append(foreign, idx, 7L, "vec_id", "embedding")
+    val b1 = (for (axis <- Seq(0, 3, 6); i <- 32 until 35)
+      yield ((5000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      IndexIngest.ivfBatch(b1, 1L, idx, s"$root/ckpt", "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("refusing to overwrite"))
+    assert(Ivf.open(spark, idx).assigned.count() === 96,
+      "foreign batch must survive the refused stream batch")
   }
 
   test("streams micro-batches into a persisted IVF-PQ index; coded store grows") {
