@@ -6,6 +6,16 @@ package graft
   * suite (heap/cache state left behind by earlier queries). Pass a
   * comma-separated list to reproduce a suspected poisoning sequence.
   *
+  * What this does NOT control for: machine load. The probe runs on the
+  * same host, so background load inflates its numbers exactly as it
+  * inflates the full suite's — an isolated reproduction is evidence of a
+  * real regression only if `uptime` is also clean at measurement time
+  * (the r8 q27 episode: 1.72 s isolated under residual session load,
+  * 1.38 s isolated idle, 1.04 s in-suite idle — DESIGN.md note 20). Two
+  * further calibration facts: isolated runs sit ~0.3–0.4 s above
+  * in-suite (cold JIT + parquet footer/listing that earlier suite
+  * queries pre-warm), and sub-second queries swing ±40–60 % run-to-run.
+  *
   * Usage: runMain graft.BenchOne <name>[,<name>...] [reps] [sfDir]
   */
 object BenchOne {
