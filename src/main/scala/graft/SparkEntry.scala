@@ -1464,6 +1464,57 @@ object SparkEntry {
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .agg(countDistinct(col("q_id")).as("n_queries"),
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- Index lifecycle end-to-end under the oracle gate: publish a
+    // sealed v0 (one third of the corpus) → two daily appends with one
+    // REPLAYED retry → seal a compacted v1 via compactLatest → query
+    // through IndexVersions.latest. The ranked rows are hash-exact vs the
+    // q74 SQL over the FULL corpus (so the lifecycle loses/duplicates
+    // nothing), and the run additionally asserts version resolution
+    // (latest is v1, exactly {v0,v1} sealed) and answer equality between
+    // the compacted store and the never-compacted v0+appends rollback
+    // path. First run pays the builds into the content-addressed scratch
+    // root; bench reps measure the read path like q84/q86 ---
+    "q93_index_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "bm25_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+          operators.Bm25.write(operators.Bm25.buildIndex(
+            docs.where(col("doc_id") % 3 === 0), "doc_id", "text"), p))
+        val day1 = docs.where(col("doc_id") % 3 === 1)
+        operators.Bm25.append(day1, "doc_id", "text", v0, batchId = 1)
+        // a retried orchestrator step replays the whole append call — the
+        // gate's full-corpus hash would catch any double-count
+        operators.Bm25.append(day1, "doc_id", "text", v0, batchId = 1)
+        operators.Bm25.append(docs.where(col("doc_id") % 3 === 2),
+          "doc_id", "text", v0, batchId = 2)
+        pipeline.IndexVersions.compactLatest(s, root)(
+          operators.Bm25.compactTo(s, _, _))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      def rank(p: String) = operators.Bm25
+        .topKIndexed(operators.Bm25.open(s, p), qs, "q_id", "q_text", k = 5)
+        .orderBy("q_id", "rank")
+      val viaLatest = rank(latest)
+      // rollback-path equality: the uncompacted v0+appends store must
+      // answer identically to the compacted v1 (bounded: queries × k rows)
+      val pathsEqual = rank(s"$root/v0").collect().toSeq ==
+        viaLatest.collect().toSeq
+      viaLatest.withColumn("version_ok", lit(versionOk))
+        .withColumn("paths_equal", lit(pathsEqual))
     })
   )
 
@@ -2456,6 +2507,40 @@ object SparkEntry {
     // cosine-preserving, so original-space truth is the right oracle
     "q92_opq_recall" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    // q93: the lifecycle store (publish v0 → appends with a replayed
+    // retry → compacted sealed v1) must answer EXACTLY like one ad-hoc
+    // BM25 over the full corpus — identical SQL to q74 plus the two
+    // in-run assertion columns (version resolution, rollback-path
+    // equality), which DuckDB asserts as literals
+    "q93_index_lifecycle" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM pd)
+        |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
+        |  true AS version_ok, true AS paths_equal FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // q85: the q48 clustering CTEs + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the
