@@ -1247,12 +1247,15 @@ object SparkEntry {
     // user ships a training set: near-dup clusters → canonical copy per
     // cluster → benchmark decontamination → DSIR importance selection →
     // leakage-safe split by cluster → release card. Every stage is the
-    // already-oracle-checked operator (q48/q81/q70/q76/q83); this entry
-    // proves they compose in ONE declarative plan ---
+    // already-oracle-checked operator (q23/q81/q70/q76/q83); this entry
+    // proves they compose in ONE declarative plan. Clustering runs the
+    // LSH composition (minhash candidates → exact-Jaccard verify) — the
+    // scale path: candidate generation is linear in the corpus, only
+    // banded collisions reach the quadratic verify stage ---
     "q85_corpus_release" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
-        shingleN = 4, threshold = 0.05)
+      val pairs = TextDedup.minHashNearDup(docs, "doc_id", "text",
+        shingleN = 4, numHashes = 16, rowsPerBand = 4, threshold = 0.05)
       val comp = ConnectedComponents.components(s, docs.select("doc_id"),
         pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
       val canon = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -2542,18 +2545,33 @@ object SparkEntry {
         |  true AS version_ok, true AS paths_equal FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    // q85: the q48 clustering CTEs + q81 canonical rank + q70
+    // q85: LSH clustering (q23's minhash chain banded like q77, verified
+    // by the exact-Jaccard CTEs) + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the
-    // exact release-card aggregation
-    "q85_corpus_release" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+    // exact release-card aggregation. Two documents share an LSH bucket
+    // iff their band's signature slice is equal (q77's convention); the
+    // bucket-size cap mirrors minHashCandidates' maxBucketSize=1000 (a
+    // no-op at oracle scale, stated for exactness).
+    "q85_corpus_release" -> {
+      val sig = graft.expressions.OracleHashSql.minhashSig(4, 16)
+      s"""WITH RECURSIVE
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
         |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
         |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |prs AS (SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |sig AS (SELECT * FROM ($sig) tt),
+        |bnd AS (SELECT doc_id, j // 4 AS band,
+        |    array_to_string(list(minhash ORDER BY j), ',') AS bv
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |bok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= 1000),
+        |bb AS (SELECT bnd.* FROM bnd JOIN bok USING (band, bv)),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |         FROM bb a JOIN bb b ON a.band = b.band AND a.bv = b.bv
+        |         WHERE a.doc_id < b.doc_id),
+        |prs AS (SELECT i.ia, i.ib FROM inter i JOIN cand USING (ia, ib)
+        |        JOIN sz sa ON sa.doc_id = i.ia JOIN sz sb ON sb.doc_id = i.ib
         |        WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.05),
         |edges AS (SELECT ia AS a, ib AS b FROM prs UNION SELECT ib, ia FROM prs),
         |reach(id, r) AS (
