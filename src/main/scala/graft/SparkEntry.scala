@@ -2623,7 +2623,8 @@ object SparkEntry {
         |SELECT CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  round(CAST(SUM(CAST(round(weight * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_weight
-        |FROM spl JOIN nt USING (doc_id) GROUP BY 1 ORDER BY split""".stripMargin,
+        |FROM spl JOIN nt USING (doc_id) GROUP BY 1 ORDER BY split""".stripMargin
+    },
 
     // q86: the persisted-postings path must reproduce the ad-hoc BM25
     // pipeline bit for bit — identical SQL to q74
