@@ -626,18 +626,22 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         inDir.resolve("events.parquet"),
         java.nio.file.Paths.get(dir, "events.parquet"))
-      val batch = Tables.read(s, dir, "events")
+      // the file stream must use the RAW on-disk schema (ts may be long-ns
+      // or TIMESTAMP_NTZ depending on testdata generation); normalize the
+      // streaming frame afterwards, same boundary as Tables.read
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val batch = Tables.normalizeEventTime(raw)
       val maxTs = batch.agg(max("ts")).head.getLong(0)
-      batch.limit(1)
-        .withColumn("ts", lit(maxTs + 2L * 3600L * 1000000000L))
+      raw.limit(1)
+        .withColumn("ts",
+          Tables.denormalizeTs(raw.schema("ts").dataType, maxTs + 2L * 3600L * 1000000000L))
         .withColumn("event_type", lit("__sentinel"))
         .write.parquet(s"$tmp/sentinel")
       java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/sentinel"))
         .filter(p => p.toString.endsWith(".parquet"))
         .forEach(p => java.nio.file.Files.copy(p, inDir.resolve("zz_sentinel.parquet")))
-      val stream = s.readStream
-        .schema(batch.schema)
-        .parquet(inDir.toString)
+      val stream = Tables.normalizeEventTime(
+        s.readStream.schema(raw.schema).parquet(inDir.toString))
       val agg = graft.streaming.StreamingIngest
         .windowedEventCounts(stream, window = "1 hour", watermark = "0 seconds")
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -1254,8 +1258,16 @@ object SparkEntry {
     // banded collisions reach the quadratic verify stage ---
     "q85_corpus_release" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // bands tuned TO the verify threshold (MMDS S-curve rule): at 0.05
+      // tuneBands(0.05, 16) = (16 bands, 1 row/band), putting the LSH
+      // inflection at 1/16 = 0.0625 — so candidate recall actually tracks
+      // the threshold the verify stage enforces. The earlier 4×4 banding
+      // had its midpoint at J≈0.71 and silently dropped low-similarity
+      // pairs the gate claimed to keep (recall cross-checked independently
+      // in TextDedupSpec's exact-pairs test).
+      val (_, rpb) = TextDedup.tuneBands(0.05, 16)
       val pairs = TextDedup.minHashNearDup(docs, "doc_id", "text",
-        shingleN = 4, numHashes = 16, rowsPerBand = 4, threshold = 0.05)
+        shingleN = 4, numHashes = 16, rowsPerBand = rpb, threshold = 0.05)
       val comp = ConnectedComponents.components(s, docs.select("doc_id"),
         pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
       val canon = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -1390,9 +1402,10 @@ object SparkEntry {
         (col("doc_id") % 2 === 0).cast("int").as("label"))
       val trainSet = labeled.where(col("doc_id") % 5 =!= 0)
       val testSet = labeled.where(col("doc_id") % 5 === 0)
-      // 50 full-batch Adagrad rounds: holdout accuracy is already 0.99 at
-      // 30 (probed at sf0.01) and each round is one Spark job — the bench
-      // cost of this query is iteration count, not data volume
+      // full-batch Adagrad, iteration-capped at 50 with loss-delta early
+      // stop: each round is one Spark job, so the bench cost of this query
+      // is iteration count, not data volume — the stop criterion reads the
+      // loss already folded into the gradient pass
       val model = quality.QualityClassifier.train(trainSet, "doc_id", "text",
         "label", nBuckets = 4096, iters = 50, lr = 1.0)
       quality.QualityClassifier.score(testSet, "doc_id", "text", model)
@@ -2549,9 +2562,10 @@ object SparkEntry {
     // by the exact-Jaccard CTEs) + q81 canonical rank + q70
     // decontamination + q76 DSIR weights + q83 split hash, ending in the
     // exact release-card aggregation. Two documents share an LSH bucket
-    // iff their band's signature slice is equal (q77's convention); the
-    // bucket-size cap mirrors minHashCandidates' maxBucketSize=1000 (a
-    // no-op at oracle scale, stated for exactness).
+    // iff their band's signature slice is equal (q77's convention) — here
+    // 16 single-hash bands, matching tuneBands(0.05, 16) on the Spark
+    // side; the bucket-size cap mirrors minHashCandidates'
+    // maxBucketSize=1000 (a no-op at oracle scale, stated for exactness).
     "q85_corpus_release" -> {
       val sig = graft.expressions.OracleHashSql.minhashSig(4, 16)
       s"""WITH RECURSIVE
@@ -2562,9 +2576,7 @@ object SparkEntry {
         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
         |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         |sig AS (SELECT * FROM ($sig) tt),
-        |bnd AS (SELECT doc_id, j // 4 AS band,
-        |    array_to_string(list(minhash ORDER BY j), ',') AS bv
-        |  FROM sig GROUP BY doc_id, j // 4),
+        |bnd AS (SELECT doc_id, j AS band, CAST(minhash AS VARCHAR) AS bv FROM sig),
         |bok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= 1000),
         |bb AS (SELECT bnd.* FROM bnd JOIN bok USING (band, bv)),
         |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib

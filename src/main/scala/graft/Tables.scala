@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Helpers for reading the driver-provided testdata tables
   * (TESTDATA.md: TPC-H-ish star schema + events/documents/embeddings).
@@ -10,9 +12,48 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory. */
+  /** Read one table from a scale-factor directory. Event-time columns are
+    * normalized (see [[normalizeEventTime]]) so downstream operators see one
+    * type regardless of how the generator encoded timestamps.
+    */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Event-time portability: the driver's testdata has shipped `events.ts`
+    * both as physical TIMESTAMP(NANOS) — which vanilla Spark only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong`, arriving as LongType epoch-ns —
+    * and as TIMESTAMP_NTZ(µs), arriving as TimestampNTZType. The reference
+    * likewise treats event-time encoding as data, not schema (it stores ISO
+    * strings and parses at use; reference: src/glue/jobs/json_to_parquet.py).
+    * All graft operators and oracle SQL assume epoch-nanosecond longs, so
+    * convert any timestamp-typed `ts` here, at the single read boundary.
+    *
+    * Requires `spark.sql.session.timeZone=UTC` (all graft sessions set it):
+    * the NTZ→TZ cast is interpreted in session-local time, and the DuckDB
+    * oracle's `epoch_us(ts)` reads the stored naive value as UTC.
+    *
+    * Scale note: the conversion is a codegen'd per-row projection (no
+    * shuffle), but it does sit between the scan and any `ts` predicate, so
+    * range filters no longer push down to parquet row-groups. At 100 TB,
+    * time-range queries should filter on the raw column first (or rely on
+    * partition pruning by date), then normalize.
+    */
+  def normalizeEventTime(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
+      case _ => df // already LongType epoch-ns, or no such column
+    }
+
+  /** Inverse of [[normalizeEventTime]] for writing a value back in a raw
+    * schema's type: epoch-ns long → whatever `rawType` the file carries.
+    */
+  def denormalizeTs(rawType: DataType, epochNs: Long): Column = rawType match {
+    case LongType => lit(epochNs)
+    case TimestampNTZType => timestamp_micros(lit(epochNs / 1000L)).cast(TimestampNTZType)
+    case TimestampType => timestamp_micros(lit(epochNs / 1000L))
+    case other => throw new IllegalArgumentException(s"unsupported ts type $other")
+  }
 
   /** Standard local session config used by tests and ad-hoc mains.
     * shuffle.partitions=32 per the local[32] target; AQE coalesces

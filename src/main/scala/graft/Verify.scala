@@ -21,15 +21,27 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // Loud failure contract: a query that throws must be impossible to miss
+    // — r10 shipped 11 dead queries because this loop used to swallow them
+    // to stderr and exit 0. Both stdout and stderr carry the summary; the
+    // exit code carries it to the round loop.
+    if (failed.nonEmpty) {
+      val msg = s"[verify] FAILED ${failed.size}/${selected.size}: ${failed.mkString(", ")}"
+      println(msg)
+      System.err.println(msg)
+    } else println(s"[verify] OK ${selected.size}/${selected.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,5 +58,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

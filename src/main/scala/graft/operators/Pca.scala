@@ -30,13 +30,23 @@ object Pca {
   final case class Model(mean: Array[Double], values: Array[Double],
                          vectors: Array[Array[Double]])
 
+  /** Dimension ceiling for [[fit]]: each partition's partial is d²+d+1
+    * doubles, every one of which transits the reduce — 8 MB at d=1024 is
+    * the sane edge of that design; d=4096 would ship 134 MB per partition
+    * and the driver-side O(d³) Jacobi would dominate regardless. Above
+    * this, the one-pass moment-matrix formulation is the wrong algorithm
+    * (randomized/iterative SVD territory), so fail loudly instead of
+    * grinding.
+    */
+  val MaxDim = 1024
+
   /** One pass over the corpus → top-k principal axes of the covariance
     * (`center = true`) or of the raw second-moment matrix
     * (`center = false`). The uncentered variant is a pure ROTATION: a
     * full-rank orthonormal basis that preserves dot products — and
     * therefore cosine — exactly, which is what [[balancedForPq]]'s
     * OPQ-style preprocessing needs (centering would shift vectors and
-    * change their cosines).
+    * change their cosines). Vectors wider than [[MaxDim]] are rejected.
     */
   def fit(df: DataFrame, vec: String, k: Int, center: Boolean = true): Model = {
     val spark = df.sparkSession
@@ -50,7 +60,14 @@ object Pca {
         it.foreach { row =>
           val x = row.toArray
           val d = x.length
-          if (s == null) { s = new Array[Double](d); g = new Array[Double](d * d) }
+          if (s == null) {
+            require(d <= MaxDim,
+              s"Pca.fit: vector dimension $d exceeds MaxDim=$MaxDim — the " +
+              "d^2 moment-matrix partials and the driver-side Jacobi solve " +
+              "do not scale past that; reduce dimensionality first or use a " +
+              "randomized/iterative SVD")
+            s = new Array[Double](d); g = new Array[Double](d * d)
+          }
           var i = 0
           while (i < d) {
             s(i) += x(i)

@@ -50,6 +50,30 @@ object SemDedup {
       .select("cell", "id_a", "id_b", "sim")
   }
 
+  /** Observability for the `maxClusterSize` cap (the [[Ivf.cellStats]]
+    * analogue): one row per OVERSIZED cluster — `(cell, n_docs)` — plus a
+    * broadcast total of affected docs, so an operator can see how much of
+    * the corpus the pairwise stage silently skipped instead of discovering
+    * it from recall loss. Empty result = no cluster hit the cap.
+    */
+  def skippedClusters(assigned: DataFrame,
+                      maxClusterSize: Int = 10000): DataFrame = {
+    val over = assigned.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxClusterSize)
+    over.crossJoin(broadcast(
+        over.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs_skipped_total"),
+          count(lit(1)).as("n_clusters_skipped"))))
+      .orderBy("cell")
+  }
+
+  /** k ∝ √n cluster-count rule (the SemDeDup paper's shape: expected
+    * cluster size n/k = √n keeps per-cluster quadratic work at n^1.5
+    * total, the standard budget). Clamped to [2, maxK]; callers with a
+    * known dense region should raise k beyond this, not the cap.
+    */
+  def tuneClusters(n: Long, maxK: Int = 1 << 20): Int =
+    math.min(maxK.toLong, math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
+
   /** Cluster → pair → close → choose: one row per input doc,
     * `(<id>, cell, rep, keep)` — `rep` is the min id of the doc's duplicate
     * group (its own id when it has no near-dup), `keep` = (id == rep).

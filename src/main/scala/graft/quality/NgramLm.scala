@@ -45,14 +45,39 @@ object NgramLm {
         slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
       .select(col("doc_id"), col("bg.0").as("a"), col("bg.1").as("b"))
 
-  /** Count the target corpus once: two aggregations and a distinct. */
+  /** Count the target corpus ONCE: a single tokenize+explode emits both
+    * bigram rows and unigram (vocab) rows, one groupBy counts them, and
+    * the counted table — vocab-sized, tiny next to the corpus — is cached.
+    * Everything downstream derives from it: `bigrams` filters it,
+    * `contexts` re-aggregates the already-counted bigrams (`n_a` = Σ n_ab
+    * over the left token — identical to counting bigram rows), and `vocab`
+    * counts its unigram groups (which also materializes the cache). The
+    * previous formulation scanned the corpus three times: once for vocab
+    * at train, then once per count table when the score-side joins pulled
+    * on the lazy aggregations.
+    */
   def train(target: DataFrame, idCol: String, textCol: String,
             k: Double = 1.0): Model = {
-    val bg = bigramRows(target, idCol, textCol)
-    val bigrams = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val contexts = bg.groupBy("a").agg(count(lit(1)).as("n_a"))
-    val vocab = target.select(explode(tokens(col(textCol))).as("t"))
-      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val gram = target.select(tokens(col(textCol)).as("ts"))
+      .select(explode(concat(
+        // bigram structs (empty for docs under 2 tokens — greatest() keeps
+        // the slice length legal at 0 instead of erroring on negatives)
+        transform(
+          arrays_zip(
+            slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+            slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0)))),
+          bg => struct(bg("0").as("a"), bg("1").as("b"),
+            lit(null).cast("string").as("t"))),
+        // unigram structs from EVERY doc (vocab counts 1-token docs too)
+        transform(col("ts"), tk => struct(
+          lit(null).cast("string").as("a"), lit(null).cast("string").as("b"),
+          tk.as("t"))))).as("r"))
+      .select(col("r.a").as("a"), col("r.b").as("b"), col("r.t").as("t"))
+    val counted = gram.groupBy("a", "b", "t").agg(count(lit(1)).as("n")).cache()
+    val bigrams = counted.where(col("t").isNull)
+      .select(col("a"), col("b"), col("n").as("n_ab"))
+    val contexts = bigrams.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val vocab = counted.where(col("t").isNotNull).count()
     Model(bigrams, contexts, vocab, k)
   }
 

@@ -58,11 +58,20 @@ object QualityClassifier {
     * learning rate either stalls the words or makes the bias oscillate —
     * per-coordinate step normalization (`lr / sqrt(Σ g²)`) is the standard
     * fix for sparse text features. Deterministic up to float summation
-    * order: zero init, fixed `iters` full-batch rounds, no sampling.
+    * order: zero init, full-batch rounds, no sampling.
+    *
+    * Early stop: the same distributed pass that produces the gradient also
+    * folds the full-batch log-loss (one extra accumulator slot — no extra
+    * job), and training stops once a round improves it by less than `tol`
+    * relative (after `minIters` rounds). `iters` remains the hard ceiling.
+    * q89 measured 50 fixed rounds paying ~20 rounds of no-op tail; the
+    * stop criterion reads the loss that is already computed, so each round
+    * costs exactly what it did before.
     */
   def train(labeled: DataFrame, idCol: String, textCol: String,
             labelCol: String, nBuckets: Int = 4096, iters: Int = 50,
-            lr: Double = 0.5, l2: Double = 1e-6): Model = {
+            lr: Double = 0.5, l2: Double = 1e-6,
+            tol: Double = 1e-3, minIters: Int = 10): Model = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets must be in (0, 65536] (16-bit md5 prefix), got $nBuckets")
     val spark = labeled.sparkSession
@@ -79,11 +88,16 @@ object QualityClassifier {
     require(n > 0, "no featurizable labeled documents")
     var w = new Array[Double](nBuckets + 1) // last slot = bias
     val gSq = new Array[Double](nBuckets + 1) // Adagrad accumulator
-    for (_ <- 0 until iters) {
+    var prevLoss = Double.MaxValue
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
       val bc = spark.sparkContext.broadcast(w)
       val grad = f.mapPartitions { it =>
         val wv = bc.value
-        val g = new Array[Double](wv.length)
+        // gradient in slots [0, wv.length); full-batch log-loss in the
+        // extra last slot — same pass, no separate evaluation job
+        val g = new Array[Double](wv.length + 1)
         it.foreach { case (y, bs, xs) =>
           var dot = wv(wv.length - 1)
           var i = 0
@@ -92,12 +106,15 @@ object QualityClassifier {
           val err = p - y
           i = 0
           while (i < bs.length) { g(bs(i)) += err * xs(i); i += 1 }
-          g(g.length - 1) += err
+          g(wv.length - 1) += err
+          g(wv.length) -= y * math.log(p + 1e-12) +
+            (1.0 - y) * math.log(1.0 - p + 1e-12)
         }
         Iterator.single(g)
       }.reduce { (a, b) =>
         var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
       }
+      val loss = grad(w.length) / n
       val next = new Array[Double](w.length)
       var i = 0
       while (i < w.length) {
@@ -109,7 +126,14 @@ object QualityClassifier {
       }
       bc.destroy()
       w = next
+      rounds += 1
+      if (rounds >= minIters &&
+          prevLoss - loss < tol * math.max(prevLoss, 1e-12)) converged = true
+      prevLoss = loss
     }
+    System.err.println(
+      s"[quality-classifier] stopped after $rounds/$iters rounds " +
+      f"(log-loss $prevLoss%.6f, ${if (converged) "converged" else "iteration cap"})")
     f.unpersist()
     Model(w.take(nBuckets), w(nBuckets), nBuckets)
   }

@@ -24,7 +24,8 @@ import java.nio.charset.StandardCharsets
   *     deletes the token; a recreated checkpoint gets a fresh UUID.
   *   - `<indexPath>/_stream_binding` — `token`, `base` (max batch id that
   *     existed in the store at bind time) and `max_written` (high-water
-  *     mark of append ids this stream has written).
+  *     mark of append ids this stream has CLAIMED — advanced before the
+  *     append lands, so a crash mid-append replays as our own batch).
   *
   * Resolution: streaming batch `b` maps to append id `base + 1 + b`. The
   * binding is created on the stream's first micro-batch and REFUSED with
@@ -72,8 +73,15 @@ object StreamBinding {
   def resolveAppendId(spark: SparkSession, checkpointDir: String,
                       indexPath: String, dataDir: String,
                       streamBatchId: Long): Long = {
-    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
-    val token = readOrCreateToken(fs, checkpointDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(indexPath).getFileSystem(conf)
+    // the token lives in the CHECKPOINT directory, which may be on a
+    // different filesystem than the index store (e.g. local checkpoint,
+    // object-store index) — resolve its fs from the checkpoint path, not
+    // the index path, or a recreated checkpoint on another fs would silently
+    // reuse a stale token and defeat the lineage check
+    val tokenFs = new Path(checkpointDir, TokenFile).getFileSystem(conf)
+    val token = readOrCreateToken(tokenFs, checkpointDir)
     val bindingPath = new Path(indexPath, BindingFile)
     val binding = readBinding(fs, bindingPath) match {
       case Some(b) if b.token == token => b
@@ -92,21 +100,33 @@ object StreamBinding {
         b
     }
     val target = binding.base + 1 + streamBatchId
-    // a replay of our own batch (target <= maxWritten) legitimately hits an
-    // existing partition; anything else colliding means a foreign writer
-    if (target > binding.maxWritten &&
-        existingBatchIds(spark, dataDir).contains(target)) {
-      throw new IllegalStateException(
-        s"streaming batch $streamBatchId maps to append batch_id=$target in " +
-        s"$indexPath, but that batch already exists and was not written by " +
-        "this stream (manual append or foreign writer inside the stream's " +
-        "id range) — refusing to overwrite it.")
+    // a replay of a batch this stream already CLAIMED (target <= maxWritten)
+    // legitimately hits an existing partition; anything else colliding means
+    // a foreign writer
+    if (target > binding.maxWritten) {
+      if (existingBatchIds(spark, dataDir).contains(target)) {
+        throw new IllegalStateException(
+          s"streaming batch $streamBatchId maps to append batch_id=$target in " +
+          s"$indexPath, but that batch already exists and was not written by " +
+          "this stream (manual append or foreign writer inside the stream's " +
+          "id range) — refusing to overwrite it.")
+      }
+      // claim the id BEFORE the append lands: if the process dies between
+      // the append and any post-append bookkeeping, the engine replays the
+      // same batch, and the claim is what lets us recognize the
+      // half-committed partition as our own (and idempotently re-overwrite
+      // it) instead of misdiagnosing it as a foreign writer and wedging the
+      // stream permanently
+      writeBinding(fs, bindingPath, binding.copy(maxWritten = target))
     }
     target
   }
 
-  /** Advance the binding's high-water mark after an append lands, so a
-    * later replay of that batch is recognized as our own.
+  /** Advance the binding's high-water mark after an append lands. Since
+    * [[resolveAppendId]] now claims the id up front (crash-safety: a replay
+    * of a half-committed batch must read as our own), this is normally a
+    * no-op; it remains as a belt-and-braces hook for callers that append
+    * ids they resolved out of band.
     */
   def recordWritten(spark: SparkSession, indexPath: String, appendId: Long): Unit = {
     val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
@@ -159,9 +179,20 @@ object StreamBinding {
     finally in.close()
   }
 
+  /** Atomic publish: write to a temp file, then rename-with-overwrite onto
+    * the target. A plain `fs.create(p, true)` truncates in place, so a crash
+    * mid-write leaves a torn (empty or partial) binding that
+    * [[readBinding]] would reject as corrupt — wedging the stream.
+    * `FileContext.rename(OVERWRITE)` is atomic on HDFS and a posix rename on
+    * the local fs.
+    */
   private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    val qp = fs.makeQualified(p)
+    val tmp = new Path(qp.getParent, s".${qp.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

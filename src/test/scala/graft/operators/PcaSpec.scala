@@ -17,6 +17,16 @@ class PcaSpec extends SparkSpec {
   }
   private val corpus = (0 until 200).map(mk).toDF("vec_id", "embedding")
 
+  test("vectors wider than MaxDim are rejected loudly, not ground through") {
+    val wide = Seq((1L, Array.fill(Pca.MaxDim + 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Pca.fit(wide, "embedding", k = 2) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("MaxDim")),
+      s"expected the MaxDim guard, got: ${ex.getMessage}")
+  }
+
   test("PC1 recovers the dominant axis; eigenvalues descend; axes are unit") {
     val m = Pca.fit(corpus, "embedding", k = 3)
     assert(m.values.length === 3 && m.vectors.length === 3)

@@ -61,6 +61,27 @@ class SemDedupSpec extends SparkSpec {
     assert(SemDedup.pairs(assigned, tau = 0.999, maxClusterSize = 5).count() === 0)
   }
 
+  test("skippedClusters surfaces exactly the capped clusters and doc totals") {
+    val assigned = Ivf.build(corpus(), nCells = 3).assigned
+    // skewed fixture: each of the 3 clusters holds 12 docs; cap at 5 skips
+    // all of them, and the report must say so — cluster by cluster plus
+    // the affected-doc total an operator actually monitors
+    val skipped = SemDedup.skippedClusters(assigned, maxClusterSize = 5)
+      .select("cell", "n_docs", "n_docs_skipped_total", "n_clusters_skipped")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(skipped.length === 3)
+    assert(skipped.forall { case (_, n, tot, k) => n === 12L && tot === 36L && k === 3L })
+    // a cap nothing hits reports nothing
+    assert(SemDedup.skippedClusters(assigned, maxClusterSize = 1000).count() === 0)
+  }
+
+  test("tuneClusters follows k ~ sqrt(n) with clamps") {
+    assert(SemDedup.tuneClusters(1000000L) === 1000)
+    assert(SemDedup.tuneClusters(100L) === 10)
+    assert(SemDedup.tuneClusters(1L) === 2) // floor
+    assert(SemDedup.tuneClusters(Long.MaxValue >> 8, maxK = 4096) === 4096) // ceiling
+  }
+
   test("transitive duplicate chains collapse to one min-id group") {
     // a -- b and b -- c are near-dup pairs; a -- c may or may not clear tau,
     // but the closure must put all three in one group either way

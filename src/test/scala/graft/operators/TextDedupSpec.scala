@@ -31,6 +31,41 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(5L, 6L)))
   }
 
+  test("q85 banding: tuned-band LSH recall measured against exact pairs on sf0.001") {
+    // Independent recall gate for the q85 composition: the oracle there
+    // mirrors candidate generation, so it cannot see pairs LSH loses. Here
+    // the ground truth is the EXACT all-pairs Jaccard (inverted-index
+    // jaccardPairs, no LSH), on the real sf0.001 documents table.
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 4, threshold = 0.05)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val (_, rpb) = TextDedup.tuneBands(0.05, 16)
+    val lsh = TextDedup.minHashNearDup(docs, "doc_id", "text",
+      shingleN = 4, numHashes = 16, rowsPerBand = rpb, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verify stage enforces exact Jaccard, so LSH output must be a subset
+    assert(lsh.subsetOf(exact.keySet),
+      s"LSH emitted pairs below threshold: ${lsh.diff(exact.keySet).take(5)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      // 16 single-hash bands: collision prob 1-(1-J)^16 ≈ 0.56 at J=0.05,
+      // rising steeply; overall recall depends on the similarity mix, so
+      // the floor is conservative. The old 4×4 banding (midpoint J≈0.71)
+      // would score near zero here on a low-similarity corpus.
+      assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+      val high = exact.filter(_._2 >= 0.25).keySet
+      if (high.nonEmpty) {
+        val highRecall = high.count(lsh.contains).toDouble / high.size
+        assert(highRecall >= 0.9,
+          s"high-similarity (J>=0.25) recall $highRecall over ${high.size} pairs")
+      }
+    }
+  }
+
   test("exact jaccard pairs agree with hand-computed similarity") {
     val out = TextDedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -142,6 +142,59 @@ class IndexIngestSpec extends SparkSpec {
       "foreign batch must survive the refused stream batch")
   }
 
+  test("crash between append and bookkeeping: replay reads as our own batch") {
+    val root = Files.createTempDirectory("idxcrash").toString
+    val idx = s"$root/ivf"; val ckpt = s"$root/ckpt"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.write(Ivf.build(base, nCells = 3), idx)
+
+    val b0 = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    IndexIngest.ivfBatch(b0, 0L, idx, ckpt, "vec_id", "embedding")
+
+    // batch 1 crashes AFTER the physical append but BEFORE any post-append
+    // bookkeeping: resolve + append only, no recordWritten
+    val b1 = (for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+      yield ((2000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    val id = StreamBinding.resolveAppendId(spark, ckpt, idx, s"$idx/cells", 1L)
+    Ivf.append(b1, idx, id, "vec_id", "embedding")
+
+    // the engine replays streaming batch 1: the half-committed partition
+    // must be recognized as ours and idempotently replaced — not
+    // misdiagnosed as a foreign writer (which would wedge the stream)
+    IndexIngest.ivfBatch(b1, 1L, idx, ckpt, "vec_id", "embedding")
+    assert(Ivf.open(spark, idx).assigned.count() === 90,
+      "replayed half-committed batch must replace, not duplicate or wedge")
+  }
+
+  test("checkpoint token lives under the checkpoint dir; binding writes are atomic") {
+    val root = Files.createTempDirectory("idxtoken").toString
+    val idx = s"$root/ivf"; val ckpt = s"$root/ckpt"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    Ivf.write(Ivf.build(base, nCells = 3), idx)
+    val b0 = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding")
+    IndexIngest.ivfBatch(b0, 0L, idx, ckpt, "vec_id", "embedding")
+    IndexIngest.ivfBatch(
+      (for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+        yield ((2000 + axis * 100 + i).toLong, v(axis, i))).toDF("vec_id", "embedding"),
+      1L, idx, ckpt, "vec_id", "embedding")
+
+    // the token identifies the CHECKPOINT lineage, so it must live (and be
+    // resolved) under the checkpoint dir — on the checkpoint's filesystem
+    assert(Files.exists(java.nio.file.Paths.get(ckpt, "graft_stream_token")))
+    // binding under the index store, published atomically: no torn temp
+    // files left behind, content fully parseable after repeated overwrites
+    val bindingDir = new java.io.File(idx)
+    assert(!bindingDir.listFiles.map(_.getName).exists(_.endsWith(".tmp")),
+      "atomic temp+rename must not leave temp files")
+    val binding = Files.readString(java.nio.file.Paths.get(idx, "_stream_binding"))
+    assert(binding.contains("token=") && binding.contains("base=") &&
+      binding.contains("max_written="), s"unparseable binding: $binding")
+  }
+
   test("streams micro-batches into a persisted IVF-PQ index; coded store grows") {
     val root = Files.createTempDirectory("ivfpqingest").toString
     val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
