@@ -81,10 +81,25 @@ object TextDedup {
   /** Verify candidate pairs with exact shingle-set Jaccard; keeps pairs with
     * similarity >= threshold. Joins the (small) candidate set back to the
     * corpus twice — each join is a shuffle on the id.
+    *
+    * `pruneToCandidates`: semi-join the corpus to the candidate id set
+    * BEFORE shingling, so only docs that appear in some pair pay the
+    * shingle explode. Right at 100 TB when candidates touch a small
+    * fraction of a Zipfian corpus (high-threshold dedup); wrong when most
+    * docs are candidates — measured on the dense synthetic sf0.1 corpus
+    * with q85's 16 single-hash bands, the extra join costs ~1.7 s and
+    * prunes almost nothing, hence default off and on at the caller's
+    * discretion.
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("__jid"),
+                    textCol: String, shingleN: Int, threshold: Double,
+                    pruneToCandidates: Boolean = false): DataFrame = {
+    val corpus = if (!pruneToCandidates) df else {
+      val candidateIds = candidates.select(col("id_a").as("__jid"))
+        .union(candidates.select(col("id_b").as("__jid")))
+      df.join(candidateIds, df(idCol) === candidateIds("__jid"), "left_semi")
+    }
+    val sets = corpus.select(col(idCol).as("__jid"),
       shingleSetFast(col(textCol), shingleN).as("__set"))
     val joined = candidates
       .join(sets.withColumnRenamed("__jid", "id_a").withColumnRenamed("__set", "set_a"), "id_a")

@@ -66,6 +66,17 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardVerify pruneToCandidates is result-identical to the full-corpus path") {
+    val cands = TextDedup.minHashCandidates(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 16, rowsPerBand = 4)
+    def run(prune: Boolean) =
+      TextDedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3,
+        threshold = 0.5, pruneToCandidates = prune)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(true) === run(false) && run(false).nonEmpty)
+  }
+
   test("exact jaccard pairs agree with hand-computed similarity") {
     val out = TextDedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
