@@ -1534,6 +1534,27 @@ object SparkEntry {
         viaLatest.collect().toSeq
       viaLatest.withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
+    }),
+
+    // --- CCNet perplexity bucketing (Wenzek et al. 2020): every language's
+    // docs split head/middle/tail by bigram-LM score, the mixing input for
+    // fluent-head oversampling. Gate uses the window-exact formulation
+    // (deterministic ntile, engine-portable); CcnetBuckets.approx is the
+    // 100 TB path — KLL quantile thresholds, no single-partition window ---
+    "q94_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = quality.NgramLm.train(
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      val scored = quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      quality.CcnetBuckets.exact(scored, "lang", "avg_logp", "doc_id")
+        .withColumn("bucket_name", when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket_name")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("avg_logp") * 1e6, 0).cast("long")).cast("double")
+            / 1e6, 6).as("sum_logp"))
+        .orderBy("lang", "bucket_name")
     })
   )
 
@@ -2669,6 +2690,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM pd)
         |SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // q94: q90's per-doc scores (hash-exact there, so both engines rank
+    // the same doubles) + standard-SQL ntile split per language — both
+    // engines distribute n rows over 3 buckets identically given the full
+    // (score DESC, doc_id ASC) tie-break
+    "q94_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |tr AS (SELECT ts FROM tok WHERE lang = 'en' AND len(ts) >= 2),
+        |tbg AS (SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM tbg GROUP BY 1, 2),
+        |cc AS (SELECT a, count(*) AS n_a FROM tbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en')),
+        |sbg AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |contrib AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN bc USING (a, b) LEFT JOIN cc USING (a) CROSS JOIN v),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+        |  FROM contrib GROUP BY doc_id),
+        |j AS (SELECT sc.doc_id, d.lang, sc.avg_logp
+        |      FROM sc JOIN documents d USING (doc_id)),
+        |b AS (SELECT lang, avg_logp,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id ASC) AS bucket
+        |  FROM j)
+        |SELECT lang,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(round(avg_logp * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 6) AS sum_logp
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket_name""".stripMargin
   )
 }

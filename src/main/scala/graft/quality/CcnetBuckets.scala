@@ -1,0 +1,62 @@
+package graft.quality
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+  * partition each language's documents into head / middle / tail by
+  * language-model score, so downstream mixing can oversample the fluent
+  * head and drop or down-weight the tail. Composes with [[NgramLm]] —
+  * higher mean bigram log-prob = more fluent = head.
+  *
+  * Two formulations with the same contract (`bucket` 1..n, 1 = best):
+  *
+  *   - [[exact]]: `ntile` over a fully tie-broken per-language window.
+  *     Deterministic and engine-portable (standard SQL ntile split), but a
+  *     window partition is ONE task — right for gates and modest corpora,
+  *     wrong for a 100 TB language.
+  *   - [[approx]]: per-language quantile THRESHOLDS from the mergeable KLL
+  *     sketch (`graft_kll_quantiles`), broadcast back and bucketed by
+  *     comparison — two corpus-wide aggregations, no single-partition
+  *     window, the CCNet paper's own shape (it thresholds on quantiles of
+  *     a sample, not a global sort). Bucket POPULATIONS can deviate from
+  *     exact n/k by the sketch's rank error; bucket SEMANTICS (score
+  *     ordering) are preserved.
+  */
+object CcnetBuckets {
+
+  /** `(langCol, scoreCol, …) → + bucket` via per-language ntile.
+    * Ties broken by `tieCol` so the split is deterministic.
+    */
+  def exact(scored: DataFrame, langCol: String, scoreCol: String,
+            tieCol: String, nBuckets: Int = 3): DataFrame = {
+    val w = Window.partitionBy(langCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    scored.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
+  /** Scale path: per-language KLL thresholds (k=200 sketch ⇒ ~1% rank
+    * error), broadcast join, bucket = 1 + #thresholds the score is BELOW.
+    * Descending semantics match [[exact]]: bucket 1 holds the top scores.
+    */
+  def approx(scored: DataFrame, langCol: String, scoreCol: String,
+             nBuckets: Int = 3, sketchK: Int = 200): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets >= 2: $nBuckets")
+    graft.GraftFunctions.register(scored.sparkSession)
+    // descending buckets need the UPPER quantiles first: bucket b covers
+    // scores in ((n-b)/n quantile, (n-b+1)/n quantile]
+    val probs = array((1 until nBuckets).reverse
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val thresholds = scored.groupBy(langCol)
+      .agg(call_function("graft_kll_quantiles",
+        col(scoreCol).cast("double"), probs, lit(sketchK)).as("__th"))
+    scored.join(broadcast(thresholds), Seq(langCol))
+      .withColumn("bucket",
+        (lit(1) + aggregate(col("__th"), lit(0),
+          (acc: Column, t: Column) => acc + when(col(scoreCol) < t, 1).otherwise(0)))
+          .cast("int"))
+      .drop("__th")
+  }
+}
