@@ -1555,6 +1555,26 @@ object SparkEntry {
           round(sum(round(col("avg_logp") * 1e6, 0).cast("long")).cast("double")
             / 1e6, 6).as("sum_logp"))
         .orderBy("lang", "bucket_name")
+    }),
+
+    // --- hybrid retrieval, LINEAR fusion (q75's runs, the other standard
+    // combiner): per-query min-max normalized scores, 0.7·BM25 + 0.3·dense
+    // — score magnitudes matter, unlike RRF's ranks-only vote ---
+    "q95_hybrid_linear" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      val sparse = operators.Bm25
+        .topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 10)
+        .select(col("q_id"), col("doc_id").as("item"), col("score"))
+      val emb = t(s, dir, "embeddings")
+      val dense = operators.Knn
+        .bruteForce(emb.where(col("vec_id") % 97 === 0), emb, k = 10)
+        .select(col("q_id"), col("n_id").as("item"), col("sim").as("score"))
+      operators.Fuse.linear(Seq(sparse -> 0.7, dense -> 0.3),
+          "q_id", "item", "score", k = 10)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -2724,6 +2744,60 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  round(CAST(SUM(CAST(round(avg_logp * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 6) AS sum_logp
-        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket_name""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket_name""".stripMargin,
+
+    // q95: q75's two runs, linearly fused — per-query min-max normalize
+    // each run's top-10 (constant lists → 1.0), weight 0.7/0.3, 6-dp
+    // fixed-point fold; rounding order mirrors Fuse.linear exactly
+    "q95_hybrid_linear" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |sr AS (SELECT q_id, doc_id AS item, score, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, doc_id ASC) AS rank FROM pd),
+        |eq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |       FROM embeddings WHERE vec_id % 97 = 0),
+        |ec AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |       FROM embeddings),
+        |es AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM eq, ec WHERE q_id <> n_id),
+        |er AS (SELECT q_id, n_id AS item, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
+        |s10 AS (SELECT q_id, item, score AS s FROM sr WHERE rank <= 10),
+        |e10 AS (SELECT q_id, item, sim AS s FROM er WHERE rank <= 10),
+        |sn AS (SELECT q_id, item, round(0.7 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
+        |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM s10)),
+        |en AS (SELECT q_id, item, round(0.3 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
+        |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM e10)),
+        |runs AS (SELECT * FROM sn UNION ALL SELECT * FROM en),
+        |fs AS (SELECT q_id, item,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM runs GROUP BY q_id, item),
+        |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, item ASC) AS rank FROM fs)
+        |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   )
 }

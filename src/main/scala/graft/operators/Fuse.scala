@@ -44,6 +44,51 @@ object Fuse {
     val scored = tagged.groupBy("q", "item")
       .agg(round(sum(round(col("contrib") * 1e9, 0).cast("long"))
         .cast("double") / 1e9, 9).as("score"))
+    topKPerQuery(scored, qCol, idCol, k)
+  }
+
+  /** Weighted linear fusion over min-max-normalized scores — the other
+    * standard hybrid combiner (`alpha * dense + (1-alpha) * sparse`, as in
+    * dense-passage-retrieval hybrid baselines): each run's scores are
+    * normalized to [0, 1] PER QUERY over that run's own top-k rows
+    * (constant lists normalize to 1), scaled by the run's weight, and
+    * summed per (query, item). Items absent from a run contribute nothing
+    * for it. Unlike [[rrf]] this uses score MAGNITUDES, so a run with a
+    * decisive margin can outvote a run with a flat one.
+    *
+    * Same scale shape as [[rrf]]: inputs are queries × k rows, the
+    * per-(run, query) min/max window partitions hold ≤ k rows, and the
+    * per-item sum folds 6-decimal fixed-point longs (order-independent,
+    * engine-portable).
+    */
+  def linear(runs: Seq[(DataFrame, Double)], qCol: String, idCol: String,
+             scoreCol: String, k: Int): DataFrame = {
+    require(runs.nonEmpty, "linear fusion requires at least one run")
+    require(k > 0, s"k must be positive, got $k")
+    graft.GraftFunctions.register(runs.head._1.sparkSession)
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("q")
+    val tagged = runs.zipWithIndex.map { case ((r, w), i) =>
+      r.select(col(qCol).as("q"), col(idCol).as("item"),
+          col(scoreCol).cast("double").as("s"))
+        .withColumn("mn", min("s").over(wq))
+        .withColumn("mx", max("s").over(wq))
+        .select(col("q"), col("item"),
+          round(lit(w) * when(col("mx") === col("mn"), lit(1.0))
+            .otherwise(round((col("s") - col("mn")) / (col("mx") - col("mn")), 6)),
+            6).as("contrib"),
+          lit(i).as("run"))
+    }.reduce(_ unionByName _)
+    val scored = tagged.groupBy("q", "item")
+      .agg(round(sum(round(col("contrib") * 1e6, 0).cast("long"))
+        .cast("double") / 1e6, 6).as("score"))
+    topKPerQuery(scored, qCol, idCol, k)
+  }
+
+  /** `(q, item, score)` → top-`k` rows per query via the `graft_kmin`
+    * k-capped heap (never a per-query sort); ties break by ascending item.
+    */
+  private def topKPerQuery(scored: DataFrame, qCol: String, idCol: String,
+                           k: Int): DataFrame =
     scored.groupBy("q")
       .agg(call_function("graft_kmin",
         struct((-col("score")).as("o"), col("item"), col("score")),
@@ -51,5 +96,4 @@ object Fuse {
       .select(col("q"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("q").as(qCol), col("e.item").as(idCol),
         col("e.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
-  }
 }

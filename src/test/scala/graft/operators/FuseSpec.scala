@@ -53,4 +53,35 @@ class FuseSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect()
     assert(fused.map(_._2).toSeq == Seq(100L, 101L, 102L))
   }
+
+  test("linear fusion: min-max per query, weights, hand-computed sums") {
+    // run A scores 10/5/0 normalize to 1.0/0.5/0.0; run B 2/1 to 1.0/0.0
+    val a = Seq((1L, 100L, 10.0), (1L, 101L, 5.0), (1L, 102L, 0.0))
+      .toDF("q_id", "item", "score")
+    val b = Seq((1L, 101L, 2.0), (1L, 103L, 1.0)).toDF("q_id", "item", "score")
+    val got = Fuse.linear(Seq(a -> 0.7, b -> 0.3), "q_id", "item", "score", k = 10)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got(101L) === ((0.65, 2)), // 0.7*0.5 + 0.3*1.0
+      s"cross-run item: ${got(101L)}")
+    assert(got(100L) === ((0.7, 1)))
+    assert(got(103L)._1 === 0.0 || got(103L)._1 === 0.0) // worst of run B
+    assert(got(102L)._1 === 0.0)
+  }
+
+  test("linear fusion: constant score list normalizes to 1.0, not NaN") {
+    val a = Seq((1L, 100L, 3.0), (1L, 101L, 3.0)).toDF("q_id", "item", "score")
+    val got = Fuse.linear(Seq(a -> 1.0), "q_id", "item", "score", k = 10)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(got(100L) === 1.0 && got(101L) === 1.0)
+  }
+
+  test("linear fusion: a decisive margin outvotes a flat run — unlike RRF") {
+    // dense says 100 wins by a mile; sparse mildly prefers 101. RRF (ranks
+    // only) would tie them 1/61+1/62 each; linear fusion must not.
+    val dense = Seq((1L, 100L, 0.99), (1L, 101L, 0.10)).toDF("q_id", "item", "score")
+    val sparse = Seq((1L, 101L, 5.1), (1L, 100L, 5.0)).toDF("q_id", "item", "score")
+    val lin = Fuse.linear(Seq(sparse -> 0.5, dense -> 0.5), "q_id", "item", "score", k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lin.head._2 === 100L, "magnitude information must decide")
+  }
 }
