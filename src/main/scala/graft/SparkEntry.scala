@@ -1575,6 +1575,17 @@ object SparkEntry {
       operators.Fuse.linear(Seq(sparse -> 0.7, dense -> 0.3),
           "q_id", "item", "score", k = 10)
         .orderBy("q_id", "rank")
+    }),
+
+    // --- contamination report (q70's bench split, observable instead of
+    // silently removed): per-doc shared-shingle count and fraction, the
+    // input to threshold decisions like cleanByFraction ---
+    "q96_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 29 === 0)
+      val train = docs.where(col("doc_id") % 29 =!= 0)
+      operators.Decontaminate.report(train, bench, "doc_id", "text", shingleN = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -2798,6 +2809,25 @@ object SparkEntry {
         |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, item ASC) AS rank FROM fs)
         |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q96: distinct 4-gram sets per doc (q85's sh CTE), bench = every
+    // 29th doc; counts + 6-dp fraction, clean docs report 0 / 0.0
+    "q96_contamination_report" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_ov FROM sh JOIN bsh USING (s)
+        |       WHERE doc_id % 29 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(ov.n_ov, 0) AS BIGINT) AS n_overlap,
+        |  CASE WHEN COALESCE(sz.n, 0) > 0
+        |    THEN round(CAST(COALESCE(ov.n_ov, 0) AS DOUBLE) / sz.n, 6)
+        |    ELSE 0.0 END AS overlap_frac
+        |FROM documents d LEFT JOIN sz USING (doc_id) LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""".stripMargin
   )
 }

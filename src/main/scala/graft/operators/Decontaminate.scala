@@ -65,9 +65,49 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
-  /** `train` minus every document with at least one shingle in `bench`. */
+  /** `train` minus every document with at least one shingle in `bench` —
+    * the GPT-3-style hard rule. For long documents that merely QUOTE a
+    * benchmark item this over-removes; see [[cleanByFraction]].
+    */
   def clean(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 4): DataFrame =
     train.join(overlap(train, bench, idCol, textCol, shingleN).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Contamination REPORT: one row per training doc —
+    * `(idCol, n_shingles, n_overlap, overlap_frac)` — the observability
+    * companion to [[clean]]'s silent removal (what fraction of each doc is
+    * benchmark text, and how much would a given threshold remove).
+    *
+    * Scale: per-doc set sizes come from a NARROW projection (the native
+    * shingle set never explodes or shuffles for sizing); only the
+    * Bloom-pruned overlap counts — contaminated docs, typically a sliver —
+    * join back on the id. Docs under `shingleN` tokens have no shingles
+    * and report 0 / 0.0.
+    */
+  def report(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+             shingleN: Int = 4): DataFrame =
+    train.select(col(idCol),
+        size(shingleSetFast(col(textCol), shingleN)).cast("long").as("n_shingles"))
+      .join(overlap(train, bench, idCol, textCol, shingleN), Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+
+  /** Soft decontamination (the Llama-style variant of [[clean]]): drop a
+    * training doc only when MORE than `maxFrac` of its distinct shingles
+    * appear in the benchmark — a long doc quoting one eval item survives,
+    * a near-copy of the eval set does not.
+    */
+  def cleanByFraction(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, maxFrac: Double,
+                      shingleN: Int = 4): DataFrame = {
+    require(maxFrac >= 0 && maxFrac < 1, s"maxFrac in [0,1): $maxFrac")
+    train.join(
+      report(train, bench, idCol, textCol, shingleN)
+        .where(col("overlap_frac") > maxFrac).select(idCol),
+      Seq(idCol), "left_anti")
+  }
 }

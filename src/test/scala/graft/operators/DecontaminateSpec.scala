@@ -28,6 +28,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept === Set(11L, 13L))
   }
 
+  test("report: counts, fractions, and the no-shingle contract") {
+    val out = Decontaminate.report(train, bench, "doc_id", "text", shingleN = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 10: 3 distinct 4-grams, 1 shared; doc 12: 3, 2 shared
+    assert(out(10L) === ((3L, 1L, 0.333333)))
+    assert(out(12L) === ((3L, 2L, 0.666667)))
+    assert(out(11L) === ((2L, 0L, 0.0)), "clean doc reports zeros")
+    assert(out(13L) === ((0L, 0L, 0.0)), "short doc reports 0, not null/NaN")
+  }
+
+  test("cleanByFraction keeps quoting docs the hard rule would drop") {
+    // threshold 0.5: doc 10 (1/3 contaminated) survives, doc 12 (2/3) dies
+    val kept = Decontaminate
+      .cleanByFraction(train, bench, "doc_id", "text", maxFrac = 0.5, shingleN = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 11L, 13L))
+    // threshold 0 = the hard rule
+    val hard = Decontaminate
+      .cleanByFraction(train, bench, "doc_id", "text", maxFrac = 0.0, shingleN = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hard === Set(11L, 13L))
+  }
+
   test("matches the un-pruned semi join on real data") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
