@@ -258,3 +258,50 @@ object ScaleIdx {
     spark.stop()
   }
 }
+
+/** Round-11 probes: the CCNet bucketing pair (window-exact vs
+  * KLL-threshold) and the contamination report. The claim under test:
+  * `exact`'s per-language window concentrates each language into ONE task,
+  * so at a fixed language count its runtime is bound by the largest
+  * language; `approx` is two corpus-wide aggregations and must track the
+  * corpus linearly with flat parallelism. Report must track the training
+  * side (the bench side is fixed — eval suites don't grow with corpora).
+  */
+object ScaleCcnet {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    val d16 = (0 until 16).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        col("lang"), concat(col("text"), lit(s" replica$i")).as("text")))
+      .reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    time("warmup")(d16.count())
+    val lm = graft.quality.NgramLm.train(
+      d1.where(col("lang") === "en"), "doc_id", "text")
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      graft.quality.NgramLm.scoreAvgLogProb(d, "doc_id", "text", lm)
+        .join(d.select("doc_id", "lang"), "doc_id")
+    val s1 = scored(d1).cache(); s1.count()
+    val s16 = scored(d16).cache(); s16.count()
+    time("ccnet_exact_1x")(graft.quality.CcnetBuckets
+      .exact(s1, "lang", "avg_logp", "doc_id").count())
+    time("ccnet_exact_16x")(graft.quality.CcnetBuckets
+      .exact(s16, "lang", "avg_logp", "doc_id").count())
+    time("ccnet_approx_1x")(graft.quality.CcnetBuckets
+      .approx(s1, "lang", "avg_logp").count())
+    time("ccnet_approx_16x")(graft.quality.CcnetBuckets
+      .approx(s16, "lang", "avg_logp").count())
+    s1.unpersist(); s16.unpersist()
+    val bench = d1.where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
+    time("contam_report_1x")(operators.Decontaminate
+      .report(d1, bench, "doc_id", "text").count())
+    time("contam_report_16x")(operators.Decontaminate
+      .report(d16, bench, "doc_id", "text").count())
+    operators.Decontaminate.releaseCaches()
+    spark.stop()
+  }
+}
