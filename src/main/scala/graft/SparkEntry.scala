@@ -1586,6 +1586,21 @@ object SparkEntry {
       val train = docs.where(col("doc_id") % 29 =!= 0)
       operators.Decontaminate.report(train, bench, "doc_id", "text", shingleN = 4)
         .orderBy("doc_id")
+    }),
+
+    // --- source-mixing token quotas: target sources get a generous cap,
+    // everything else a tight one; admission in doc_id order via the
+    // range-sliced parallel running sum (never one task per source) ---
+    "q97_mix_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+      val budgets = docs.select("source").distinct()
+        .withColumn("budget",
+          when(col("source").isin("src0", "src1"), lit(3000L)).otherwise(lit(1000L)))
+      operators.Mix.capTokens(docs, "source", "doc_id", "n_tok", budgets)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -2828,6 +2843,23 @@ object SparkEntry {
         |    THEN round(CAST(COALESCE(ov.n_ov, 0) AS DOUBLE) / sz.n, 6)
         |    ELSE 0.0 END AS overlap_frac
         |FROM documents d LEFT JOIN sz USING (doc_id) LEFT JOIN ov USING (doc_id)
-        |WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""".stripMargin
+        |WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // q97: running token sum per source in doc_id order; a doc is kept
+    // iff its tokens START under the source's budget (Pack's window rule)
+    "q97_mix_quota" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |b AS (SELECT *, CASE WHEN source IN ('src0', 'src1')
+        |        THEN 3000 ELSE 1000 END AS budget FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM b WHERE cum - n_tok < budget
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source-mixing quotas: cap each stratum (source, language, domain) of a
+  * pretraining mix at a token budget — "web data at most N tokens, books
+  * uncapped" — by admitting the stratum's rows in `orderCol` order until
+  * the budget is reached. The admission rule matches [[Pack]]'s window
+  * semantics: a doc is kept iff its tokens START under budget, so a
+  * stratum can overrun by at most one document and admission is a pure
+  * per-row predicate on the running sum.
+  *
+  * Deterministic: same `orderCol` order → same kept set. Order by an id
+  * for take-first semantics, a quality score for best-first curation, or
+  * an md5 of the id for an unbiased random-looking quota.
+  *
+  * Scale shape: the running sum is [[Pack.runningTokens]] — range-sliced
+  * parallel prefix sums, never one unsplittable task per stratum; the
+  * budget table is strata-sized and broadcasts.
+  */
+object Mix {
+
+  /** Keep each stratum's prefix (by `orderCol`) whose running `weightCol`
+    * stays under that stratum's budget. `budgets` is `(strataCol, budget)`
+    * — strata absent from it are kept in full (no quota).
+    */
+  def capTokens(df: DataFrame, strataCol: String, orderCol: String,
+                weightCol: String, budgets: DataFrame,
+                subStrata: Int = 32): DataFrame = {
+    val b = budgets.select(col(strataCol),
+      col("budget").cast("long").as("__budget"))
+    Pack.runningTokens(df, strataCol, orderCol, weightCol, subStrata)
+      .join(broadcast(b), Seq(strataCol), "left")
+      .where(col("__budget").isNull ||
+        col("cum") - col(weightCol).cast("long") < col("__budget"))
+      .drop("cum", "__budget")
+  }
+}

@@ -30,15 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
-  /** Rows of `df` with two added columns: `cum` (running weight sum within
-    * `strataCol`, ordered by `orderCol`) and `win` (`(cum - weight) div
-    * budget` — the packing window id). `orderCol` must be numeric-orderable
-    * and unique within a stratum (a row id); `weightCol` is cast to long.
+  /** Rows of `df` plus `cum`: the running weight sum within `strataCol`
+    * ordered by `orderCol`, computed with the range-sliced parallel
+    * formulation above (never one task per stratum). `orderCol` must be
+    * numeric-orderable and unique within a stratum; `weightCol` is cast to
+    * long. Shared backbone of [[tokenWindows]] and
+    * [[Mix.capTokens]]-style quota operators.
     */
-  def tokenWindows(df: DataFrame, strataCol: String, orderCol: String,
-                   weightCol: String, budget: Long,
-                   subStrata: Int = 32): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
+  def runningTokens(df: DataFrame, strataCol: String, orderCol: String,
+                    weightCol: String, subStrata: Int = 32): DataFrame = {
     require(subStrata >= 1, s"subStrata must be >= 1, got $subStrata")
     val w = col(weightCol).cast("long")
     val withSub = assignSlices(df, strataCol, orderCol, subStrata)
@@ -55,9 +55,21 @@ object Pack {
       .select(col(strataCol), col("__sub"), col("__offset"))
     local.join(broadcast(offsets), Seq(strataCol, "__sub"))
       .withColumn("cum", col("__local_cum") + col("__offset"))
+      .drop("__sub", "__local_cum", "__offset")
+  }
+
+  /** Rows of `df` with two added columns: `cum` (running weight sum within
+    * `strataCol`, ordered by `orderCol`) and `win` (`(cum - weight) div
+    * budget` — the packing window id). `orderCol` must be numeric-orderable
+    * and unique within a stratum (a row id); `weightCol` is cast to long.
+    */
+  def tokenWindows(df: DataFrame, strataCol: String, orderCol: String,
+                   weightCol: String, budget: Long,
+                   subStrata: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    runningTokens(df, strataCol, orderCol, weightCol, subStrata)
       .withColumn("win",
         expr(s"(cum - CAST(`$weightCol` AS BIGINT)) DIV CAST($budget AS BIGINT)"))
-      .drop("__sub", "__local_cum", "__offset")
   }
 
   /** `df` plus `__sub`: an order-preserving slice id in `[0, subStrata)` —

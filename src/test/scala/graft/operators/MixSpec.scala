@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two sources: 'web' docs of 100 tokens each, 'books' of 300 each
+  private def corpus = ((0 until 50).map(i => (i.toLong, "web", 100L)) ++
+    (0 until 10).map(i => (1000L + i, "books", 300L)))
+    .toDF("doc_id", "source", "n_tok").repartition(4)
+
+  test("capTokens keeps each source's prefix under its budget; starts-under rule") {
+    val budgets = Seq(("web", 1050L), ("books", 600L)).toDF("source", "budget")
+    val kept = Mix.capTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    // web: docs start at cum-100 = 0,100,...  doc 10 starts at 1000 < 1050
+    // → kept (overrun by one doc); doc 11 starts at 1100 → dropped
+    assert(kept.count(_ < 1000L) === 11)
+    assert(kept.filter(_ < 1000L) === (0L until 11L).toSet, "doc_id order admission")
+    // books: doc 1000 starts 0, 1001 starts 300 < 600, 1002 starts 600 → out
+    assert(kept.filter(_ >= 1000L) === Set(1000L, 1001L))
+  }
+
+  test("strata absent from the budget table are kept in full") {
+    val budgets = Seq(("web", 500L)).toDF("source", "budget")
+    val kept = Mix.capTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.count(_ >= 1000L) === 10, "uncapped books all kept")
+    assert(kept.count(_ < 1000L) === 5)
+  }
+
+  test("sliced running sum agrees with the single-window formulation") {
+    val budgets = Seq(("web", 1050L), ("books", 600L)).toDF("source", "budget")
+    for (sub <- Seq(1, 8)) {
+      val got = Mix.capTokens(corpus, "source", "doc_id", "n_tok", budgets,
+          subStrata = sub)
+        .select("doc_id").as[Long].collect().toSet
+      val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = corpus.withColumn("cum", sum("n_tok").over(w))
+        .join(budgets, Seq("source"))
+        .where(col("cum") - col("n_tok") < col("budget"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === ref, s"subStrata=$sub")
+    }
+  }
+}
