@@ -1601,6 +1601,18 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("source")
+    }),
+
+    // --- round-robin source interleave for training order: pos = rank
+    // within source, epoch order = (pos, source) — source-balanced batches
+    // without globally shuffling the corpus. Rank via the range-sliced
+    // parallel row numbering (runningTokens with unit weight) ---
+    "q98_interleave" -> ((s, dir) => {
+      operators.Mix.interleave(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("pos"))
+        .orderBy("pos", "source", "doc_id")
     })
   )
 
@@ -2860,6 +2872,12 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM b WHERE cum - n_tok < budget
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q98: rank within source in doc_id order; epoch order (pos, source)
+    "q98_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pos
+        |FROM documents ORDER BY pos, source, doc_id""".stripMargin
   )
 }

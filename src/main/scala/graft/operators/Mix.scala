@@ -36,4 +36,19 @@ object Mix {
         col("cum") - col(weightCol).cast("long") < col("__budget"))
       .drop("cum", "__budget")
   }
+
+  /** Deterministic round-robin interleave across strata for training
+    * order: adds `pos` = this row's 1-based rank within its stratum (by
+    * `orderCol`); sorting the output by `(pos, strataCol)` yields an epoch
+    * where every stratum appears once per cycle — source-balanced batches
+    * without a global shuffle of the corpus. The rank is
+    * [[Pack.runningTokens]] with unit weight, i.e. range-sliced parallel
+    * row numbering — never one unsplittable sort task per stratum.
+    */
+  def interleave(df: DataFrame, strataCol: String, orderCol: String,
+                 subStrata: Int = 32): DataFrame =
+    Pack.runningTokens(
+        df.withColumn("__one", lit(1L)), strataCol, orderCol, "__one", subStrata)
+      .withColumnRenamed("cum", "pos")
+      .drop("__one")
 }

@@ -32,6 +32,22 @@ class MixSpec extends SparkSpec {
     assert(kept.count(_ < 1000L) === 5)
   }
 
+  test("interleave: per-stratum ranks; (pos, source) order cycles the sources") {
+    for (sub <- Seq(1, 8)) {
+      val out = Mix.interleave(corpus, "source", "doc_id", subStrata = sub)
+        .select("doc_id", "source", "pos")
+        .as[(Long, String, Long)].collect()
+      val byDoc = out.map(r => r._1 -> r._3).toMap
+      // ranks are 1..n within each source, in doc_id order
+      for (i <- 0 until 50) assert(byDoc(i.toLong) === i + 1L, s"web doc $i sub=$sub")
+      for (i <- 0 until 10) assert(byDoc(1000L + i) === i + 1L, s"book doc $i sub=$sub")
+      // epoch order: while both strata last, each cycle holds one of each
+      val epoch = out.sortBy(r => (r._3, r._2)).take(20).map(_._2)
+      assert(epoch.grouped(2).forall(_.toSet === Set("web", "books")),
+        s"first 10 cycles must alternate sources, got ${epoch.mkString(",")}")
+    }
+  }
+
   test("sliced running sum agrees with the single-window formulation") {
     val budgets = Seq(("web", 1050L), ("books", 600L)).toDF("source", "budget")
     for (sub <- Seq(1, 8)) {
