@@ -1613,6 +1613,26 @@ object SparkEntry {
           "source", "doc_id")
         .select(col("doc_id"), col("source"), col("pos"))
         .orderBy("pos", "source", "doc_id")
+    }),
+
+    // --- filtered vector search against a PERSISTED payload-carrying
+    // index: the label predicate lands in the probed-cell parquet scan.
+    // Exhaustive probe (nProbe = nCells) makes the answer exact, so the
+    // gate is hash-exact — the pruned-probe path and its scan pruning are
+    // covered by IvfSpec + q84 ---
+    "q99_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")))
+        Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
+          payload = Seq("label")), path)
+      val idx = Ivf.open(s, path)
+      Ivf.query(idx, emb.where(col("vec_id") < 8), k = 5, nProbe = 16,
+          filter = Some(col("label") < 3))
+        .select("q_id", "n_id", "rank", "sim")
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -2878,6 +2898,20 @@ object SparkEntry {
     "q98_interleave" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pos
-        |FROM documents ORDER BY pos, source, doc_id""".stripMargin
+        |FROM documents ORDER BY pos, source, doc_id""".stripMargin,
+
+    // q99: q25's exact cosine top-k restricted to the label predicate —
+    // the exhaustive-probe indexed query must reproduce it bit-for-bit
+    "q99_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings WHERE label < 3),
+        |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
+        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin
   )
 }

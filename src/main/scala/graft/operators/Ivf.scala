@@ -73,14 +73,15 @@ object Ivf {
     * base build — reusing it would overwrite base partitions).
     */
   def append(df: DataFrame, path: String, batchId: Long,
-             id: String = "vec_id", vec: String = "embedding"): Unit = {
+             id: String = "vec_id", vec: String = "embedding",
+             payload: Seq[String] = Nil): Unit = {
     require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    df.select(col(id).as("id"), col(vec).as("emb"))
+    df.select(col(id).as("id") +: col(vec).as("emb") +: payload.map(col): _*)
       .withColumn("cell", assignCell(col("emb"), centers))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
@@ -176,9 +177,13 @@ object Ivf {
     */
   def build(corpus: DataFrame, nCells: Int, id: String = "vec_id",
             vec: String = "embedding", trainSample: Int = 100000,
-            seed: Long = 42L): Index = {
+            seed: Long = 42L, payload: Seq[String] = Nil): Index = {
     val spark = corpus.sparkSession
-    val withVec = corpus.select(col(id).as("id"), col(vec).as("emb"))
+    // payload columns (labels, source tags, timestamps…) ride along into
+    // the persisted cells, so filtered queries can push predicates into
+    // the probed-cell parquet scan — the filtered-vector-search pattern
+    val withVec = corpus.select(
+      col(id).as("id") +: col(vec).as("emb") +: payload.map(col): _*)
     val sample = boundedSample(
         withVec.select(transform(col("emb"), _.cast("double")).as("v")),
         trainSample, seed)
@@ -228,17 +233,27 @@ object Ivf {
     * candidate set. Ordering matches
     * `row_number() over (order by sim desc, n_id asc)`.
     */
+  /** `filter`: optional predicate over the index's payload columns (see
+    * [[build]]'s `payload`) applied to candidates BEFORE scoring — filtered
+    * vector search. Composes with cell pruning: the predicate lands in the
+    * probed-cell parquet scan (PushedFilters), so a selective filter cuts
+    * I/O, not just compute. Top-k is over the SURVIVORS, the standard
+    * post-filter semantics (a very selective filter may return < k rows —
+    * raise nProbe when filtered recall matters).
+    */
   def query(index: Index, queries: DataFrame, k: Int, nProbe: Int,
             qId: String = "vec_id", qVec: String = "embedding",
-            excludeSelf: Boolean = true, pruneCells: Boolean = true): DataFrame = {
+            excludeSelf: Boolean = true, pruneCells: Boolean = true,
+            filter: Option[Column] = None): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
     val probes = probeCells(index, q, nProbe)
-    val corpus =
+    val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable
         val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
         index.assigned.where(col("cell").isin(cells.map(Integer.valueOf): _*))
       } else index.assigned
+    val corpus = filter.map(pruned.where).getOrElse(pruned)
     val cand = probes.join(corpus, "cell")
       .where(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
     val scored = cand.select(col("q_id"), col("id").as("n_id"),

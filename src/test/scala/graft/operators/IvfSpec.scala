@@ -100,6 +100,37 @@ class IvfSpec extends SparkSpec {
       "probed-cell isin should be a partition filter at the scan")
   }
 
+  test("payload columns persist through write/open; filtered query = filtered brute force") {
+    import org.apache.spark.sql.functions._
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5))
+      a(axis) = 1.0f + 0.01f * i
+      a
+    }
+    val rows = for (axis <- Seq(0, 3, 6); i <- 0 until 30)
+      yield ((axis * 100 + i).toLong, v(axis, i), i % 2)
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("ivf_payload").toString
+    Ivf.write(Ivf.build(corpus, nCells = 3, payload = Seq("label")), dir)
+    val idx = Ivf.open(spark, dir)
+    assert(idx.assigned.columns.contains("label"), "payload survives the store")
+
+    val queries = corpus.where("vec_id IN (0, 305, 610)")
+    // exhaustive probe: filtered result must equal brute force over the
+    // label-filtered corpus exactly
+    val got = Ivf.query(idx, queries, k = 5, nProbe = 3,
+        filter = Some(col("label") === 1))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val want = Knn.bruteForce(queries, corpus.where(col("label") === 1), k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // every returned neighbor satisfies the predicate (pruned-probe path)
+    val pruned = Ivf.query(idx, queries, k = 5, nProbe = 1,
+        filter = Some(col("label") === 1))
+      .join(idx.assigned.select(col("id").as("n_id"), col("label")), "n_id")
+    assert(pruned.where(col("label") =!= 1).count() === 0)
+  }
+
   test("query shuffles k-capped heaps, not scored candidates") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
