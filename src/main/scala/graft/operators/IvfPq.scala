@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ — the canonical billion-scale ANN read path (Jégou et al., TPAMI
@@ -29,9 +29,10 @@ object IvfPq {
     */
   def build(corpus: DataFrame, nCells: Int, m: Int = 8, kc: Int = 16,
             id: String = "vec_id", vec: String = "embedding", dim: Int = 64,
-            trainSample: Int = 100000, seed: Long = 42L): Index = {
+            trainSample: Int = 100000, seed: Long = 42L,
+            payload: Seq[String] = Nil): Index = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val ivf = Ivf.build(corpus, nCells, id, vec, trainSample, seed)
+    val ivf = Ivf.build(corpus, nCells, id, vec, trainSample, seed, payload)
     val cb = Pq.train(corpus, m, kc, vec, dim, trainSample, seed)
     val coded = ivf.assigned.withColumn("codes",
       Pq.encodeExpr(normalizeFast(col("emb")), cb))
@@ -88,7 +89,8 @@ object IvfPq {
     * partition set). Distinct batches need distinct ids > 0.
     */
   def append(df: DataFrame, path: String, batchId: Long,
-             id: String = "vec_id", vec: String = "embedding"): Unit = {
+             id: String = "vec_id", vec: String = "embedding",
+             payload: Seq[String] = Nil): Unit = {
     require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
     graft.GraftFunctions.register(spark)
@@ -97,7 +99,7 @@ object IvfPq {
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    df.select(col(id).as("id"), col(vec).as("emb"))
+    df.select(col(id).as("id") +: col(vec).as("emb") +: payload.map(col): _*)
       .withColumn("cell", Ivf.assignCell(col("emb"), centers))
       .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
       .withColumn("batch_id", lit(batchId))
@@ -120,22 +122,27 @@ object IvfPq {
   /** Top-k per query: probe → ADC within probed cells → exact rerank.
     * Output `(q_id, n_id, sim, rank)`. `pruneCells` pushes the probed cell
     * set as a static filter (directory pruning on a persisted index).
+    * `filter`: optional predicate over payload columns (see [[build]]) —
+    * applied before the ADC scan, so the predicate pushes into the
+    * probed-cell parquet read; post-filter top-k semantics as
+    * [[Ivf.query]].
     */
   def query(index: Index, queries: DataFrame, k: Int, nProbe: Int,
             qId: String = "vec_id", qVec: String = "embedding",
             excludeSelf: Boolean = true, shortlist: Int = 50,
-            pruneCells: Boolean = true): DataFrame = {
+            pruneCells: Boolean = true, filter: Option[Column] = None): DataFrame = {
     graft.GraftFunctions.register(index.coded.sparkSession)
     val q = queries.select(col(qId).as("q_id"),
       normalizeFast(col(qVec)).as("q_emb"))
     val probes = Ivf.probeCells(index.ivf, q, nProbe)
       .withColumn("tbl", Pq.adcTable(col("q_emb"), index.cb))
-    val corpus =
+    val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable
         val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
         index.coded.where(col("cell").isin(cells.map(Integer.valueOf): _*))
       } else index.coded
+    val corpus = filter.map(pruned.where).getOrElse(pruned)
     // candidates: only probed cells' rows, only their code column does work
     val scored = corpus.select(col("id"), col("cell"), col("codes"))
       .join(probes, Seq("cell"))

@@ -30,6 +30,28 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("payload filter: persisted coded store answers filtered brute force") {
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 2).cast("int"))
+    val dir = Files.createTempDirectory("ivfpq_payload").toString
+    IvfPq.write(IvfPq.build(labeled, nCells = 4, m = 8, kc = 16,
+      trainSample = 200, payload = Seq("label")), dir)
+    val idx = IvfPq.open(spark, dir)
+    assert(idx.coded.columns.contains("label"), "payload survives the store")
+    val probes = labeled.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    // exhaustive probe + full shortlist ⇒ exact over the filtered corpus
+    val got = IvfPq.query(idx, probes, k = 5, nProbe = 4, shortlist = 100,
+        filter = Some(col("label") === 0))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(probes,
+        labeled.where(col("label") === 0), k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"filtered recall $recall")
+    assert(got.forall { case (_, n) => n % 2 == 0 },
+      "every neighbor satisfies the predicate")
+  }
+
   test("compactTo rewrites the coded store; query answers unchanged") {
     val tmp = Files.createTempDirectory("graft_ivfpqcmp_").toString
     val base = corpus.where(col("vec_id") % 100 < 20)
