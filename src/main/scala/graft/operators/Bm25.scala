@@ -237,9 +237,19 @@ object Bm25 {
     * static partition filter first: the parquet file listing touches only
     * the query's own term directories.
     */
+  /** `allowedDocs`: optional one-column frame of admissible doc ids —
+    * filtered lexical retrieval (retrieve-within-language, post-dedup
+    * subsets, ACL slices). Document frequencies and corpus stats stay
+    * STORE-GLOBAL (the Lucene/Elasticsearch convention: a filter restricts
+    * candidates, it does not re-weight IDF), so a doc's score is identical
+    * with or without the filter and ranks are dense over the survivors.
+    * The semi join runs on the term-pruned postings — filter cost tracks
+    * the query's postings slice, not the store.
+    */
   def topKIndexed(index: Index, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int, k1: Double = 1.2,
-                  b: Double = 0.75): DataFrame = {
+                  b: Double = 0.75,
+                  allowedDocs: Option[DataFrame] = None): DataFrame = {
     graft.GraftFunctions.register(index.postings.sparkSession)
     val qTerms = localQueryTerms(queries, qIdCol, qTextCol)
     val qDistinct = qTerms.select("term").distinct()
@@ -256,7 +266,11 @@ object Bm25 {
     val pruned = store.join(broadcast(qDistinct), Seq("term"))
     val withDf = pruned.join(
       pruned.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
-    score(withDf, index.stats, qTerms, k, k1, b)
+    val candidates = allowedDocs.map { a =>
+      withDf.join(a.select(col(a.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }.getOrElse(withDf)
+    score(candidates, index.stats, qTerms, k, k1, b)
   }
 
   /** `(q_id, term)` rows MATERIALIZED to a local relation: the query table

@@ -255,6 +255,23 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.tokenCacheCount === 0)
   }
 
+  test("allowedDocs filter: global IDF, dense ranks over survivors only") {
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val qs = Seq((1L, "brown plain")).toDF("q_id", "q_text")
+    val full = Bm25.topKIndexed(idx, qs, "q_id", "q_text", k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val allowed = Seq(2L, 3L, 5L).toDF("doc_id")
+    val filtered = Bm25.topKIndexed(idx, qs, "q_id", "q_text", k = 5,
+        allowedDocs = Some(allowed))
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+    assert(filtered.map(_._1).toSet.subsetOf(Set(2L, 3L, 5L)),
+      "only allowed docs may return")
+    // scores identical to the unfiltered run (IDF stays store-global)
+    filtered.foreach { case (d, s, _) => assert(s === full(d), s"doc $d") }
+    // ranks dense 1..n over the survivors
+    assert(filtered.map(_._3).sorted.toSeq === (1 to filtered.length).toSeq)
+  }
+
   test("corpus tokens are pruned by broadcast BEFORE any shuffle") {
     val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
     val plan = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
