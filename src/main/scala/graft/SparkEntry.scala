@@ -1633,6 +1633,43 @@ object SparkEntry {
           filter = Some(col("label") < 3))
         .select("q_id", "n_id", "rank", "sim")
         .orderBy("q_id", "rank")
+    }),
+
+    // --- filtered HYBRID retrieval (the RAG ACL/language-slice pattern):
+    // both persisted indexes queried under the same even-id predicate —
+    // BM25 semi-joined on term-pruned postings with store-global IDF, IVF
+    // predicate pushed into the probed-cell scan — then linearly fused.
+    // Exhaustive probe keeps the dense side exact, so the gate is
+    // hash-exact end to end. Reuses q86's and q99's cached stores ---
+    "q100_filtered_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bmPath = cachedIndexDir(s, dir, "documents", "bm25")
+      val fs = new org.apache.hadoop.fs.Path(bmPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$bmPath/stats/_SUCCESS")))
+        operators.Bm25.write(
+          operators.Bm25.buildIndex(docs, "doc_id", "text"), bmPath)
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("q_text"))
+      val sparse = operators.Bm25.topKIndexed(operators.Bm25.open(s, bmPath),
+          qs, "q_id", "q_text", k = 10,
+          allowedDocs = Some(docs.where(col("doc_id") % 2 === 0).select("doc_id")))
+        .select(col("q_id"), col("doc_id").as("item"), col("score"))
+      val emb = t(s, dir, "embeddings")
+      val ivfPath = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
+      val ifs = new org.apache.hadoop.fs.Path(ivfPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!ifs.exists(new org.apache.hadoop.fs.Path(s"$ivfPath/cells/_SUCCESS")))
+        Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
+          payload = Seq("label")), ivfPath)
+      val dense = Ivf.query(Ivf.open(s, ivfPath),
+          emb.where(col("vec_id") % 97 === 0), k = 10, nProbe = 16,
+          filter = Some(col("id") % 2 === 0))
+        .select(col("q_id"), col("n_id").as("item"), col("sim").as("score"))
+      operators.Fuse.linear(Seq(sparse -> 0.7, dense -> 0.3),
+          "q_id", "item", "score", k = 10)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -2912,6 +2949,61 @@ object SparkEntry {
         |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q100: q95's fusion with the even-id filter on both runs — BM25
+    // scores keep store-global IDF (filter restricts candidates AFTER
+    // pd), dense side filters the corpus; ranks dense over survivors
+    "q100_filtered_hybrid" ->
+      """WITH q AS (SELECT doc_id AS q_id,
+        |    array_to_string(list_slice(regexp_extract_all(lower(text), '\S+'), 1, 8), ' ') AS q_text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qt AS (SELECT DISTINCT q_id, term FROM
+        |        (SELECT q_id, unnest(regexp_extract_all(lower(q_text), '\S+')) AS term FROM q)),
+        |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |dls AS (SELECT doc_id, len(ts) AS dl, ts FROM tok WHERE len(ts) > 0),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |toks AS (SELECT doc_id, dl, unnest(ts) AS term FROM dls),
+        |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM toks
+        |      WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT p.term, p.doc_id,
+        |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS contrib
+        |  FROM p JOIN dft USING (term) CROSS JOIN stats),
+        |pd AS (SELECT q_id, doc_id,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM c JOIN qt USING (term) GROUP BY q_id, doc_id),
+        |sr AS (SELECT q_id, doc_id AS item, score, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, doc_id ASC) AS rank
+        |       FROM pd WHERE doc_id % 2 = 0),
+        |eq AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |       FROM embeddings WHERE vec_id % 97 = 0),
+        |ec AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |       FROM embeddings WHERE vec_id % 2 = 0),
+        |es AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM eq, ec WHERE q_id <> n_id),
+        |er AS (SELECT q_id, n_id AS item, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
+        |s10 AS (SELECT q_id, item, score AS s FROM sr WHERE rank <= 10),
+        |e10 AS (SELECT q_id, item, sim AS s FROM er WHERE rank <= 10),
+        |sn AS (SELECT q_id, item, round(0.7 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
+        |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM s10)),
+        |en AS (SELECT q_id, item, round(0.3 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
+        |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM e10)),
+        |runs AS (SELECT * FROM sn UNION ALL SELECT * FROM en),
+        |fs AS (SELECT q_id, item,
+        |    round(CAST(SUM(CAST(round(contrib * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS score
+        |  FROM runs GROUP BY q_id, item),
+        |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score DESC, item ASC) AS rank FROM fs)
+        |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   )
 }
