@@ -1670,6 +1670,26 @@ object SparkEntry {
       operators.Fuse.linear(Seq(sparse -> 0.7, dense -> 0.3),
           "q_id", "item", "score", k = 10)
         .orderBy("q_id", "rank")
+    }),
+
+    // --- ensemble quality selection (the FineWeb-style multi-signal
+    // filter): percentile-normalize three heuristics so their units
+    // don't matter, blend, take the top 100. Weights 0.5/0.25/0.25 sum
+    // to an exact double; Ensemble.approxBlend is the no-global-sort
+    // 100 TB path ---
+    "q101_quality_ensemble" -> ((s, dir) => {
+      val txt = col("text")
+      val sig = t(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(txt).as("quality"),
+        tokenCount(txt).cast("double").as("n_tokens"),
+        (-round(punctRatio(txt), 6)).as("neg_punct"))
+      quality.Ensemble.percentileBlend(sig,
+          Seq("quality" -> 0.5, "n_tokens" -> 0.25, "neg_punct" -> 0.25),
+          tieCol = "doc_id")
+        .select("doc_id", "blended")
+        .orderBy(col("blended").desc, col("doc_id").asc)
+        .limit(100)
     })
   )
 
@@ -3004,6 +3024,31 @@ object SparkEntry {
         |fr AS (SELECT q_id, item, score, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score DESC, item ASC) AS rank FROM fs)
         |SELECT q_id, item, score, CAST(rank AS INT) AS rank FROM fr
-        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q101: q20's signal arithmetic, percent_rank over fully tie-broken
+    // orders (identical row numbers ⇒ identical (rn-1)/(n-1) doubles on
+    // both engines), weighted mean with the same association order
+    "q101_quality_ensemble" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS sw,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS dig
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |          least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4 +
+        |          (1.0 - least(punct * 4.0 + dig * 2.0, 1.0)) * 0.2, 6) AS quality,
+        |    n_tok AS n_tokens, -round(punct, 6) AS neg_punct
+        |  FROM m),
+        |pr AS (SELECT doc_id,
+        |    percent_rank() OVER (ORDER BY quality ASC, doc_id ASC) AS p1,
+        |    percent_rank() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS p2,
+        |    percent_rank() OVER (ORDER BY neg_punct ASC, doc_id ASC) AS p3
+        |  FROM sig)
+        |SELECT doc_id, round((p1 * 0.5 + p2 * 0.25 + p3 * 0.25) / 1.0, 6) AS blended
+        |FROM pr ORDER BY blended DESC, doc_id ASC LIMIT 100""".stripMargin
   )
 }
