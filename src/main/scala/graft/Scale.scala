@@ -215,6 +215,7 @@ object ScaleQual {
       .scoreAvgLogProb(d1, "doc_id", "text", lm).count())
     time("lm_score_16x")(graft.quality.NgramLm
       .scoreAvgLogProb(d16, "doc_id", "text", lm).count())
+    graft.quality.NgramLm.releaseCaches()
     // PCA: fit is one pass over its own input; project is narrow
     val e1 = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
     val e8 = (0 until 8).map(i => e1.select(
@@ -287,15 +288,19 @@ object ScaleCcnet {
         .join(d.select("doc_id", "lang"), "doc_id")
     val s1 = scored(d1).cache(); s1.count()
     val s16 = scored(d16).cache(); s16.count()
+    // deliberate measurement of the exact path at 16x — lift the loud
+    // partition-cap guard for it
     time("ccnet_exact_1x")(graft.quality.CcnetBuckets
-      .exact(s1, "lang", "avg_logp", "doc_id").count())
+      .exact(s1, "lang", "avg_logp", "doc_id", maxParts = Int.MaxValue).count())
     time("ccnet_exact_16x")(graft.quality.CcnetBuckets
-      .exact(s16, "lang", "avg_logp", "doc_id").count())
+      .exact(s16, "lang", "avg_logp", "doc_id", maxParts = Int.MaxValue).count())
     time("ccnet_approx_1x")(graft.quality.CcnetBuckets
       .approx(s1, "lang", "avg_logp").count())
     time("ccnet_approx_16x")(graft.quality.CcnetBuckets
       .approx(s16, "lang", "avg_logp").count())
     s1.unpersist(); s16.unpersist()
+    // the scored caches above are the last readers of the LM's counted table
+    graft.quality.NgramLm.releaseCaches()
     val bench = d1.where(col("doc_id") % 50 === 0).select(col("doc_id"), col("text"))
     time("contam_report_1x")(operators.Decontaminate
       .report(d1, bench, "doc_id", "text").count())

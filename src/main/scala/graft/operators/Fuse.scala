@@ -50,8 +50,11 @@ object Fuse {
   /** Weighted linear fusion over min-max-normalized scores — the other
     * standard hybrid combiner (`alpha * dense + (1-alpha) * sparse`, as in
     * dense-passage-retrieval hybrid baselines): each run's scores are
-    * normalized to [0, 1] PER QUERY over that run's own top-k rows
-    * (constant lists normalize to 1), scaled by the run's weight, and
+    * normalized to [0, 1] PER QUERY over that run's own top-k rows — a run
+    * handed in with MORE than k rows per query is truncated to its top-k
+    * (score desc, item asc) first, so the normalization range always
+    * matches the documented contract — (constant lists normalize to 1),
+    * scaled by the run's weight, and
     * summed per (query, item). Items absent from a run contribute nothing
     * for it. Unlike [[rrf]] this uses score MAGNITUDES, so a run with a
     * decisive margin can outvote a run with a flat one.
@@ -68,8 +71,20 @@ object Fuse {
     graft.GraftFunctions.register(runs.head._1.sparkSession)
     val wq = org.apache.spark.sql.expressions.Window.partitionBy("q")
     val tagged = runs.zipWithIndex.map { case ((r, w), i) =>
-      r.select(col(qCol).as("q"), col(idCol).as("item"),
-          col(scoreCol).cast("double").as("s"))
+      val raw = r.select(col(qCol).as("q"), col(idCol).as("item"),
+        col(scoreCol).cast("double").as("s"))
+      // enforce the documented per-query top-k contract: a run handed in
+      // with more than k rows per query is truncated (score desc, item asc)
+      // BEFORE min/max normalization — otherwise the tail rows would widen
+      // the normalization range and diverge from the rank<=k oracle shape.
+      // kmin heap, not a sort; inputs are queries x list rows, so the extra
+      // shuffle carries k-capped heaps only
+      val topk = raw.groupBy("q")
+        .agg(call_function("graft_kmin",
+          struct((-col("s")).as("o"), col("item"), col("s")), lit(k)).as("tk"))
+        .select(col("q"), explode(col("tk")).as("e"))
+        .select(col("q"), col("e.item").as("item"), col("e.s").as("s"))
+      topk
         .withColumn("mn", min("s").over(wq))
         .withColumn("mx", max("s").over(wq))
         .select(col("q"), col("item"),

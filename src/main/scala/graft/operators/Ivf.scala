@@ -77,17 +77,52 @@ object Ivf {
              payload: Seq[String] = Nil): Unit = {
     require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
+    // the STORE defines the payload schema: cells are read without
+    // mergeSchema, so a batch appended with fewer payload columns would
+    // surface those rows with null payload — and a later filtered query
+    // would silently drop every one of them. Default (Nil) auto-carries the
+    // stored payload set; an explicit mismatch fails loudly.
+    val pay = resolvePayload(spark, path, payload, df.columns.toSet,
+      reserved = Set("id", "emb", "cell", "batch_id"))
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    df.select(col(id).as("id") +: col(vec).as("emb") +: payload.map(col): _*)
+    df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", assignCell(col("emb"), centers))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id").parquet(s"$path/cells")
+  }
+
+  /** The payload columns a persisted cells store carries (everything beyond
+    * the fixed layout columns), reconciled against an append's `payload`
+    * argument: empty means carry the stored set; non-empty must MATCH it
+    * (the store's schema is the contract — parquet cells are read without
+    * mergeSchema, so a narrower append would surface null payloads and a
+    * wider one would be silently dropped on read). Also verifies the
+    * appended frame actually has the columns, so the failure names the
+    * store instead of surfacing as a generic unresolved-column error.
+    */
+  private[operators] def resolvePayload(spark: SparkSession, path: String,
+      payload: Seq[String], dfCols: Set[String],
+      reserved: Set[String]): Seq[String] = {
+    val stored = spark.read.parquet(s"$path/cells").schema.fieldNames
+      .filterNot(reserved).toSeq
+    val pay = if (payload.isEmpty) stored else payload
+    require(pay.toSet == stored.toSet,
+      s"append payload ${pay.sorted.mkString("[", ",", "]")} does not match " +
+      s"the store's payload columns ${stored.sorted.mkString("[", ",", "]")} " +
+      s"at $path/cells — appended rows would read back with null payload " +
+      "and silently vanish from filtered queries; pass the stored payload " +
+      "set (or Nil to auto-carry it)")
+    val missing = stored.filterNot(dfCols)
+    require(missing.isEmpty,
+      s"appended batch lacks the store's payload column(s) " +
+      s"${missing.sorted.mkString("[", ",", "]")} required by $path/cells")
+    pay
   }
 
   /** Rewrite a persisted index into a fresh fully-compacted store at

@@ -94,12 +94,16 @@ object IvfPq {
     require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
     val spark = df.sparkSession
     graft.GraftFunctions.register(spark)
+    // store-defined payload contract, as [[Ivf.append]] — a narrower append
+    // would read back with null payloads and vanish from filtered queries
+    val pay = Ivf.resolvePayload(spark, path, payload, df.columns.toSet,
+      reserved = Set("id", "emb", "cell", "batch_id", "codes"))
     val cb = readCodebooks(spark, path)
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    df.select(col(id).as("id") +: col(vec).as("emb") +: payload.map(col): _*)
+    df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", Ivf.assignCell(col("emb"), centers))
       .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
       .withColumn("batch_id", lit(batchId))

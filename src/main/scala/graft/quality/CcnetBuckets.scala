@@ -29,12 +29,41 @@ object CcnetBuckets {
 
   /** `(langCol, scoreCol, …) → + bucket` via per-language ntile.
     * Ties broken by `tieCol` so the split is deterministic.
+    *
+    * Fails loudly ([[graft.operators.Pca.MaxDim]]'s convention) when the
+    * input exceeds `maxParts` partitions: each language's window is ONE
+    * task regardless of input size, so a corpus-scale call must use
+    * [[approx]]. Raise `maxParts` only for a deliberate measurement.
     */
   def exact(scored: DataFrame, langCol: String, scoreCol: String,
-            tieCol: String, nBuckets: Int = 3): DataFrame = {
+            tieCol: String, nBuckets: Int = 3,
+            maxParts: Int = ExactPathMaxParts): DataFrame = {
+    guardExactPath(scored, "CcnetBuckets.exact", "CcnetBuckets.approx", maxParts)
     val w = Window.partitionBy(langCol)
       .orderBy(col(scoreCol).desc, col(tieCol).asc)
     scored.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
+  /** Partition cap above which the exact (single-task-per-window) paths
+    * refuse to run — shared by [[Ensemble.percentileBlend]]. 256 input
+    * partitions ≈ tens of GB of scan: far past any gate input, far short
+    * of a corpus.
+    */
+  val ExactPathMaxParts = 256
+
+  /** Loud guard for the exact formulations: inspecting the partition count
+    * costs plan materialization only (no job). A global-sort path applied
+    * to a corpus-sized input should fail with an actionable message, not
+    * grind one task for hours.
+    */
+  private[quality] def guardExactPath(df: DataFrame, what: String,
+                                      alt: String, maxParts: Int): Unit = {
+    val n = df.rdd.getNumPartitions
+    require(n <= maxParts,
+      s"$what is the gate/modest-corpus formulation — its window collapses " +
+      s"each partition key to ONE task and cannot scale to an input of $n " +
+      s"partitions (cap $maxParts). Use $alt (the KLL-sketch scale path), " +
+      "or raise maxParts for a deliberate measurement.")
   }
 
   /** Scale path: per-language KLL thresholds (k=200 sketch ⇒ ~1% rank

@@ -33,10 +33,18 @@ object Ensemble {
   /** Exact path: `df` plus `blended` = Σ wᵢ·percent_rank(sᵢ) / Σ wᵢ,
     * rounded to 6 decimals. `tieCol` fully orders ties so the result is
     * deterministic and engine-portable.
+    *
+    * Fails loudly when the input exceeds `maxParts` partitions: N signals
+    * mean N sequential UNPARTITIONED `percent_rank` windows — N global
+    * sorts each collapsing to one task — so a corpus-scale call must use
+    * [[approxBlend]]. Raise `maxParts` only for a deliberate measurement.
     */
   def percentileBlend(df: DataFrame, signals: Seq[(String, Double)],
-                      tieCol: String): DataFrame = {
+                      tieCol: String,
+                      maxParts: Int = CcnetBuckets.ExactPathMaxParts): DataFrame = {
     require(signals.nonEmpty, "at least one signal")
+    CcnetBuckets.guardExactPath(df, "Ensemble.percentileBlend",
+      "Ensemble.approxBlend", maxParts)
     val wTot = signals.map(_._2).sum
     require(wTot > 0, "weights must sum positive")
     val ranked = signals.foldLeft(df) { case (acc, (s, _)) =>

@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  // Every train() caches one vocab-sized `counted` table that the returned
+  // Model's lazy frames keep reading from — so the cache cannot be dropped
+  // inside train(), and a session training several LMs would otherwise pin
+  // one entry per model forever. Registry + releaseCaches() mirrors
+  // [[graft.operators.Decontaminate]]'s convention; a released cache just
+  // recomputes if a Model is scored again.
+  private val cachedCounts =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every `counted` cache created by [[train]] so far. */
+  def releaseCaches(): Unit = cachedCounts.synchronized {
+    cachedCounts.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    cachedCounts.clear()
+  }
+
+  private[quality] def cacheCount: Int =
+    cachedCounts.synchronized(cachedCounts.size)
+
   /** `bigrams`: `(a, b, n_ab)`; `contexts`: `(a, n_a)` where `n_a` counts
     * bigrams whose left token is `a` (NOT raw unigram occurrences — the
     * final token of a doc opens no bigram); `vocab` = distinct training
@@ -74,6 +93,7 @@ object NgramLm {
           tk.as("t"))))).as("r"))
       .select(col("r.a").as("a"), col("r.b").as("b"), col("r.t").as("t"))
     val counted = gram.groupBy("a", "b", "t").agg(count(lit(1)).as("n")).cache()
+    cachedCounts.synchronized(cachedCounts += counted)
     val bigrams = counted.where(col("t").isNull)
       .select(col("a"), col("b"), col("n").as("n_ab"))
     val contexts = bigrams.groupBy("a").agg(sum("n_ab").as("n_a"))

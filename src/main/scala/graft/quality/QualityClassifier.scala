@@ -67,6 +67,15 @@ object QualityClassifier {
     * q89 measured 50 fixed rounds paying ~20 rounds of no-op tail; the
     * stop criterion reads the loss that is already computed, so each round
     * costs exactly what it did before.
+    *
+    * Determinism caveat: the log-loss is folded by a float `reduce` whose
+    * partial-sum order Spark does not fix, so the raw loss carries ulp-level
+    * run-to-run jitter. The convergence test therefore compares losses
+    * ROUNDED to 1e-9 — comfortably above float-reduce jitter for corpus-size
+    * sums, far below any meaningful `tol` — so the stopping round (and hence
+    * the trained weights) cannot flip between runs on a sub-jitter delta.
+    * The weights themselves remain deterministic only up to the gradient's
+    * own summation-order ulps, as before.
     */
   def train(labeled: DataFrame, idCol: String, textCol: String,
             labelCol: String, nBuckets: Int = 4096, iters: Int = 50,
@@ -114,7 +123,9 @@ object QualityClassifier {
       }.reduce { (a, b) =>
         var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
       }
-      val loss = grad(w.length) / n
+      // fixed-point fold of the nondeterministically ordered float reduce:
+      // 1e-9 rounding makes the convergence-delta test stable across runs
+      val loss = math.rint(grad(w.length) / n * 1e9) / 1e9
       val next = new Array[Double](w.length)
       var i = 0
       while (i < w.length) {

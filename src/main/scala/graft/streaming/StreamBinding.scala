@@ -23,9 +23,22 @@ import java.nio.charset.StandardCharsets
   *     checkpoint lineage, created on first use. Deleting the checkpoint
   *     deletes the token; a recreated checkpoint gets a fresh UUID.
   *   - `<indexPath>/_stream_binding` — `token`, `base` (max batch id that
-  *     existed in the store at bind time) and `max_written` (high-water
-  *     mark of append ids this stream has CLAIMED — advanced before the
-  *     append lands, so a crash mid-append replays as our own batch).
+  *     existed in the store at bind time), `max_claimed` (high-water mark
+  *     of append ids this stream has CLAIMED — advanced BEFORE the append
+  *     lands, so a crash mid-append replays as our own batch) and
+  *     `max_written` (high-water mark of appends CONFIRMED landed via
+  *     [[recordWritten]]).
+  *
+  * Residual risk of the claim-before-append design: an id that was claimed
+  * but whose append never landed (the caller resolved, then aborted or the
+  * batch permanently failed) is in the gap `max_written < id <=
+  * max_claimed`. If a manual/foreign append later lands at such an id, the
+  * stream's eventual replay of that batch is INDISTINGUISHABLE from
+  * replaying its own half-committed write — the claimed/written split
+  * narrows the window to exactly these ids and [[resolveAppendId]] logs a
+  * loud warning before overwriting one that already has data, but it
+  * cannot prove whose rows they are. Operators appending manually to a
+  * stream-bound store must stay outside `[base+1, max_claimed]`.
   *
   * Resolution: streaming batch `b` maps to append id `base + 1 + b`. The
   * binding is created on the stream's first micro-batch and REFUSED with
@@ -43,7 +56,8 @@ import java.nio.charset.StandardCharsets
   */
 object StreamBinding {
 
-  final case class Binding(token: String, base: Long, maxWritten: Long)
+  final case class Binding(token: String, base: Long, maxClaimed: Long,
+                           maxWritten: Long)
 
   private val BindingFile = "_stream_binding"
   private val TokenFile = "graft_stream_token"
@@ -95,15 +109,15 @@ object StreamBinding {
           s"$BindingFile after verifying no batch-id ranges collide.")
       case None =>
         val base = (existingBatchIds(spark, dataDir) + 0L).max
-        val b = Binding(token, base, base)
+        val b = Binding(token, base, base, base)
         writeBinding(fs, bindingPath, b)
         b
     }
     val target = binding.base + 1 + streamBatchId
-    // a replay of a batch this stream already CLAIMED (target <= maxWritten)
+    // a replay of a batch this stream already CLAIMED (target <= maxClaimed)
     // legitimately hits an existing partition; anything else colliding means
     // a foreign writer
-    if (target > binding.maxWritten) {
+    if (target > binding.maxClaimed) {
       if (existingBatchIds(spark, dataDir).contains(target)) {
         throw new IllegalStateException(
           s"streaming batch $streamBatchId maps to append batch_id=$target in " +
@@ -116,17 +130,29 @@ object StreamBinding {
       // same batch, and the claim is what lets us recognize the
       // half-committed partition as our own (and idempotently re-overwrite
       // it) instead of misdiagnosing it as a foreign writer and wedging the
-      // stream permanently
-      writeBinding(fs, bindingPath, binding.copy(maxWritten = target))
+      // stream permanently. maxWritten only advances in [[recordWritten]],
+      // so claimed-but-unconfirmed ids stay identifiable.
+      writeBinding(fs, bindingPath, binding.copy(maxClaimed = target))
+    } else if (target > binding.maxWritten &&
+               existingBatchIds(spark, dataDir).contains(target)) {
+      // the one ambiguous case (see object doc): data exists at an id we
+      // claimed but never confirmed written. Almost certainly our own
+      // half-committed append being replayed — but a foreign writer that
+      // raced into the claimed slot would be overwritten too, so say so.
+      System.err.println(
+        s"[stream-binding] WARNING: replaying streaming batch $streamBatchId " +
+        s"onto append batch_id=$target in $indexPath, which was claimed but " +
+        "never confirmed written — overwriting it as a presumed self-replay. " +
+        "If a manual append landed at this id, its rows are being replaced.")
     }
     target
   }
 
-  /** Advance the binding's high-water mark after an append lands. Since
-    * [[resolveAppendId]] now claims the id up front (crash-safety: a replay
-    * of a half-committed batch must read as our own), this is normally a
-    * no-op; it remains as a belt-and-braces hook for callers that append
-    * ids they resolved out of band.
+  /** Confirm an append landed: advances `max_written` up to `appendId`
+    * (and `max_claimed`, for callers that resolved an id out of band).
+    * Closing the claimed→written gap is what keeps the ambiguous-replay
+    * window (see object doc) to only the batches that genuinely crashed
+    * mid-append.
     */
   def recordWritten(spark: SparkSession, indexPath: String, appendId: Long): Unit = {
     val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
@@ -135,7 +161,8 @@ object StreamBinding {
       throw new IllegalStateException(
         s"no $BindingFile under $indexPath — resolveAppendId must run first"))
     if (appendId > b.maxWritten)
-      writeBinding(fs, bindingPath, b.copy(maxWritten = appendId))
+      writeBinding(fs, bindingPath, b.copy(
+        maxClaimed = math.max(b.maxClaimed, appendId), maxWritten = appendId))
   }
 
   private def readOrCreateToken(fs: FileSystem, checkpointDir: String): String = {
@@ -160,17 +187,23 @@ object StreamBinding {
       // an unparseable binding is a hard error, NOT a rebind: silently
       // rebinding after corruption re-derives a higher base and a replayed
       // batch would then duplicate instead of replace
+      // max_claimed is new in the claimed/written split: a binding written
+      // by an older build lacks it — treat claimed = written (that build
+      // advanced max_written at claim time, so written WAS the claim mark)
       (for {
         t <- kv.get("token"); b <- kv.get("base").map(_.toLong)
         m <- kv.get("max_written").map(_.toLong)
-      } yield Binding(t, b, m)).orElse(throw new IllegalStateException(
+      } yield Binding(t, b,
+        kv.get("max_claimed").map(_.toLong).getOrElse(m), m))
+        .orElse(throw new IllegalStateException(
         s"corrupt stream binding at $p (${readSmall(fs, p).take(200)}); " +
         "repair or remove it after verifying batch-id ranges manually"))
     }
 
   private def writeBinding(fs: FileSystem, p: Path, b: Binding): Unit =
     writeSmall(fs, p,
-      s"token=${b.token}\nbase=${b.base}\nmax_written=${b.maxWritten}\n")
+      s"token=${b.token}\nbase=${b.base}\nmax_claimed=${b.maxClaimed}\n" +
+      s"max_written=${b.maxWritten}\n")
 
   private def readSmall(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

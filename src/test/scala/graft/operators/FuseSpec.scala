@@ -75,6 +75,19 @@ class FuseSpec extends SparkSpec {
     assert(got(100L) === 1.0 && got(101L) === 1.0)
   }
 
+  test("linear fusion: runs longer than k are truncated before normalization") {
+    // 4-row run, k = 2: the contract normalizes over the per-query top-2
+    // (scores 10, 8 → 1.0, 0.0), NOT over the full list's 10..0 range
+    val long = Seq((1L, 100L, 10.0), (1L, 101L, 8.0), (1L, 102L, 4.0),
+      (1L, 103L, 0.0)).toDF("q_id", "item", "score")
+    val got = Fuse.linear(Seq(long -> 1.0), "q_id", "item", "score", k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 2, "tail rows beyond k must not survive")
+    val byItem = got.map(r => r._2 -> r._3).toMap
+    assert(byItem(100L) === 1.0 && byItem(101L) === 0.0,
+      s"min/max must come from the top-k slice, got $byItem")
+  }
+
   test("linear fusion: a decisive margin outvotes a flat run — unlike RRF") {
     // dense says 100 wins by a mile; sparse mildly prefers 101. RRF (ranks
     // only) would tie them 1/61+1/62 each; linear fusion must not.

@@ -129,6 +129,24 @@ class IvfSpec extends SparkSpec {
         filter = Some(col("label") === 1))
       .join(idx.assigned.select(col("id").as("n_id"), col("label")), "n_id")
     assert(pruned.where(col("label") =!= 1).count() === 0)
+
+    // append schema contract: the STORE defines the payload set. A batch
+    // appended without the label column would read back with null payloads
+    // and silently vanish from every filtered query — so it must fail
+    // loudly instead, and the default (Nil) must auto-carry the stored set.
+    val batch = Seq((9000L, v(0, 99), 1)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.append(batch.drop("label"), dir, batchId = 1)
+    }
+    assert(e.getMessage.contains("label"), s"names the column: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      Ivf.append(batch, dir, batchId = 1, payload = Seq("wrong_col"))
+    }
+    Ivf.append(batch, dir, batchId = 1) // Nil auto-carries Seq("label")
+    val after = Ivf.open(spark, dir)
+    val appended = after.assigned.where(col("id") === 9000L).collect()
+    assert(appended.length === 1 && appended.head.getAs[Int]("label") === 1,
+      "auto-carried payload must land non-null")
   }
 
   test("query shuffles k-capped heaps, not scored candidates") {

@@ -25,6 +25,19 @@ class CcnetBucketsSpec extends SparkSpec {
     assert(out.length === 60)
   }
 
+  test("exact fails loudly on a corpus-shaped (many-partition) input; approx does not") {
+    val wide = scored.repartition(CcnetBuckets.ExactPathMaxParts + 1)
+    val e = intercept[IllegalArgumentException] {
+      CcnetBuckets.exact(wide, "lang", "score", "doc_id")
+    }
+    assert(e.getMessage.contains("CcnetBuckets.approx"),
+      s"guard must point at the scale path: ${e.getMessage}")
+    assert(CcnetBuckets.approx(wide, "lang", "score").count() === 60)
+    // the override exists for deliberate measurements
+    assert(CcnetBuckets.exact(wide, "lang", "score", "doc_id",
+      maxParts = Int.MaxValue).count() === 60)
+  }
+
   test("approx agrees with exact away from the tercile boundaries") {
     val exact = CcnetBuckets.exact(scored, "lang", "score", "doc_id")
       .select("doc_id", "bucket").as[(Long, Int)].collect().toMap

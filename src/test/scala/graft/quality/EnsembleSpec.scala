@@ -23,6 +23,17 @@ class EnsembleSpec extends SparkSpec {
     assert(solo(50L) === math.rint(50.0 / 99 * 1e6) / 1e6)
   }
 
+  test("percentileBlend fails loudly on a corpus-shaped (many-partition) input") {
+    val wide = frame.repartition(CcnetBuckets.ExactPathMaxParts + 1)
+    val e = intercept[IllegalArgumentException] {
+      Ensemble.percentileBlend(wide, Seq("s1" -> 1.0), tieCol = "id")
+    }
+    assert(e.getMessage.contains("approxBlend"),
+      s"guard must point at the scale path: ${e.getMessage}")
+    // and the same input sails through the scale path
+    assert(Ensemble.approxBlend(wide, Seq("s1" -> 1.0)).count() === 100)
+  }
+
   test("approxBlend tracks the exact blend within grid + sketch error") {
     val exact = Ensemble.percentileBlend(frame,
         Seq("s1" -> 0.7, "s2" -> 0.3), tieCol = "id")

@@ -29,6 +29,23 @@ class NgramLmSpec extends SparkSpec {
     assert(math.abs(out.head._3 - expected) < 1e-9, s"${out.head._3} vs $expected")
   }
 
+  test("releaseCaches drops every train()-pinned counted table; models still score") {
+    NgramLm.releaseCaches() // clean slate (other suites may have trained)
+    val before = NgramLm.cacheCount
+    assert(before === 0)
+    val m1 = NgramLm.train(target, "doc_id", "text")
+    val m2 = NgramLm.train(Seq((9L, "x y x y")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(NgramLm.cacheCount === 2, "one pinned cache per trained model")
+    NgramLm.releaseCaches()
+    assert(NgramLm.cacheCount === 0)
+    // a released cache recomputes transparently — the model stays usable
+    val out = NgramLm.scoreAvgLogProb(
+      Seq((10L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", m1)
+    assert(out.count() === 1)
+    assert(m2.vocab === 2L)
+  }
+
   test("unseen bigrams and unseen contexts get smoothing mass, never -inf") {
     val m = NgramLm.train(target, "doc_id", "text", k = 1.0)
     // (c,a): context c opens no training bigram -> p = 1/(0+3) ; (a,a): seen
