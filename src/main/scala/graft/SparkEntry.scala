@@ -1690,6 +1690,97 @@ object SparkEntry {
         .select("doc_id", "blended")
         .orderBy(col("blended").desc, col("doc_id").asc)
         .limit(100)
+    }),
+
+    // --- q94's 100 TB formulation, driver-gated: CcnetBuckets.approx (KLL
+    // thresholds, no single-task window) is what actually runs at scale,
+    // so the driver gate checks IT, not just the ntile gate path. q65's
+    // tolerance-boolean pattern: the oracle states the bounds as constants,
+    // Spark proves them against the exact split — bucket agreement >= 0.9
+    // (KLL on ~100 docs/lang is near-exact; only rounding ties can move),
+    // per-language bucket score-ranges strictly ordered, and every scored
+    // doc bucketed exactly once on both paths ---
+    "q102_ccnet_buckets_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = quality.NgramLm.train(
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      val scored = quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val exact = quality.CcnetBuckets.exact(scored, "lang", "avg_logp", "doc_id")
+        .select(col("doc_id"), col("bucket").as("b_e"))
+      val approx = quality.CcnetBuckets.approx(scored, "lang", "avg_logp")
+        .select(col("doc_id"), col("lang"), col("avg_logp"),
+          col("bucket").as("b_a"))
+      val j = exact.join(approx, "doc_id")
+      // semantic ordering, end to end: a better approx bucket's WORST score
+      // beats a worse bucket's BEST, per language (bucket 1 = head)
+      val ranges = approx.groupBy("lang", "b_a")
+        .agg(min("avg_logp").as("lo"), max("avg_logp").as("hi"))
+      val ordering = ranges.as("x").join(ranges.as("y"),
+          col("x.lang") === col("y.lang") && col("x.b_a") < col("y.b_a"))
+        .agg(coalesce(bool_and(col("x.lo") >= col("y.hi")), lit(true))
+          .as("ordering_ok"))
+      j.agg(
+          countDistinct("lang").as("n_langs"),
+          bool_and(col("b_a").between(1, 3)).as("coverage_ok"),
+          (avg(when(col("b_e") === col("b_a"), 1.0).otherwise(0.0)) >= 0.9)
+            .as("agree_ok"))
+        .crossJoin(broadcast(ordering))
+    }),
+
+    // --- q101's 100 TB formulation, driver-gated: Ensemble.approxBlend
+    // (per-signal KLL probe grids, zero global sorts) vs the exact blend
+    // in its tie-averaged (midrank) form — the answer the approximation
+    // actually converges to on tie-heavy real signals; against the fully
+    // tie-broken q101 blend the gap is half the largest tie mass, a data
+    // property, not sketch error. Drift bounded by grid resolution +
+    // sketch rank error; the top-100 selection must survive it ---
+    "q103_ensemble_approx" -> ((s, dir) => {
+      val txt = col("text")
+      val sig = t(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(txt).as("quality"),
+        tokenCount(txt).cast("double").as("n_tokens"),
+        (-round(punctRatio(txt), 6)).as("neg_punct"))
+      val sigs = Seq("quality" -> 0.5, "n_tokens" -> 0.25, "neg_punct" -> 0.25)
+      val exact = quality.Ensemble.percentileBlend(sig, sigs, tieCol = "doc_id",
+          tieAverage = true)
+        .select(col("doc_id"), col("blended").as("b_e"))
+      val approx = quality.Ensemble.approxBlend(sig, sigs)
+        .select(col("doc_id"), col("blended").as("b_a"))
+      val overlap = exact.orderBy(col("b_e").desc, col("doc_id").asc).limit(100)
+        .join(approx.orderBy(col("b_a").desc, col("doc_id").asc).limit(100)
+          .select("doc_id"), "doc_id")
+        .agg((count(lit(1)) >= 80).as("top100_ok"))
+      exact.join(approx, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(abs(col("b_e") - col("b_a"))) <= 0.05).as("drift_ok"))
+        .crossJoin(broadcast(overlap))
+    }),
+
+    // --- q99's 100 TB formulation, driver-gated: the PRUNED-probe filtered
+    // query (nProbe 8 of 16 + payload predicate pushed into the probed-cell
+    // scan) against exact filtered brute force — the production read path,
+    // where q99's exhaustive probe was the hash-exact gate configuration.
+    // Aggregate recall over 8 queries x top-5, q65's bound convention ---
+    "q104_filtered_ann_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")))
+        Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
+          payload = Seq("label")), path)
+      val idx = Ivf.open(s, path)
+      val probes = emb.where(col("vec_id") < 8)
+      val approx = Ivf.query(idx, probes, k = 5, nProbe = 8,
+          filter = Some(col("label") < 3))
+        .select(col("q_id"), col("n_id"))
+      val exact = Knn.bruteForce(probes, emb.where(col("label") < 3), k = 5)
+        .select(col("q_id"), col("n_id"))
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
     })
   )
 
@@ -3049,6 +3140,22 @@ object SparkEntry {
         |    percent_rank() OVER (ORDER BY neg_punct ASC, doc_id ASC) AS p3
         |  FROM sig)
         |SELECT doc_id, round((p1 * 0.5 + p2 * 0.25 + p3 * 0.25) / 1.0, 6) AS blended
-        |FROM pr ORDER BY blended DESC, doc_id ASC LIMIT 100""".stripMargin
+        |FROM pr ORDER BY blended DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // q102-q104: tolerance-boolean gates for the scale-path formulations
+    // (q65's pattern — Spark computes the bound check against the exact
+    // answer, the oracle states the required outcome as constants; the
+    // documents/embeddings tables are fixed 500-row frames at every SF, so
+    // the cardinalities are constants too)
+    "q102_ccnet_buckets_approx" ->
+      """SELECT CAST(5 AS BIGINT) AS n_langs, true AS coverage_ok,
+        |  true AS agree_ok, true AS ordering_ok""".stripMargin,
+
+    "q103_ensemble_approx" ->
+      """SELECT CAST(500 AS BIGINT) AS n_docs, true AS drift_ok,
+        |  true AS top100_ok""".stripMargin,
+
+    "q104_filtered_ann_pruned" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok"
   )
 }

@@ -20,9 +20,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   - [[approxBlend]]: each signal normalized against its KLL quantile
   *     sketch (`graft_kll_quantiles` at a probe grid) — two corpus-wide
   *     aggregations total, no global sort; normalized values step at the
-  *     grid resolution (1/nProbes) and deviate from exact percent_rank by
-  *     the sketch's ~1% rank error. The 100 TB path, same shape as
+  *     grid resolution (1/nProbes) and deviate from the exact rank by the
+  *     sketch's ~1% rank error. The 100 TB path, same shape as
   *     [[CcnetBuckets.approx]].
+  *
+  * Ties: real quality signals are tie-heavy (integer token counts,
+  * saturated heuristics), and the two paths treat a tie group differently
+  * by nature — `percent_rank` SPREADS it across its rank range via the
+  * tie-break column, while a threshold comparison scores the whole group
+  * as one block. [[approxBlend]] therefore uses the MIDRANK convention
+  * (average of the ≤ and < threshold counts), the standard CDF estimate
+  * at an atom, and converges to [[percentileBlend]]'s `tieAverage = true`
+  * variant; against the default fully-tie-broken exact blend its drift is
+  * bounded below by half the largest tie mass, which is a property of the
+  * data, not of the sketch.
   *
   * Signals where LOWER is better (perplexity, repetition fraction) should
   * be passed negated; weights need not sum to 1 (the mean divides by the
@@ -41,15 +52,23 @@ object Ensemble {
     */
   def percentileBlend(df: DataFrame, signals: Seq[(String, Double)],
                       tieCol: String,
-                      maxParts: Int = CcnetBuckets.ExactPathMaxParts): DataFrame = {
+                      maxParts: Int = CcnetBuckets.ExactPathMaxParts,
+                      tieAverage: Boolean = false): DataFrame = {
     require(signals.nonEmpty, "at least one signal")
     CcnetBuckets.guardExactPath(df, "Ensemble.percentileBlend",
       "Ensemble.approxBlend", maxParts)
     val wTot = signals.map(_._2).sum
     require(wTot > 0, "weights must sum positive")
+    // tieAverage = true replaces each tie group's spread of tie-broken
+    // ranks with their mean (the midrank CDF estimate) — the exact answer
+    // [[approxBlend]] converges to; one extra per-value window per signal
     val ranked = signals.foldLeft(df) { case (acc, (s, _)) =>
-      acc.withColumn(s"__pr_$s",
+      val withPr = acc.withColumn(s"__pr_$s",
         percent_rank().over(Window.orderBy(col(s).asc, col(tieCol).asc)))
+      if (tieAverage)
+        withPr.withColumn(s"__pr_$s",
+          avg(col(s"__pr_$s")).over(Window.partitionBy(col(s))))
+      else withPr
     }
     val blend = signals.map { case (s, w) => col(s"__pr_$s") * lit(w) }
       .reduce(_ + _) / lit(wTot)
@@ -58,8 +77,11 @@ object Ensemble {
   }
 
   /** Scale path: per-signal KLL thresholds at `nProbes` evenly spaced
-    * quantiles; a value's normalized score is the fraction of thresholds
-    * at or below it. No global sort; one broadcast threshold row.
+    * quantiles; a value's normalized score is the MIDRANK fraction of
+    * thresholds — the mean of the ≤-count and the <-count — so a value
+    * sitting on a fat tie atom scores at the middle of the atom's rank
+    * range (the standard CDF-at-an-atom convention) instead of its top.
+    * No global sort; one broadcast threshold row.
     */
   def approxBlend(df: DataFrame, signals: Seq[(String, Double)],
                   nProbes: Int = 100, sketchK: Int = 200): DataFrame = {
@@ -80,9 +102,12 @@ object Ensemble {
       }: _*)
     val joined = df.crossJoin(broadcast(th))
     val blend = signals.map { case (s, w) =>
+      // midrank: (#{t <= v} + #{t < v}) / 2 — a single fold accumulating
+      // both counts (2 per strictly-below threshold, 1 per equal)
       val frac = aggregate(col(s"__th_$s"), lit(0),
-        (acc: Column, t: Column) => acc + when(col(s) >= t, 1).otherwise(0))
-        .cast("double") / lit(nProbes.toDouble)
+        (acc: Column, t: Column) => acc +
+          when(col(s) > t, 2).when(col(s) === t, 1).otherwise(0))
+        .cast("double") / lit(2.0 * nProbes)
       frac * lit(w)
     }.reduce(_ + _) / lit(wTot)
     joined.withColumn("blended", round(blend, 6))

@@ -23,6 +23,28 @@ class EnsembleSpec extends SparkSpec {
     assert(solo(50L) === math.rint(50.0 / 99 * 1e6) / 1e6)
   }
 
+  test("tie-heavy signal: approxBlend lands mid-atom, matching tieAverage exact") {
+    // 60% of rows share one value — the real-signal shape (integer token
+    // counts, saturated heuristics). Tie-broken percent_rank SPREADS the
+    // atom across [0.4, 1.0]; midrank pins it at its center.
+    val fat = ((0 until 40).map(i => (i.toLong, i.toDouble)) ++
+      (40 until 100).map(i => (i.toLong, 100.0))).toDF("id", "s1")
+    val mid = Ensemble.percentileBlend(fat, Seq("s1" -> 1.0), tieCol = "id",
+        tieAverage = true)
+      .select("id", "blended").as[(Long, Double)].collect().toMap
+    // atom rows all score the mean of ranks 40..99 over 99 = 69.5/99
+    val atomMid = math.rint((40 to 99).map(_ / 99.0).sum / 60.0 * 1e6) / 1e6
+    assert(mid(50L) === atomMid && mid(99L) === atomMid)
+    val approx = Ensemble.approxBlend(fat, Seq("s1" -> 1.0), nProbes = 100)
+      .select("id", "blended").as[(Long, Double)].collect().toMap
+    val errs = mid.keys.map(k => math.abs(mid(k) - approx(k)))
+    assert(errs.max <= 0.05,
+      s"approx must track the MIDRANK exact on a fat atom: max err ${errs.max}")
+    // and it must NOT track the tie-broken spread (doc 99 sits at 1.0 there)
+    assert(math.abs(approx(99L) - 1.0) > 0.2,
+      "approx scores the atom as a block, not at its tie-broken top")
+  }
+
   test("percentileBlend fails loudly on a corpus-shaped (many-partition) input") {
     val wide = frame.repartition(CcnetBuckets.ExactPathMaxParts + 1)
     val e = intercept[IllegalArgumentException] {
