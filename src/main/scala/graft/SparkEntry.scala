@@ -1781,6 +1781,26 @@ object SparkEntry {
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .agg(countDistinct(col("q_id")).as("n_queries"),
           (count(lit(1)).cast("double") / 40.0 >= 0.55).as("recall_ok"))
+    }),
+
+    // --- q14's hourly rollup restricted to a time range, read through
+    // Tables.readEventsFiltered: the range predicate hits the RAW ts
+    // encoding at the parquet scan (row-group pruning fires; TablesSpec
+    // asserts PushedFilters), THEN the epoch-ns normalize projection runs —
+    // closing the normalize-blocks-pushdown gap the r11 verdict named.
+    // Bounds µs-aligned so both physical encodings and the µs-reading
+    // oracle classify every row identically ---
+    "q105_time_range" -> ((s, dir) => {
+      // [2024-01-10, 2024-01-17) UTC — mid-range week of the events data
+      val fromNs = 1704844800L * 1000000000L
+      val toNs = 1705449600L * 1000000000L
+      Tables.readEventsFiltered(s, dir, fromNs, toNs)
+        .withColumn("hour", date_format(
+          date_trunc("hour", expr("timestamp_micros(ts DIV 1000)")),
+          "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")
     })
   )
 
@@ -3156,6 +3176,16 @@ object SparkEntry {
         |  true AS top100_ok""".stripMargin,
 
     "q104_filtered_ann_pruned" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok"
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+
+    // q105: q14's oracle with the range stated on the stored (naive-UTC)
+    // timestamp — DuckDB reads either physical encoding at µs, and the
+    // µs-aligned bounds make the row classification exact on both engines
+    "q105_time_range" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
   )
 }

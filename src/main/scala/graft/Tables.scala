@@ -35,8 +35,9 @@ object Tables {
     * Scale note: the conversion is a codegen'd per-row projection (no
     * shuffle), but it does sit between the scan and any `ts` predicate, so
     * range filters no longer push down to parquet row-groups. At 100 TB,
-    * time-range queries should filter on the raw column first (or rely on
-    * partition pruning by date), then normalize.
+    * time-range queries should use [[readEventsFiltered]], which applies
+    * the range to the RAW column first (or rely on partition pruning by
+    * date), then normalize.
     */
   def normalizeEventTime(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema.find(_.name == c).map(_.dataType) match {
@@ -44,6 +45,34 @@ object Tables {
         df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
       case _ => df // already LongType epoch-ns, or no such column
     }
+
+  /** Time-range read of the events table with the predicate applied to the
+    * RAW `ts` column BEFORE [[normalizeEventTime]]'s projection — so the
+    * range reaches the parquet scan (PushedFilters) and prunes row groups
+    * by their min/max stats, whichever physical encoding the file carries.
+    * Filtering the normalized column instead would scan every row group:
+    * the normalize projection sits between the scan and the predicate and
+    * blocks pushdown (the gap documented on [[normalizeEventTime]]).
+    *
+    * `[fromNs, toNs)` half-open, epoch nanoseconds. Bounds should be
+    * µs-aligned: for a µs-encoded file [[denormalizeTs]] truncates them to
+    * µs, so a sub-µs bound would admit rows from the truncated remainder
+    * (and a µs-aligned bound classifies every row identically under both
+    * encodings — which is also what keeps the DuckDB oracle, which reads
+    * ns parquet at µs, in exact agreement).
+    */
+  def readEventsFiltered(spark: SparkSession, sfDir: String,
+                         fromNs: Long, toNs: Long): DataFrame = {
+    require(fromNs % 1000 == 0 && toNs % 1000 == 0,
+      s"bounds must be µs-aligned epoch-ns (see scaladoc): $fromNs, $toNs")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val rawType = raw.schema.find(_.name == "ts")
+      .getOrElse(throw new IllegalArgumentException("events has no ts column"))
+      .dataType
+    normalizeEventTime(raw.where(
+      col("ts") >= denormalizeTs(rawType, fromNs) &&
+      col("ts") < denormalizeTs(rawType, toNs)))
+  }
 
   /** Inverse of [[normalizeEventTime]] for writing a value back in a raw
     * schema's type: epoch-ns long → whatever `rawType` the file carries.
