@@ -1801,6 +1801,53 @@ object SparkEntry {
         .groupBy("hour", "event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("hour", "event_type")
+    }),
+
+    // --- q93's lifecycle gate for the IVF store (q93 covers the BM25
+    // postings store): publish a v0 index built from a third of the
+    // corpus, append the other two thirds as daily batches — one of them
+    // REPLAYED, the retry-idempotence the dynamic batch_id partitions
+    // exist for — seal a compacted v1, query through
+    // IndexVersions.latest. Exhaustive probe makes the lifecycle store's
+    // answer exactly brute force over the FULL corpus (q25's hash-exact
+    // oracle — so the lifecycle lost/duplicated nothing), plus version
+    // resolution and compacted-vs-rollback answer equality ---
+    "q106_ivf_lifecycle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = cachedIndexDir(s, dir, "embeddings", "ivf_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+          Ivf.write(Ivf.build(emb.where(col("vec_id") % 3 === 0),
+            nCells = 8, trainSample = 10000), p))
+        val day1 = emb.where(col("vec_id") % 3 === 1)
+        Ivf.append(day1, v0, batchId = 1)
+        // a retried orchestrator step replays the whole append — the
+        // full-corpus hash gate would catch any double-count
+        Ivf.append(day1, v0, batchId = 1)
+        Ivf.append(emb.where(col("vec_id") % 3 === 2), v0, batchId = 2)
+        pipeline.IndexVersions.compactLatest(s, root)(Ivf.compactTo(s, _, _))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val probes = emb.where(col("vec_id") < 8)
+      def rank(p: String) =
+        Ivf.query(Ivf.open(s, p), probes, k = 5, nProbe = 8)
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+          .orderBy("q_id", "rank")
+      val viaLatest = rank(latest)
+      // rollback-path equality: v0 + its appended batches must answer
+      // identically to the compacted v1 (bounded: queries x k rows)
+      val pathsEqual = rank(s"$root/v0").collect().toSeq ==
+        viaLatest.collect().toSeq
+      viaLatest.withColumn("version_ok", lit(versionOk))
+        .withColumn("paths_equal", lit(pathsEqual))
     })
   )
 
@@ -3186,6 +3233,22 @@ object SparkEntry {
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
-        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // q106: q25's exact top-k over the FULL corpus (the lifecycle store
+    // answers exhaustively, so publish→append→replay→compact must
+    // reconstruct the corpus bit-for-bit to hash-match), plus constant-true
+    // lifecycle booleans
+    "q106_ivf_lifecycle" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
+        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim,
+        |  true AS version_ok, true AS paths_equal
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }
