@@ -30,15 +30,51 @@ object Ivf {
     * `(cell, batch_id)` (re-partitioned so each cell's rows are co-located —
     * one shuffle now buys every future query its pruned scan), centroids
     * under `path/centroids`. Parquet on any Hadoop FS. `cell` stays the
-    * OUTER partition level, so probed-cell directory pruning is unaffected
-    * by the inner `batch_id` split that makes [[append]] retry-idempotent
-    * (the base build is batch 0).
+    * outermost data partition level, so probed-cell directory pruning is
+    * unaffected by the inner `batch_id` split that makes [[append]]
+    * retry-idempotent (the base build is batch 0).
+    *
+    * `partitionPayload`: payload columns to LIFT INTO THE DIRECTORY LAYOUT
+    * above `cell` (`label=X/cell=Y/batch_id=Z`) — the lever for a DOMINANT
+    * filter attribute: a filtered query then prunes whole label directories
+    * at file-listing time (zero I/O for non-matching labels) instead of
+    * relying on row-group stats inside each probed cell. Use for
+    * low-cardinality attributes that most filtered queries constrain
+    * (tenant, language, source); leave row-level for high-cardinality or
+    * rarely-filtered payload (every distinct value costs a directory per
+    * cell, and small-file pressure multiplies accordingly). The layout is
+    * recorded under `path/layout` so [[append]] and [[compactTo]] preserve
+    * it; [[open]]/[[query]] need no changes — the lifted columns come back
+    * as partition columns and the same `filter` argument prunes on them.
     */
-  def write(index: Index, path: String): Unit = {
+  def write(index: Index, path: String,
+            partitionPayload: Seq[String] = Nil): Unit = {
+    val missing = partitionPayload.filterNot(index.assigned.columns.contains)
+    require(missing.isEmpty,
+      s"partitionPayload columns not in the index: ${missing.mkString(",")}")
     index.assigned.withColumn("batch_id", lit(0L)).repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .write.mode("overwrite")
+      .partitionBy(partitionPayload :+ "cell" :+ "batch_id": _*)
       .parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    if (partitionPayload.nonEmpty) {
+      val s = index.assigned.sparkSession
+      import s.implicits._
+      partitionPayload.zipWithIndex.toDF("part_col", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
+    }
+  }
+
+  /** The partition-payload layout a store was written with (empty for the
+    * default `cell/batch_id` layout) — one tiny parquet read, only done by
+    * the write-side paths ([[append]], [[compactTo]]).
+    */
+  private[operators] def storedLayout(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(s"$path/layout").collect()
+      .sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("part_col")).toSeq
   }
 
   /** Open a persisted index. The `cells` scan keeps `cell` as a partition
@@ -88,13 +124,16 @@ object Ivf {
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
+    // preserve the store's directory layout: a payload-partitioned store
+    // (see write's partitionPayload) keeps its lifted columns outermost
+    val layout = storedLayout(spark, path)
     df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", assignCell(col("emb"), centers))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "batch_id").parquet(s"$path/cells")
+      .partitionBy(layout :+ "cell" :+ "batch_id": _*).parquet(s"$path/cells")
   }
 
   /** The payload columns a persisted cells store carries (everything beyond
@@ -133,10 +172,11 @@ object Ivf {
     * directory, and open's file listing + scan pay for every one).
     * Writes to a NEW directory rather than in place: an in-place rewrite
     * is not atomic on object stores, so the swap belongs to the caller's
-    * snapshot/publish step (see [[graft.pipeline.Snapshots]]).
+    * snapshot/publish step (see [[graft.pipeline.Snapshots]]). A
+    * payload-partitioned layout carries through to the compacted store.
     */
   def compactTo(spark: SparkSession, path: String, dest: String): Unit =
-    write(open(spark, path), dest)
+    write(open(spark, path), dest, storedLayout(spark, path))
 
   /** Per-cell population of an index — the drift/skew monitor [[append]]'s
     * no-retrain contract tells operators to watch: `(cell, n)` plus the

@@ -149,6 +149,77 @@ class IvfSpec extends SparkSpec {
       "auto-carried payload must land non-null")
   }
 
+  test("payload-partitioned store: filter prunes label directories at the scan; layout survives append+compact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    def v(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.01f * ((i * 3) % 4))
+      a(axis * 2) = 1.0f + 0.01f * i
+      a
+    }
+    val rows = for (axis <- Seq(0, 1, 2, 3); i <- 0 until 25)
+      yield ((axis * 100 + i).toLong, v(axis, i), i % 2)
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("ivf_partpay").toString
+    Ivf.write(Ivf.build(corpus, nCells = 4, payload = Seq("label")), dir,
+      partitionPayload = Seq("label"))
+    // layout on disk: label=*/cell=*/batch_id=*
+    val labelDirs = new File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("label="))
+    assert(labelDirs.length === 2, s"expected label dirs, got ${
+      new File(s"$dir/cells").listFiles().map(_.getName).toSeq}")
+    assert(labelDirs.forall(_.listFiles().exists(_.getName.startsWith("cell="))))
+
+    val opened = Ivf.open(spark, dir)
+    val queries = corpus.where("vec_id = 0")
+    val res = Ivf.query(opened, queries, k = 3, nProbe = 1,
+      filter = Some(col("label") === 1))
+    // correctness first: equals brute force over the label-filtered corpus
+    // within the probed cell (clean clusters → the probed cell holds them)
+    val got = res.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val want = Knn.bruteForce(queries, corpus.where(col("label") === 1), k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // the lever's proof: the cells scan plans files from exactly ONE
+    // (label, cell) leaf out of 2 labels x 4 cells = 8 — the filter
+    // attribute prunes DIRECTORIES, not just row groups
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val cellScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScans.nonEmpty)
+    val planned = cellScans.map(_.selectedPartitions.partitionCount).max
+    assert(planned === 1,
+      s"filtered query should plan 1/8 (label, cell) leaves, planned $planned")
+
+    // append auto-carries the payload AND the directory layout; compact
+    // preserves both
+    val batch = Seq((9000L, v(0, 7), 1)).toDF("vec_id", "embedding", "label")
+    Ivf.append(batch, dir, batchId = 1)
+    val b1 = new File(s"$dir/cells/label=1")
+      .listFiles().flatMap(_.listFiles()).map(_.getName)
+    assert(b1.contains("batch_id=1"), s"append must respect the layout: ${b1.toSeq}")
+    val dest = Files.createTempDirectory("ivf_partpay_c").toString
+    Ivf.compactTo(spark, dir, dest)
+    assert(new File(s"$dest/cells").listFiles()
+      .exists(_.getName.startsWith("label=")), "compact must preserve the layout")
+    val after = Ivf.query(Ivf.open(spark, dest), queries, k = 3, nProbe = 4,
+        filter = Some(col("label") === 1))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val wantAll = Knn.bruteForce(queries,
+        corpus.union(batch).where(col("label") === 1), k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(after === wantAll, "compacted store answers over base + append")
+  }
+
   test("query shuffles k-capped heaps, not scored candidates") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
