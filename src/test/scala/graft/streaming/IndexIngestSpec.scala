@@ -62,6 +62,69 @@ class IndexIngestSpec extends SparkSpec {
     assert(Ivf.open(spark, idx).assigned.count() === 90)
   }
 
+  test("filtered retrieval over a streamed payload store: appends land in the sealed version, filters see them") {
+    // the last untested composition (r11 verdict item 7): streaming appends
+    // into a payload-CARRYING (and payload-partitioned) IVF store published
+    // through IndexVersions, with filtered queries reading the sealed
+    // version. Streamed JSON carries the label column; Ivf.append's
+    // auto-carry keeps the store schema, and the filter prunes label
+    // directories of streamed batches exactly as it does for the base build.
+    val root = Files.createTempDirectory("idxfiltstream").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val ckpt = s"$root/ckpt"
+    val lblSchema = StructType(vecSchema.fields :+ StructField("label", IntegerType))
+
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val v0 = graft.pipeline.IndexVersions.publish(spark, s"$root/store")(p =>
+      Ivf.write(Ivf.build(base, nCells = 3, payload = Seq("label")), p,
+        partitionPayload = Seq("label")))
+
+    def lblJson(name: String, rows: Seq[(Long, Array[Float], Int)]): Unit = {
+      val lines = rows.map { case (id, e, l) =>
+        s"""{"vec_id":$id,"embedding":[${e.mkString(",")}],"label":$l}""" }
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    lblJson("b1.json", for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i), i % 2))
+    IndexIngest.runIvf(spark, in, lblSchema, v0, ckpt)
+    lblJson("b2.json", for (axis <- Seq(0, 3, 6); i <- 25 until 30)
+      yield ((2000 + axis * 100 + i).toLong, v(axis, i), i % 2))
+    IndexIngest.runIvf(spark, in, lblSchema, v0, ckpt)
+
+    val latest = graft.pipeline.IndexVersions.latest(spark, s"$root/store").get
+    assert(latest === v0)
+    val opened = Ivf.open(spark, latest)
+    assert(opened.assigned.count() === 90)
+    assert(opened.assigned.where(col("label").isNull).count() === 0,
+      "streamed rows must carry their payload (no null labels)")
+
+    // exhaustive-probe filtered query == brute force over the filtered
+    // union of base + both streamed batches
+    val streamed = (for (axis <- Seq(0, 3, 6); i <- 20 until 30) yield {
+      val pfx = if (i < 25) 1000 else 2000
+      ((pfx + axis * 100 + i).toLong, v(axis, i), i % 2)
+    }).toDF("vec_id", "embedding", "label")
+    val all = base.union(streamed)
+    val probe = Seq((9999L, v(6, 29))).toDF("vec_id", "embedding")
+    for (lbl <- Seq(0, 1)) {
+      val got = Ivf.query(opened, probe, k = 4, nProbe = 3,
+          filter = Some(col("label") === lbl))
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val want = graft.operators.Knn.bruteForce(probe,
+          all.where(col("label") === lbl), k = 4)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      assert(got === want, s"label $lbl")
+    }
+    // and the streamed batches respected the payload-partitioned layout
+    val leaf = new java.io.File(s"$v0/cells/label=1")
+    assert(leaf.exists() && leaf.listFiles()
+      .flatMap(_.listFiles()).exists(_.getName == "batch_id=1"),
+      "streamed append must land under the label partition dirs")
+  }
+
   test("a replayed uncommitted micro-batch does not double-append") {
     val root = Files.createTempDirectory("idxingretry").toString
     val idx = s"$root/ivf"
