@@ -3212,8 +3212,9 @@ object SparkEntry {
     // q102-q104: tolerance-boolean gates for the scale-path formulations
     // (q65's pattern — Spark computes the bound check against the exact
     // answer, the oracle states the required outcome as constants; the
-    // documents/embeddings tables are fixed 500-row frames at every SF, so
-    // the cardinalities are constants too)
+    // documents/embeddings tables are fixed 500-row frames at the
+    // oracle-gated SFs 0.001 and 0.01, so the cardinalities are constants
+    // there — sf0.1 is bench-only)
     "q102_ccnet_buckets_approx" ->
       """SELECT CAST(5 AS BIGINT) AS n_langs, true AS coverage_ok,
         |  true AS agree_ok, true AS ordering_ok""".stripMargin,

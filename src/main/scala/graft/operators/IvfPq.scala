@@ -41,15 +41,26 @@ object IvfPq {
 
   /** Persist: coded corpus `partitionBy("cell")` (codes AND vectors — the
     * columnar format means ADC scans read only the code column), centroids
-    * and flattened codebooks alongside.
+    * and flattened codebooks alongside. `partitionPayload` lifts dominant
+    * filter attributes above `cell` in the directory layout, exactly as
+    * [[Ivf.write]] (same trade, same `layout` marker preserved by
+    * [[append]]/[[compactTo]]).
     */
-  def write(index: Index, path: String): Unit = {
+  def write(index: Index, path: String,
+            partitionPayload: Seq[String] = Nil): Unit = {
+    val missing = partitionPayload.filterNot(index.coded.columns.contains)
+    require(missing.isEmpty,
+      s"partitionPayload columns not in the index: ${missing.mkString(",")}")
     index.coded.withColumn("batch_id", lit(0L)).repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "batch_id")
+      .write.mode("overwrite")
+      .partitionBy(partitionPayload :+ "cell" :+ "batch_id": _*)
       .parquet(s"$path/cells")
     index.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val s = index.coded.sparkSession
     import s.implicits._
+    if (partitionPayload.nonEmpty)
+      partitionPayload.zipWithIndex.toDF("part_col", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
     index.cb.centers.zipWithIndex
       .flatMap { case (cs, mi) => cs.zipWithIndex.map { case (c, j) => (mi, j, c) } }
       .toDF("mi", "j", "center")
@@ -103,6 +114,8 @@ object IvfPq {
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
+    // preserve a payload-partitioned store's directory layout (see write)
+    val layout = Ivf.storedLayout(spark, path)
     df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", Ivf.assignCell(col("emb"), centers))
       .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
@@ -110,7 +123,7 @@ object IvfPq {
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "batch_id").parquet(s"$path/cells")
+      .partitionBy(layout :+ "cell" :+ "batch_id": _*).parquet(s"$path/cells")
   }
 
   /** Rewrite a persisted index into a fresh fully-compacted store at
@@ -118,10 +131,10 @@ object IvfPq {
     * coded layout (cells collapse to batch 0, one co-located shuffle
     * partition per cell; centroids/codebooks/params copied through).
     * Writes to a NEW directory; the atomic swap is the caller's
-    * snapshot/publish step.
+    * snapshot/publish step. A payload-partitioned layout carries through.
     */
   def compactTo(spark: SparkSession, path: String, dest: String): Unit =
-    write(open(spark, path), dest)
+    write(open(spark, path), dest, Ivf.storedLayout(spark, path))
 
   /** Top-k per query: probe → ADC within probed cells → exact rerank.
     * Output `(q_id, n_id, sim, rank)`. `pruneCells` pushes the probed cell

@@ -52,6 +52,37 @@ class IvfPqSpec extends SparkSpec {
       "every neighbor satisfies the predicate")
   }
 
+  test("payload-partitioned coded store: layout on disk, append + compact preserve it, filtered answers exact") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val base = labeled.where(col("vec_id") % 100 < 20)
+    val batch = labeled.where(col("vec_id") % 100 >= 20)
+    val dir = Files.createTempDirectory("ivfpq_partpay").toString
+    IvfPq.write(IvfPq.build(base, nCells = 4, m = 8, kc = 16,
+        trainSample = 200, payload = Seq("label")), dir,
+      partitionPayload = Seq("label"))
+    assert(new File(s"$dir/cells").listFiles()
+      .count(_.getName.startsWith("label=")) === 2)
+    // append auto-carries the payload and respects the lifted layout
+    IvfPq.append(batch, dir, batchId = 1)
+    assert(new File(s"$dir/cells/label=1").listFiles()
+      .flatMap(_.listFiles()).exists(_.getName == "batch_id=1"),
+      "appended batch must land under the label partition dirs")
+    val dest = Files.createTempDirectory("ivfpq_partpay_c").toString
+    IvfPq.compactTo(spark, dir, dest)
+    assert(new File(s"$dest/cells").listFiles()
+      .exists(_.getName.startsWith("label=")), "compact preserves the layout")
+    // exhaustive filtered query over the compacted store == filtered brute
+    // force over base + batch
+    val probes = labeled.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    val got = IvfPq.query(IvfPq.open(spark, dest), probes, k = 5, nProbe = 4,
+        shortlist = 100, filter = Some(col("label") === 0))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(probes, labeled.where(col("label") === 0), k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"filtered recall $recall")
+  }
+
   test("compactTo rewrites the coded store; query answers unchanged") {
     val tmp = Files.createTempDirectory("graft_ivfpqcmp_").toString
     val base = corpus.where(col("vec_id") % 100 < 20)
