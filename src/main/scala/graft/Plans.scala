@@ -18,7 +18,10 @@ object Plans {
       println("  codegen'd ops: " + plan.linesIterator.count(l =>
         l.contains("- *") || l.trim.startsWith("*")))
     }
-    Seq("q01_pricing_summary","q02_filter_pushdown","q03_join_revenue","q04_broadcast_join","q05_anti_join","q07_dedup_latest","q22_jaccard_pairs","q25_ann_topk","q42_asof_join","q43_band_join","q44_resample","q45_cosine_pairs","q12_compare_diff","q52_approx_quantiles","q53_funnel","q54_incremental_agg","q55_group_sample","q59_repetition","q60_cms_freq","q62_quantized_ann","q63_bloom_join").foreach(show)
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary","q02_filter_pushdown","q03_join_revenue","q04_broadcast_join","q05_anti_join","q07_dedup_latest","q22_jaccard_pairs","q25_ann_topk","q42_asof_join","q43_band_join","q44_resample","q45_cosine_pairs","q12_compare_diff","q52_approx_quantiles","q53_funnel","q54_incremental_agg","q55_group_sample","q59_repetition","q60_cms_freq","q62_quantized_ann","q63_bloom_join")
+    names.foreach(show)
     spark.stop()
   }
 }
