@@ -260,6 +260,65 @@ object ScaleIdx {
   }
 }
 
+/** Round-12 probe: the payload-partitioned store lever (DESIGN note 30).
+  * Claim under test: lifting a dominant filter attribute into the
+  * directory layout turns the filter into FILE-LISTING pruning — the scan
+  * plans only the matching label's leaf directories — where the row-level
+  * payload store plans every probed cell's files and filters inside them.
+  * Reported per store: query wall time AND the planned scan BYTES (the
+  * number that scales: both stores prune to the probed cells' leaves, but
+  * the partitioned store's surviving leaves hold only the matching
+  * label's rows — at 1/10 selectivity ~1/10 of the bytes ever enter the
+  * plan, invariant of corpus size).
+  */
+object ScaleFilt {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val e1 = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+    val e8 = (0 until 8).map(i => e1.select(
+      (col("vec_id") + lit(i * 1000000)).as("vec_id"),
+      col("embedding"), col("label"))).reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    def plannedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      df.count()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+        .map(_.selectedPartitions.totalFileSize).max
+    }
+    val root = java.nio.file.Files.createTempDirectory("scale_filt").toString
+    for ((tag, df) <- Seq("1x" -> e1, "8x" -> e8)) {
+      val idx = operators.Ivf.build(df, 16, trainSample = 10000,
+        payload = Seq("label"))
+      operators.Ivf.write(idx, s"$root/$tag/row")
+      operators.Ivf.write(idx, s"$root/$tag/part",
+        partitionPayload = Seq("label"))
+      val qs = df.where(col("vec_id") % 500 === 0)
+      for (kind <- Seq("row", "part")) {
+        val op = operators.Ivf.open(spark, s"$root/$tag/$kind")
+        def q() = operators.Ivf.query(op, qs, k = 10, nProbe = 4,
+          filter = Some(col("label") === 3))
+        time(s"filt_${kind}_$tag")(q().count())
+        println(s"SCALE filt_${kind}_$tag planned_bytes=${plannedBytes(q())}")
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** Round-11 probes: the CCNet bucketing pair (window-exact vs
   * KLL-threshold) and the contamination report. The claim under test:
   * `exact`'s per-language window concentrates each language into ONE task,
