@@ -283,20 +283,8 @@ object ScaleFilt {
       println(f"SCALE $name rows=$n%d t=${(System.nanoTime()-t0)/1e9}%.2f")
     }
     def plannedBytes(df: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       df.count()
-      def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
-        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        self ++ kids.flatMap(scans)
-      }
-      scans(df.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+      graft.util.PlanScans.fileScansOf(df, "cells")
         .map(_.selectedPartitions.totalFileSize).max
     }
     val root = java.nio.file.Files.createTempDirectory("scale_filt").toString

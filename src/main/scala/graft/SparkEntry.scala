@@ -1343,7 +1343,7 @@ object SparkEntry {
       val path = cachedIndexDir(s, dir, "documents", "bm25")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params/_SUCCESS")))
         operators.Bm25.write(
           operators.Bm25.buildIndex(docs, "doc_id", "text"), path)
       val qs = docs.where(col("doc_id") % 97 === 0)
@@ -1625,7 +1625,11 @@ object SparkEntry {
       val path = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")))
+      // rebuild guards key on the LAST artifact each writer produces
+      // (Ivf.write: cells -> centroids -> layout; Bm25.write: postings ->
+      // stats -> params) so a crash mid-write re-enters the build branch
+      // instead of wedging the cache on a half-written store
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/layout/_SUCCESS")))
         Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
           payload = Seq("label")), path)
       val idx = Ivf.open(s, path)
@@ -1646,7 +1650,7 @@ object SparkEntry {
       val bmPath = cachedIndexDir(s, dir, "documents", "bm25")
       val fs = new org.apache.hadoop.fs.Path(bmPath)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$bmPath/stats/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$bmPath/params/_SUCCESS")))
         operators.Bm25.write(
           operators.Bm25.buildIndex(docs, "doc_id", "text"), bmPath)
       val qs = docs.where(col("doc_id") % 97 === 0)
@@ -1660,7 +1664,7 @@ object SparkEntry {
       val ivfPath = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
       val ifs = new org.apache.hadoop.fs.Path(ivfPath)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!ifs.exists(new org.apache.hadoop.fs.Path(s"$ivfPath/cells/_SUCCESS")))
+      if (!ifs.exists(new org.apache.hadoop.fs.Path(s"$ivfPath/layout/_SUCCESS")))
         Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
           payload = Seq("label")), ivfPath)
       val dense = Ivf.query(Ivf.open(s, ivfPath),
@@ -1768,7 +1772,7 @@ object SparkEntry {
       val path = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/layout/_SUCCESS")))
         Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
           payload = Seq("label")), path)
       val idx = Ivf.open(s, path)

@@ -57,25 +57,71 @@ object Ivf {
       .partitionBy(partitionPayload :+ "cell" :+ "batch_id": _*)
       .parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    if (partitionPayload.nonEmpty) {
-      val s = index.assigned.sparkSession
-      import s.implicits._
-      partitionPayload.zipWithIndex.toDF("part_col", "pos")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
+    writeLayout(index.assigned, path, partitionPayload,
+      reserved = Set("id", "emb", "cell"))
+  }
+
+  /** Persist the store's layout manifest: the partition-payload column
+    * order AND every payload column's name + type. Appends read this in
+    * O(1) instead of re-listing the whole cells directory for its schema
+    * (a payload-partitioned 100 TB store has tens of thousands of leaf
+    * dirs), and the type record lets [[resolvePayload]] reject a
+    * type-mismatched batch at append time. Written UNCONDITIONALLY — a
+    * default-layout rewrite over a previously partitioned store must
+    * replace the stale marker, or later appends would resurrect the old
+    * directory layout and corrupt partition discovery.
+    */
+  private[operators] def writeLayout(assigned: DataFrame, path: String,
+      partitionPayload: Seq[String], reserved: Set[String]): Unit = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val payloadTypes = assigned.schema.fields
+      .filterNot(f => reserved(f.name))
+      .map(f => (f.name, f.dataType.catalogString)).toMap
+    val rows = partitionPayload.zipWithIndex.map { case (c, i) =>
+      (c, i, true, payloadTypes.getOrElse(c, "")) } ++
+      payloadTypes.keys.toSeq.sorted.filterNot(partitionPayload.contains)
+        .zipWithIndex.map { case (c, i) =>
+          (c, partitionPayload.size + i, false, payloadTypes(c)) }
+    rows.toDF("part_col", "pos", "lifted", "ddl_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
+  }
+
+  private case class Layout(lifted: Seq[String], types: Map[String, String])
+
+  /** The layout manifest of a persisted store. Falls back to deriving
+    * payload names from the cells schema for stores written before the
+    * manifest carried types (pre-r12 layout files or none at all).
+    */
+  private def readLayout(spark: SparkSession, path: String,
+                         reserved: Set[String]): Layout = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val rows = spark.read.parquet(s"$path/layout").collect()
+      if (rows.nonEmpty && rows.head.schema.fieldNames.contains("lifted")) {
+        val sorted = rows.sortBy(_.getAs[Int]("pos"))
+        return Layout(
+          sorted.filter(_.getAs[Boolean]("lifted"))
+            .map(_.getAs[String]("part_col")).toSeq,
+          sorted.map(r => r.getAs[String]("part_col") ->
+            r.getAs[String]("ddl_type")).toMap.filter(_._2.nonEmpty))
+      }
+      // pre-r12 marker: lifted columns only, no types
+      return Layout(rows.sortBy(_.getAs[Int]("pos"))
+        .map(_.getAs[String]("part_col")).toSeq, Map.empty)
     }
+    // no marker: derive payload names (typed) from the cells schema
+    Layout(Nil, spark.read.parquet(s"$path/cells").schema.fields
+      .filterNot(f => reserved(f.name) || f.name == "batch_id")
+      .map(f => f.name -> f.dataType.catalogString).toMap)
   }
 
   /** The partition-payload layout a store was written with (empty for the
-    * default `cell/batch_id` layout) — one tiny parquet read, only done by
-    * the write-side paths ([[append]], [[compactTo]]).
+    * default `cell/batch_id` layout).
     */
-  private[operators] def storedLayout(spark: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Nil
-    else spark.read.parquet(s"$path/layout").collect()
-      .sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("part_col")).toSeq
-  }
+  private[operators] def storedLayout(spark: SparkSession, path: String): Seq[String] =
+    readLayout(spark, path, Set("id", "emb", "cell")).lifted
 
   /** Open a persisted index. The `cells` scan keeps `cell` as a partition
     * column, so [[query]]'s probed-cell filter prunes whole directories at
@@ -118,7 +164,7 @@ object Ivf {
     // surface those rows with null payload — and a later filtered query
     // would silently drop every one of them. Default (Nil) auto-carries the
     // stored payload set; an explicit mismatch fails loudly.
-    val pay = resolvePayload(spark, path, payload, df.columns.toSet,
+    val pay = resolvePayload(spark, path, payload, df,
       reserved = Set("id", "emb", "cell", "batch_id"))
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
@@ -136,31 +182,44 @@ object Ivf {
       .partitionBy(layout :+ "cell" :+ "batch_id": _*).parquet(s"$path/cells")
   }
 
-  /** The payload columns a persisted cells store carries (everything beyond
-    * the fixed layout columns), reconciled against an append's `payload`
-    * argument: empty means carry the stored set; non-empty must MATCH it
-    * (the store's schema is the contract — parquet cells are read without
-    * mergeSchema, so a narrower append would surface null payloads and a
-    * wider one would be silently dropped on read). Also verifies the
-    * appended frame actually has the columns, so the failure names the
-    * store instead of surfacing as a generic unresolved-column error.
+  /** The payload columns a persisted cells store carries (from the layout
+    * manifest — O(1), no cells listing; schema-derived for pre-manifest
+    * stores), reconciled against an append's `payload` argument: empty
+    * means carry the stored set; non-empty must MATCH it (the store's
+    * schema is the contract — parquet cells are read without mergeSchema,
+    * so a narrower append would surface null payloads and a wider one
+    * would be silently dropped on read). Also verifies the appended frame
+    * has the columns AT THE STORED TYPES, so both the missing-column and
+    * the type-conflict failure happen loudly at append time, naming the
+    * store — not at some later read as a schema-convert exception.
     */
   private[operators] def resolvePayload(spark: SparkSession, path: String,
-      payload: Seq[String], dfCols: Set[String],
+      payload: Seq[String], df: DataFrame,
       reserved: Set[String]): Seq[String] = {
-    val stored = spark.read.parquet(s"$path/cells").schema.fieldNames
-      .filterNot(reserved).toSeq
+    val layout = readLayout(spark, path, reserved)
+    val stored = layout.types.keys.toSeq.sorted
     val pay = if (payload.isEmpty) stored else payload
     require(pay.toSet == stored.toSet,
       s"append payload ${pay.sorted.mkString("[", ",", "]")} does not match " +
-      s"the store's payload columns ${stored.sorted.mkString("[", ",", "]")} " +
+      s"the store's payload columns ${stored.mkString("[", ",", "]")} " +
       s"at $path/cells — appended rows would read back with null payload " +
       "and silently vanish from filtered queries; pass the stored payload " +
       "set (or Nil to auto-carry it)")
+    val dfCols = df.columns.toSet
     val missing = stored.filterNot(dfCols)
     require(missing.isEmpty,
       s"appended batch lacks the store's payload column(s) " +
-      s"${missing.sorted.mkString("[", ",", "]")} required by $path/cells")
+      s"${missing.mkString("[", ",", "]")} required by $path/cells")
+    val mismatched = stored.flatMap { c =>
+      val got = df.schema(c).dataType.catalogString
+      layout.types.get(c).filter(t => t.nonEmpty && t != got)
+        .map(t => s"$c (store: $t, batch: $got)")
+    }
+    require(mismatched.isEmpty,
+      s"appended batch's payload type(s) conflict with the store at " +
+      s"$path/cells: ${mismatched.mkString("; ")} — cells are read " +
+      "without mergeSchema, so the store would become unreadable at " +
+      "query time; cast the batch to the stored type(s)")
     pay
   }
 

@@ -56,11 +56,12 @@ object IvfPq {
       .partitionBy(partitionPayload :+ "cell" :+ "batch_id": _*)
       .parquet(s"$path/cells")
     index.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // unconditional manifest write (as Ivf.write): a default-layout rewrite
+    // must replace a stale partitioned-layout marker
+    Ivf.writeLayout(index.coded, path, partitionPayload,
+      reserved = Set("id", "emb", "cell", "codes"))
     val s = index.coded.sparkSession
     import s.implicits._
-    if (partitionPayload.nonEmpty)
-      partitionPayload.zipWithIndex.toDF("part_col", "pos")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
     index.cb.centers.zipWithIndex
       .flatMap { case (cs, mi) => cs.zipWithIndex.map { case (c, j) => (mi, j, c) } }
       .toDF("mi", "j", "center")
@@ -107,7 +108,7 @@ object IvfPq {
     graft.GraftFunctions.register(spark)
     // store-defined payload contract, as [[Ivf.append]] — a narrower append
     // would read back with null payloads and vanish from filtered queries
-    val pay = Ivf.resolvePayload(spark, path, payload, df.columns.toSet,
+    val pay = Ivf.resolvePayload(spark, path, payload, df,
       reserved = Set("id", "emb", "cell", "batch_id", "codes"))
     val cb = readCodebooks(spark, path)
     val centers = spark.read.parquet(s"$path/centroids")

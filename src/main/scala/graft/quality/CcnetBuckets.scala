@@ -51,17 +51,42 @@ object CcnetBuckets {
     */
   val ExactPathMaxParts = 256
 
-  /** Loud guard for the exact formulations: inspecting the partition count
-    * costs plan materialization only (no job). A global-sort path applied
-    * to a corpus-sized input should fail with an actionable message, not
-    * grind one task for hours.
+  /** Loud guard for the exact formulations: a global-sort path applied to
+    * a corpus-sized input should fail with an actionable message, not
+    * grind one task for hours. The scale estimate is STATIC — read off the
+    * optimized LOGICAL plan, never executed: `df.rdd` would go through
+    * AdaptiveSparkPlanExec, which materializes every upstream query stage
+    * (i.e. RUNS the input's shuffle jobs) just to finalize the plan — the
+    * guard would execute a corpus-scale job to decide whether to refuse
+    * one. Three job-free signals, max wins: explicit repartition counts in
+    * the lineage, leaf-scan bytes over `maxPartitionBytes` (file listing
+    * only), and — when any wide operator is present — the session's
+    * configured shuffle width (a cluster tuned for corpus work announces
+    * itself through `spark.sql.shuffle.partitions`).
     */
   private[quality] def guardExactPath(df: DataFrame, what: String,
                                       alt: String, maxParts: Int): Unit = {
-    val n = df.rdd.getNumPartitions
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val conf = df.sparkSession.sessionState.conf
+    val plan = df.queryExecution.optimizedPlan
+    val explicit = plan.collect {
+      case r: Repartition => r.numPartitions.toLong
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(0).toLong
+    }
+    val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    val leafParts =
+      (leafBytes / BigInt(math.max(1L, conf.filesMaxPartitionBytes))).toLong + 1
+    val wide = plan.collectFirst {
+      case p @ (_: Join | _: Aggregate |
+                _: org.apache.spark.sql.catalyst.plans.logical.Window |
+                _: Sort) => p
+    }.isDefined
+    val n = (explicit ++ Seq(leafParts) ++
+      (if (wide) Seq(conf.numShufflePartitions.toLong) else Nil)).max
     require(n <= maxParts,
       s"$what is the gate/modest-corpus formulation — its window collapses " +
-      s"each partition key to ONE task and cannot scale to an input of $n " +
+      s"each partition key to ONE task and cannot scale to an input of ~$n " +
       s"partitions (cap $maxParts). Use $alt (the KLL-sketch scale path), " +
       "or raise maxParts for a deliberate measurement.")
   }

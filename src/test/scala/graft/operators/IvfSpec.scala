@@ -48,8 +48,6 @@ class IvfSpec extends SparkSpec {
   }
 
   test("persisted index: a query reads ONLY the probed cells' files") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     // 4 well-separated clusters, 25 points each
     def v(axis: Int, i: Int): Array[Float] = {
       val a = Array.fill(8)(0.01f * ((i * 3) % 4))
@@ -76,17 +74,7 @@ class IvfSpec extends SparkSpec {
     // the proof: the cells scan planned files from exactly ONE cell
     // directory out of 4 — partition pruning from the static probed-cell
     // filter, the read path a 1000-executor query depends on
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
-      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(scans)
-    }
-    val cellScans = scans(res.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    val cellScans = graft.util.PlanScans.fileScansOf(res, "cells")
     assert(cellScans.nonEmpty, "expected a parquet scan of the persisted cells")
     val cellDirs = new File(s"$tmp/cells").listFiles()
       .filter(_.getName.startsWith("cell="))
@@ -150,8 +138,6 @@ class IvfSpec extends SparkSpec {
   }
 
   test("payload-partitioned store: filter prunes label directories at the scan; layout survives append+compact") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.functions._
     def v(axis: Int, i: Int): Array[Float] = {
       val a = Array.fill(8)(0.01f * ((i * 3) % 4))
@@ -184,17 +170,7 @@ class IvfSpec extends SparkSpec {
     // the lever's proof: the cells scan plans files from exactly ONE
     // (label, cell) leaf out of 2 labels x 4 cells = 8 — the filter
     // attribute prunes DIRECTORIES, not just row groups
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
-      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(scans)
-    }
-    val cellScans = scans(res.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    val cellScans = graft.util.PlanScans.fileScansOf(res, "cells")
     assert(cellScans.nonEmpty)
     val planned = cellScans.map(_.selectedPartitions.partitionCount).max
     assert(planned === 1,
@@ -218,6 +194,43 @@ class IvfSpec extends SparkSpec {
         corpus.union(batch).where(col("label") === 1), k = 3)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     assert(after === wantAll, "compacted store answers over base + append")
+  }
+
+  test("default-layout rewrite replaces a stale partitioned layout; type-mismatched appends rejected") {
+    import org.apache.spark.sql.functions._
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5)); a(0) = 1.0f + 0.01f * i; a
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, v(i), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("ivf_relayout").toString
+    Ivf.write(Ivf.build(corpus, nCells = 2, payload = Seq("label")), dir,
+      partitionPayload = Seq("label"))
+    assert(Ivf.storedLayout(spark, dir) === Seq("label"))
+    // the documented rebuild path: build + write at the SAME path with the
+    // default layout — the stale marker must be replaced, or the next
+    // append would resurrect label dirs inside a flat store and corrupt
+    // partition discovery
+    Ivf.write(Ivf.build(corpus, nCells = 2, payload = Seq("label")), dir)
+    assert(Ivf.storedLayout(spark, dir) === Nil,
+      "default-layout rewrite must clear the lifted-column marker")
+    assert(!new File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("label=")), "cells flat after rewrite")
+    val batch = Seq((9000L, v(99), 1)).toDF("vec_id", "embedding", "label")
+    Ivf.append(batch, dir, batchId = 1)
+    assert(!new File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("label=")),
+      "append must follow the rewritten (flat) layout")
+    assert(Ivf.open(spark, dir).assigned.count() === 41)
+    // type contract: a batch whose payload column type conflicts with the
+    // base build is rejected AT APPEND TIME (a landed append would poison
+    // every later read — cells are read without mergeSchema)
+    val bad = Seq((9001L, v(98), 1L)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.append(bad, dir, batchId = 2)
+    }
+    assert(e.getMessage.contains("type") && e.getMessage.contains("label"),
+      s"names the conflict: ${e.getMessage}")
   }
 
   test("query shuffles k-capped heaps, not scored candidates") {
