@@ -233,6 +233,33 @@ class IvfSpec extends SparkSpec {
       s"names the conflict: ${e.getMessage}")
   }
 
+  test("pre-manifest store (no layout dir): appends fall back to the cells schema") {
+    import org.apache.spark.sql.functions._
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.02f * ((i * 7) % 5)); a(0) = 1.0f + 0.01f * i; a
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, v(i), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("ivf_premanifest").toString
+    Ivf.write(Ivf.build(corpus, nCells = 2, payload = Seq("label")), dir)
+    // simulate a store written before the layout manifest existed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/layout"), true)
+    // auto-carry still works (payload derived from the cells schema) and
+    // so do the loud failures
+    intercept[IllegalArgumentException] {
+      Ivf.append(Seq((900L, v(50))).toDF("vec_id", "embedding"),
+        dir, batchId = 1)
+    }
+    Ivf.append(Seq((900L, v(50), 0)).toDF("vec_id", "embedding", "label"),
+      dir, batchId = 1)
+    val after = Ivf.open(spark, dir)
+    assert(after.assigned.count() === 31)
+    assert(after.assigned.where(col("id") === 900L)
+      .head().getAs[Int]("label") === 0)
+  }
+
   test("query shuffles k-capped heaps, not scored candidates") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
