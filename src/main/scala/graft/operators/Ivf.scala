@@ -57,8 +57,11 @@ object Ivf {
       .partitionBy(partitionPayload :+ "cell" :+ "batch_id": _*)
       .parquet(s"$path/cells")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // batch_id is reserved too: an index re-opened from disk carries it as
+    // a partition column, and recording it as payload would make every
+    // later append demand a batch_id column and fail (the compactTo path)
     writeLayout(index.assigned, path, partitionPayload,
-      reserved = Set("id", "emb", "cell"))
+      reserved = Set("id", "emb", "cell", "batch_id"))
   }
 
   /** Persist the store's layout manifest: the partition-payload column
@@ -90,11 +93,17 @@ object Ivf {
   private case class Layout(lifted: Seq[String], types: Map[String, String])
 
   /** The layout manifest of a persisted store. Falls back to deriving
-    * payload names from the cells schema for stores written before the
-    * manifest carried types (pre-r12 layout files or none at all).
+    * payload names AND types from the cells schema for stores written
+    * before the manifest carried types — both the pre-r12 marker (lifted
+    * columns only) and no marker at all. The fallback pays a cells
+    * partition-discovery listing; r12+ stores never do.
     */
   private def readLayout(spark: SparkSession, path: String,
                          reserved: Set[String]): Layout = {
+    def schemaTypes: Map[String, String] =
+      spark.read.parquet(s"$path/cells").schema.fields
+        .filterNot(f => reserved(f.name) || f.name == "batch_id")
+        .map(f => f.name -> f.dataType.catalogString).toMap
     val p = new org.apache.hadoop.fs.Path(s"$path/layout")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) {
@@ -107,14 +116,13 @@ object Ivf {
           sorted.map(r => r.getAs[String]("part_col") ->
             r.getAs[String]("ddl_type")).toMap.filter(_._2.nonEmpty))
       }
-      // pre-r12 marker: lifted columns only, no types
+      // pre-r12 marker: lifted column names only — the payload set and
+      // types still come from the cells schema, or appends to an old
+      // payload-partitioned store would see an empty payload contract
       return Layout(rows.sortBy(_.getAs[Int]("pos"))
-        .map(_.getAs[String]("part_col")).toSeq, Map.empty)
+        .map(_.getAs[String]("part_col")).toSeq, schemaTypes)
     }
-    // no marker: derive payload names (typed) from the cells schema
-    Layout(Nil, spark.read.parquet(s"$path/cells").schema.fields
-      .filterNot(f => reserved(f.name) || f.name == "batch_id")
-      .map(f => f.name -> f.dataType.catalogString).toMap)
+    Layout(Nil, schemaTypes)
   }
 
   /** The partition-payload layout a store was written with (empty for the
@@ -164,15 +172,14 @@ object Ivf {
     // surface those rows with null payload — and a later filtered query
     // would silently drop every one of them. Default (Nil) auto-carries the
     // stored payload set; an explicit mismatch fails loudly.
-    val pay = resolvePayload(spark, path, payload, df,
+    // resolvePayload also hands back the store's directory layout, so a
+    // payload-partitioned store keeps its lifted columns outermost
+    val (pay, layout) = resolvePayload(spark, path, payload, df,
       reserved = Set("id", "emb", "cell", "batch_id"))
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    // preserve the store's directory layout: a payload-partitioned store
-    // (see write's partitionPayload) keeps its lifted columns outermost
-    val layout = storedLayout(spark, path)
     df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", assignCell(col("emb"), centers))
       .withColumn("batch_id", lit(batchId))
@@ -192,10 +199,12 @@ object Ivf {
     * has the columns AT THE STORED TYPES, so both the missing-column and
     * the type-conflict failure happen loudly at append time, naming the
     * store — not at some later read as a schema-convert exception.
+    * Returns `(payload columns, lifted partition layout)` so the append
+    * paths read the manifest once, not twice.
     */
   private[operators] def resolvePayload(spark: SparkSession, path: String,
       payload: Seq[String], df: DataFrame,
-      reserved: Set[String]): Seq[String] = {
+      reserved: Set[String]): (Seq[String], Seq[String]) = {
     val layout = readLayout(spark, path, reserved)
     val stored = layout.types.keys.toSeq.sorted
     val pay = if (payload.isEmpty) stored else payload
@@ -220,7 +229,7 @@ object Ivf {
       s"$path/cells: ${mismatched.mkString("; ")} — cells are read " +
       "without mergeSchema, so the store would become unreadable at " +
       "query time; cast the batch to the stored type(s)")
-    pay
+    (pay, layout.lifted)
   }
 
   /** Rewrite a persisted index into a fresh fully-compacted store at
@@ -232,10 +241,31 @@ object Ivf {
     * Writes to a NEW directory rather than in place: an in-place rewrite
     * is not atomic on object stores, so the swap belongs to the caller's
     * snapshot/publish step (see [[graft.pipeline.Snapshots]]). A
-    * payload-partitioned layout carries through to the compacted store.
+    * payload-partitioned layout carries through to the compacted store,
+    * and the source's layout MANIFEST is copied verbatim when it carries
+    * types: regenerating it from the re-opened store would re-derive
+    * lifted-column types from partition-directory inference (a bigint
+    * label read back as int), and later appends would then be rejected as
+    * type conflicts.
     */
-  def compactTo(spark: SparkSession, path: String, dest: String): Unit =
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit = {
     write(open(spark, path), dest, storedLayout(spark, path))
+    copyLayoutManifest(spark, path, dest)
+  }
+
+  /** Overwrite `dest/layout` with `src/layout` when the source manifest
+    * carries types (r12+ format) — see [[compactTo]].
+    */
+  private[operators] def copyLayoutManifest(spark: SparkSession,
+      src: String, dest: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$src/layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val m = spark.read.parquet(s"$src/layout")
+      if (m.schema.fieldNames.contains("ddl_type"))
+        m.coalesce(1).write.mode("overwrite").parquet(s"$dest/layout")
+    }
+  }
 
   /** Per-cell population of an index — the drift/skew monitor [[append]]'s
     * no-retrain contract tells operators to watch: `(cell, n)` plus the

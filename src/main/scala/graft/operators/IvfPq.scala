@@ -57,9 +57,10 @@ object IvfPq {
       .parquet(s"$path/cells")
     index.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // unconditional manifest write (as Ivf.write): a default-layout rewrite
-    // must replace a stale partitioned-layout marker
+    // must replace a stale partitioned-layout marker. batch_id reserved for
+    // the same reason as Ivf.write — a re-opened index carries it
     Ivf.writeLayout(index.coded, path, partitionPayload,
-      reserved = Set("id", "emb", "cell", "codes"))
+      reserved = Set("id", "emb", "cell", "codes", "batch_id"))
     val s = index.coded.sparkSession
     import s.implicits._
     index.cb.centers.zipWithIndex
@@ -108,15 +109,14 @@ object IvfPq {
     graft.GraftFunctions.register(spark)
     // store-defined payload contract, as [[Ivf.append]] — a narrower append
     // would read back with null payloads and vanish from filtered queries
-    val pay = Ivf.resolvePayload(spark, path, payload, df,
+    // resolvePayload also returns the store's lifted directory layout
+    val (pay, layout) = Ivf.resolvePayload(spark, path, payload, df,
       reserved = Set("id", "emb", "cell", "batch_id", "codes"))
     val cb = readCodebooks(spark, path)
     val centers = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2)
-    // preserve a payload-partitioned store's directory layout (see write)
-    val layout = Ivf.storedLayout(spark, path)
     df.select(col(id).as("id") +: col(vec).as("emb") +: pay.map(col): _*)
       .withColumn("cell", Ivf.assignCell(col("emb"), centers))
       .withColumn("codes", Pq.encodeExpr(normalizeFast(col("emb")), cb))
@@ -132,10 +132,13 @@ object IvfPq {
     * coded layout (cells collapse to batch 0, one co-located shuffle
     * partition per cell; centroids/codebooks/params copied through).
     * Writes to a NEW directory; the atomic swap is the caller's
-    * snapshot/publish step. A payload-partitioned layout carries through.
+    * snapshot/publish step. A payload-partitioned layout carries through;
+    * the source manifest is copied verbatim (see [[Ivf.compactTo]]).
     */
-  def compactTo(spark: SparkSession, path: String, dest: String): Unit =
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit = {
     write(open(spark, path), dest, Ivf.storedLayout(spark, path))
+    Ivf.copyLayoutManifest(spark, path, dest)
+  }
 
   /** Top-k per query: probe → ADC within probed cells → exact rerank.
     * Output `(q_id, n_id, sim, rank)`. `pruneCells` pushes the probed cell

@@ -58,11 +58,15 @@ object CcnetBuckets {
     * AdaptiveSparkPlanExec, which materializes every upstream query stage
     * (i.e. RUNS the input's shuffle jobs) just to finalize the plan — the
     * guard would execute a corpus-scale job to decide whether to refuse
-    * one. Three job-free signals, max wins: explicit repartition counts in
-    * the lineage, leaf-scan bytes over `maxPartitionBytes` (file listing
-    * only), and — when any wide operator is present — the session's
-    * configured shuffle width (a cluster tuned for corpus work announces
-    * itself through `spark.sql.shuffle.partitions`).
+    * one. Two job-free signals, max wins: explicit repartition counts in
+    * the lineage, and leaf-scan bytes over `maxPartitionBytes` (file
+    * listing only) — corpus-sized inputs come from corpus-sized scans.
+    * Leaves whose stats are the UNKNOWN sentinel (`defaultSizeInBytes`,
+    * e.g. an RDD-backed frame or a checkpoint) are excluded rather than
+    * treated as infinite: a refusal the override cannot clear is worse
+    * than trusting the remaining signals. The session's shuffle width is
+    * deliberately NOT a signal — a corpus-tuned cluster running a
+    * gate-sized input through the exact path is legitimate.
     */
   private[quality] def guardExactPath(df: DataFrame, what: String,
                                       alt: String, maxParts: Int): Unit = {
@@ -74,16 +78,12 @@ object CcnetBuckets {
       case r: RepartitionByExpression =>
         r.optNumPartitions.getOrElse(0).toLong
     }
-    val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    val unknown = BigInt(conf.defaultSizeInBytes)
+    val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes)
+      .filter(_ < unknown).sum
     val leafParts =
       (leafBytes / BigInt(math.max(1L, conf.filesMaxPartitionBytes))).toLong + 1
-    val wide = plan.collectFirst {
-      case p @ (_: Join | _: Aggregate |
-                _: org.apache.spark.sql.catalyst.plans.logical.Window |
-                _: Sort) => p
-    }.isDefined
-    val n = (explicit ++ Seq(leafParts) ++
-      (if (wide) Seq(conf.numShufflePartitions.toLong) else Nil)).max
+    val n = (explicit :+ leafParts).max
     require(n <= maxParts,
       s"$what is the gate/modest-corpus formulation — its window collapses " +
       s"each partition key to ONE task and cannot scale to an input of ~$n " +

@@ -81,6 +81,13 @@ class IvfPqSpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (got & brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"filtered recall $recall")
+    // the lifecycle continues on the compacted store (manifest must not
+    // have picked up batch_id or partition-inferred types)
+    IvfPq.append(labeled.where(col("vec_id") === 0L)
+      .withColumn("vec_id", col("vec_id") + 9000L), dest, batchId = 1)
+    assert(IvfPq.open(spark, dest).coded
+      .where(col("id") === 9000L).count() === 1,
+      "append after compactTo must keep working")
   }
 
   test("compactTo rewrites the coded store; query answers unchanged") {

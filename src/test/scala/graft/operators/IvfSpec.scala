@@ -194,6 +194,18 @@ class IvfSpec extends SparkSpec {
         corpus.union(batch).where(col("label") === 1), k = 3)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     assert(after === wantAll, "compacted store answers over base + append")
+
+    // the daily-ingest lifecycle continues on the COMPACTED store: its
+    // regenerated manifest must carry the same payload contract (and must
+    // NOT have recorded batch_id — a re-opened index carries it as a
+    // partition column)
+    val day2 = Seq((9100L, v(3, 13), 0)).toDF("vec_id", "embedding", "label")
+    Ivf.append(day2, dest, batchId = 1)
+    val compactedPlus = Ivf.open(spark, dest).assigned
+    assert(compactedPlus.where(col("id") === 9100L).count() === 1,
+      "append after compactTo must keep working")
+    assert(compactedPlus.where(col("id") === 9100L)
+      .head().getAs[Int]("label") === 0)
   }
 
   test("default-layout rewrite replaces a stale partitioned layout; type-mismatched appends rejected") {
