@@ -1852,6 +1852,17 @@ object SparkEntry {
         viaLatest.collect().toSeq
       viaLatest.withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
+    }),
+
+    // --- cross-document duplicated-SPAN report (Lee et al. 2021's
+    // substring dedup, windowed re-expression): how much of each document
+    // is a k-token run that also appears in another document — the
+    // span-level signal whole-doc MinHash cannot see. Within-doc repeats
+    // are exempt by construction (q59's repetition operator owns those) ---
+    "q107_substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.SubstringDedup.report(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -3254,6 +3265,30 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim,
         |  true AS version_ok, true AS paths_equal
-        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // q107: every 8-token window with its position; a window is duplicated
+    // when its gram occurs in >=2 DISTINCT docs; covered tokens = union of
+    // the fixed-length intervals = sum of min(k, nextStart - start)
+    "q107_substring_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |d AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |       FROM w JOIN d USING (g)),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_dup,
+        |          SUM(LEAST(8, COALESCE(nxt - i, 8))) AS covered
+        |        FROM dw GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |           CAST(GREATEST(len(ts) - 7, 0) AS BIGINT) AS n_windows FROM tok)
+        |SELECT b.doc_id, b.n_tokens, b.n_windows,
+        |  CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b.n_tokens, 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
 }
