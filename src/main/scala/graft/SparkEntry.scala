@@ -1863,6 +1863,36 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       operators.SubstringDedup.report(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
+    }),
+
+    // --- BPE round-0 pair statistics: the distributed primitive every
+    // merge round of tokenizer training re-runs — frequency-weighted
+    // adjacent-symbol counts over the vocab table (one corpus scan total;
+    // training never touches the corpus again) ---
+    "q108_bpe_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Bpe.pairCounts(operators.Bpe.initialWords(docs, "text"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(50)
+    }),
+
+    // --- BPE end-to-end: train 40 merges on the corpus, encode every doc
+    // via the broadcast distinct-vocab join, decode back — the roundtrip
+    // identity is exact by construction and the piece stream must compress
+    // vs character level (constant-true booleans the oracle restates) ---
+    "q109_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.train(docs, "text", numMerges = 40)
+      val base = size(tokens(col("text"))) +
+        aggregate(tokens(col("text")), lit(0), (acc, w) => acc + length(w))
+      docs.join(operators.Bpe.encode(docs, "doc_id", "text", merges), Seq("doc_id"))
+        .select(
+          (operators.Bpe.decode(col("pieces")) ===
+            concat_ws(" ", tokens(col("text")))).as("rt"),
+          size(col("pieces")).cast("long").as("np"),
+          base.cast("long").as("nb"))
+        .agg(count(lit(1)).as("n_docs"), min("rt").as("all_roundtrip"),
+          (sum("np") < sum("nb")).as("compressed"))
     })
   )
 
@@ -3289,6 +3319,25 @@ object SparkEntry {
         |  CASE WHEN b.n_tokens > 0
         |    THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b.n_tokens, 6)
         |    ELSE 0.0 END AS dup_frac
-        |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin
+        |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // q108: characters + the </w> sentinel per distinct word, adjacent
+    // pairs weighted by word frequency; full (cnt desc, a, b) tie-break
+    // makes the LIMIT 50 cut deterministic in both engines
+    "q108_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |sy AS (SELECT c, list_append(regexp_extract_all(w, '.'), '</w>') AS s FROM wc),
+        |pr AS (SELECT s[i] AS a, s[i+1] AS b, c FROM sy,
+        |       UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+        |pc AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM pr GROUP BY a, b)
+        |SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    // q109: decode(encode(x)) == normalized x is exact by construction and
+    // 40 merges strictly shrink the piece stream — booleans restated as
+    // constants (q65's tolerance-gate pattern)
+    "q109_bpe_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
+        |  true AS compressed FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training and application
+  * (Sennrich et al. 2016; the subword vocabulary step every LLM pretraining
+  * pipeline runs before packing).
+  *
+  * The scale architecture is the one real tokenizer trainers use: the corpus
+  * is scanned ONCE to build a `(word, count)` table, and every subsequent
+  * merge round runs over that VOCAB-sized table — pair statistics are
+  * word-frequency-weighted, so the corpus text never participates again.
+  * Each round is one distributed aggregation (adjacent-pair counts, map-side
+  * partials) plus a 1-row argmax collect — the driver sync point IS the
+  * algorithm (a merge decision is a global argmax), exactly [[Lloyd]]'s
+  * per-iteration shape.
+  *
+  * Merging applies the chosen pair left-to-right, non-overlapping — the
+  * standard greedy pass — expressed as a single `aggregate` fold over the
+  * symbol array (codegen-friendly, no UDF): pop the accumulator's last
+  * element when it is `a` and the incoming symbol is `b`.
+  *
+  * Encoding replays the merge list per DISTINCT word (vocab-sized work,
+  * imperative per word — the [[encodeWords]] scaladoc explains why), then
+  * the corpus encodes via a broadcast join on the word — the same
+  * distinct-words trick, so corpus cost is one explode + broadcast join
+  * however long the merge list is.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to every word's symbol sequence (the
+    * Sennrich convention — lets a trailing subword differ from the same
+    * subword mid-word, and makes decoding a pure string operation).
+    * Documents whose TEXT contains this literal string would decode
+    * ambiguously; no whitespace tokenizer output does in practice.
+    */
+  val EndOfWord = "</w>"
+
+  /** One learned merge: at `rank`, adjacent symbols `a b` fuse into `a+b`;
+    * `count` is the frequency-weighted pair count that won the round.
+    */
+  final case class Merge(rank: Int, a: String, b: String, count: Long)
+
+  /** `(word, cnt)` — the one corpus scan. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Characters of `word` plus the [[EndOfWord]] sentinel. */
+  def baseSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** `(syms, cnt)` round-0 table: every distinct word as characters. */
+  def initialWords(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .select(baseSymbols(col("word")).as("syms"), col("cnt"))
+
+  /** Frequency-weighted adjacent-pair counts over a `(syms, cnt)` table:
+    * `(a, b, cnt)`. One explode + one hash aggregation.
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("cnt"),
+        explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+
+  /** The greedy left-to-right merge of pair `(a, b)` as a Catalyst fold:
+    * append each symbol, but when the accumulator ends in `a` and the
+    * incoming symbol is `b`, replace that tail with `a+b`. Non-overlapping
+    * by construction: the fused symbol `a+b` can never equal `a` (`b` is
+    * non-empty), so a fresh fuse is never itself the left side of another.
+    */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn up to `numMerges` merges. Deterministic: the round winner is the
+    * max weighted count with `(a, b)` lexicographic tie-break; stops early
+    * when the best remaining pair falls under `minCount`.
+    *
+    * Each round re-materializes the vocab table with an eager
+    * `localCheckpoint`, TRUNCATING lineage — without it every round's plan
+    * nests the previous round's merge fold and per-round planning cost
+    * compounds until the driver dies on plan strings alone (observed: OOM
+    * in `explainString` at 20 rounds over a real vocab). Superseded
+    * checkpoint blocks are released by the ContextCleaner once the previous
+    * round's DataFrame is unreachable.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges >= 0: $numMerges")
+    var words = initialWords(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(merges.length, a, b, c)
+        words = words
+          .select(mergePair(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Replay the merge list over one word's base symbols — the same greedy
+    * fold as [[mergePair]], imperatively. Kept in lockstep with the
+    * expression (BpeSpec asserts equality), so encode-time and train-time
+    * segmentations can never diverge.
+    */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms = (word.map(_.toString) :+ EndOfWord).toVector
+    merges.foreach { m =>
+      if (syms.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == m.a && x == m.b)
+            out(out.length - 1) = m.a + m.b
+          else out += x
+        }
+        syms = out.toVector
+      }
+    }
+    syms
+  }
+
+  /** `(word, pieces)` for a `word` column of distinct words. Imperative per
+    * word ON PURPOSE: replaying N merges as nested column expressions builds
+    * an N-deep codegen tree (compile-time blowup), while this table is
+    * vocab-sized — the corpus-scale work stays declarative in [[encode]].
+    */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ms = merges
+    words.select("word").as[String]
+      .map(w => (w, encodeWord(w, ms)))
+      .toDF("word", "pieces")
+  }
+
+  /** Tokenize the corpus with a trained merge list: `(idCol, pieces)` —
+    * the document's subword sequence in order. One posexplode + broadcast
+    * join against the encoded DISTINCT vocab + per-doc reassembly; docs
+    * with no tokens get an empty piece array.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val vocab = encodeWords(
+      docs.select(explode(tokens(col(textCol))).as("word")).distinct(), merges)
+    val assembled = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "word")))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("pieces")))),
+        x => x("pieces"))).as("pieces"))
+    docs.select(col(idCol))
+      .join(assembled, Seq(idCol), "left")
+      .withColumn("pieces",
+        coalesce(col("pieces"), array().cast("array<string>")))
+  }
+
+  /** Reconstruct normalized text (lowercased, single-spaced — exactly
+    * `concat_ws(" ", tokens(text))`) from a piece sequence: concatenate,
+    * then every [[EndOfWord]] becomes a word boundary.
+    */
+  def decode(pieces: Column): Column =
+    rtrim(regexp_replace(array_join(pieces, ""), EndOfWord, " "))
+}
