@@ -1893,6 +1893,36 @@ object SparkEntry {
           base.cast("long").as("nb"))
         .agg(count(lit(1)).as("n_docs"), min("rt").as("all_roundtrip"),
           (sum("np") < sum("nb")).as("compressed"))
+    }),
+
+    // --- temperature-scaled source mixing (XLM-R/mT5 α-sampling):
+    // p_s ∝ n_s^α flattens toward uniform as α falls, budgets = ⌊total·p⌋,
+    // then the same running-sum admission as q97 — weights derived from
+    // the data, not hand-tuned ratios ---
+    "q110_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+      val budgets = operators.Mix
+        .temperatureBudgets(docs, "source", "n_tok", alpha = 0.5, totalBudget = 50000L)
+      val admitted = operators.Mix
+        .capTokens(docs, "source", "doc_id", "n_tok", budgets.select("source", "budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("adm_tokens"))
+      budgets.join(admitted, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("p"), col("budget"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("adm_tokens"), lit(0L)).as("adm_tokens"))
+        .orderBy("source")
+    }),
+
+    // --- cross-source duplication matrix (q22's exact pair table folded
+    // by source): which sources duplicate each other and how hard — the
+    // observability input to canonicalization and mix decisions; the
+    // diagonal flags sources needing within-source dedup first ---
+    "q111_cross_source_dups" -> ((s, dir) => {
+      TextDedup.crossStrataPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", shingleN = 4, threshold = 0.01)
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -3338,6 +3368,50 @@ object SparkEntry {
     // constants (q65's tolerance-gate pattern)
     "q109_bpe_roundtrip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
-        |  true AS compressed FROM documents""".stripMargin
+        |  true AS compressed FROM documents""".stripMargin,
+
+    // q110: per-source token mass, sqrt-temperature weights, floor budgets,
+    // q97's starts-under running-sum admission
+    "q110_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        |t AS (SELECT SUM(pw) AS tot FROM w),
+        |b AS (SELECT source, n_tokens, round(pw / tot, 6) AS p,
+        |        CAST(floor(pw / tot * 50000) AS BIGINT) AS budget FROM w, t),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |adm AS (SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(n_tok) AS BIGINT) AS adm_tokens
+        |        FROM c JOIN b USING (source) WHERE cum - n_tok < budget
+        |        GROUP BY c.source)
+        |SELECT b.source, b.n_tokens, b.p, b.budget,
+        |  COALESCE(adm.n_docs, 0) AS n_docs,
+        |  COALESCE(adm.adm_tokens, 0) AS adm_tokens
+        |FROM b LEFT JOIN adm USING (source) ORDER BY b.source""".stripMargin,
+
+    // q111: q22's exact inverted-index Jaccard pair table, folded into an
+    // unordered source-pair matrix; mean over exact 6-dp pair values
+    "q111_cross_source_dups" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+        |       FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 4),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+        |      FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |      WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.01),
+        |m AS (SELECT LEAST(da.source, db.source) AS src_a,
+        |        GREATEST(da.source, db.source) AS src_b, jaccard
+        |      FROM j JOIN documents da ON da.doc_id = ia
+        |             JOIN documents db ON db.doc_id = ib)
+        |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_jaccard
+        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -37,6 +37,33 @@ object Mix {
       .drop("cum", "__budget")
   }
 
+  /** Temperature-scaled mixing weights (the multilingual/data-mix α-sampling
+    * rule, cf. XLM-R / mT5: `p_s ∝ n_s^α`): α = 1 reproduces natural
+    * proportions, α → 0 flattens toward uniform, so low-resource strata are
+    * up-sampled without hand-tuned ratios. Returns one row per stratum —
+    * `(strataCol, n_tokens, p, budget)` — where `budget = ⌊totalBudget·p_s⌋`
+    * is the stratum's token quota for one epoch; feed it straight to
+    * [[capTokens]] (or sample with replacement for α-upsampled strata whose
+    * quota exceeds their supply).
+    *
+    * Scale shape: one hash aggregation to strata size, then a broadcast
+    * singleton-stat cross join for the normalizer — the strata table is
+    * small by definition.
+    */
+  def temperatureBudgets(df: DataFrame, strataCol: String, weightCol: String,
+                         alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    val perStratum = df.groupBy(strataCol)
+      .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
+      .withColumn("__pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+    perStratum
+      .crossJoin(broadcast(perStratum.agg(sum("__pw").as("__tot"))))
+      .withColumn("p", round(col("__pw") / col("__tot"), 6))
+      .withColumn("budget",
+        floor(col("__pw") / col("__tot") * totalBudget).cast("long"))
+      .drop("__pw", "__tot")
+  }
+
   /** Deterministic round-robin interleave across strata for training
     * order: adds `pos` = this row's 1-based rank within its stratum (by
     * `orderCol`); sorting the output by `(pos, strataCol)` yields an epoch

@@ -152,6 +152,37 @@ object TextDedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-strata duplication matrix: for every unordered pair of strata
+    * (sources, languages, snapshots), how many near-duplicate document
+    * pairs straddle them — `(src_a, src_b, n_pairs, mean_jaccard)` with
+    * `src_a <= src_b` (the diagonal counts within-stratum duplication).
+    * The observability step before choosing which source to trust in a
+    * mix: a web snapshot that heavily duplicates a curated source argues
+    * for canonicalizing toward the curated copy, and a high diagonal
+    * flags a source that needs within-source dedup first.
+    *
+    * Built on [[jaccardPairs]] (exact inverted-index Jaccard, posting-cap
+    * bounded); the pair table is a sliver of the corpus, so the two
+    * id→stratum joins are cheap and AQE broadcasts the pair side when it
+    * fits. `mean_jaccard` is rounded from an exact decimal accumulation so
+    * the result is aggregation-order-independent.
+    */
+  def crossStrataPairs(df: DataFrame, idCol: String, textCol: String,
+                       strataCol: String, shingleN: Int = 3,
+                       threshold: Double = 0.2,
+                       maxPostings: Int = 10000): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, shingleN, threshold, maxPostings)
+    val sa = df.select(col(idCol).as("id_a"), col(strataCol).as("__sa"))
+    val sb = df.select(col(idCol).as("id_b"), col(strataCol).as("__sb"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"))
+  }
+
   /** Global segment-level exact dedup (C4-style boilerplate removal): split
     * each document into consecutive `segN`-token segments, keep only the
     * globally FIRST occurrence of each distinct segment (first by doc id,

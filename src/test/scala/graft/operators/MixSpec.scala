@@ -48,6 +48,36 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("temperatureBudgets: alpha=1 is natural proportions, alpha<1 flattens") {
+    // web 5000 tokens, books 3000
+    def budgets(alpha: Double) =
+      Mix.temperatureBudgets(corpus, "source", "n_tok", alpha, 1000L)
+        .select("source", "n_tokens", "p", "budget")
+        .as[(String, Long, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val nat = budgets(1.0)
+    assert(nat("web") === (("web", 5000L, 0.625, 625L)))
+    assert(nat("books") === (("books", 3000L, 0.375, 375L)))
+    val sq = budgets(0.5) // sqrt weights: 70.71 / 54.77
+    assert(sq("web") === (("web", 5000L, 0.563508, 563L)))
+    assert(sq("books") === (("books", 3000L, 0.436492, 436L)))
+    // flattening is monotone in alpha
+    val flat = budgets(0.1)
+    assert(math.abs(flat("web")._3 - 0.5) < math.abs(sq("web")._3 - 0.5))
+    assert(math.abs(sq("web")._3 - 0.5) < math.abs(nat("web")._3 - 0.5))
+  }
+
+  test("temperature budgets feed capTokens directly") {
+    val b = Mix.temperatureBudgets(corpus, "source", "n_tok", 0.5, 1000L)
+    val kept = Mix.capTokens(corpus, "source", "doc_id", "n_tok",
+        b.select("source", "budget"))
+      .select("doc_id").as[Long].collect().toSet
+    // web budget 563: docs start at 0,100,...,500 -> 6 admitted
+    assert(kept.count(_ < 1000L) === 6)
+    // books budget 436: starts 0, 300 -> 2 admitted
+    assert(kept.filter(_ >= 1000L) === Set(1000L, 1001L))
+  }
+
   test("sliced running sum agrees with the single-window formulation") {
     val budgets = Seq(("web", 1050L), ("books", 600L)).toDF("source", "budget")
     for (sub <- Seq(1, 8)) {

@@ -141,4 +141,31 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.tuneBands(0.65, 16) === (4, 4))
     intercept[IllegalArgumentException](TextDedup.tuneBands(0.0, 16))
   }
+
+  test("crossStrataPairs folds the exact pair table into a source matrix") {
+    import org.apache.spark.sql.functions.col
+    val sourced = docs.withColumn("source",
+      org.apache.spark.sql.functions.when(col("doc_id").isin(1L, 3L, 4L), "A")
+        .otherwise("B"))
+    val pairSet = TextDedup.jaccardPairs(sourced, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // planted structure: 1~2, 1~7, 2~7 (near/exact cluster), 3~4
+    assert(pairSet.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (1L, 7L), (2L, 7L), (3L, 4L)))
+    val m = TextDedup.crossStrataPairs(sourced, "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.5)
+      .select("src_a", "src_b", "n_pairs", "mean_jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // sources: 1,3,4 -> A; 2,5,6,7 -> B. So (1,2)->AB (1,7)->AB (2,7)->BB (3,4)->AA
+    assert(m.keySet === Set(("A", "A"), ("A", "B"), ("B", "B")))
+    assert(m(("A", "A"))._1 === 1L && m(("B", "B"))._1 === 1L)
+    assert(m(("A", "B"))._1 === 2L)
+    // matrix means are consistent with the exact pair table
+    val ab = pairSet.filter(p => Set(p._1, p._2) != Set(3L, 4L) &&
+      Set(p._1, p._2) != Set(2L, 7L)).map(_._3)
+    assert(math.abs(m(("A", "B"))._2 - ab.sum / ab.length) < 1e-6)
+  }
 }
