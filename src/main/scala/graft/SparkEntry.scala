@@ -1923,6 +1923,15 @@ object SparkEntry {
       TextDedup.crossStrataPairs(t(s, dir, "documents"), "doc_id", "text",
           "source", shingleN = 4, threshold = 0.01)
         .orderBy("src_a", "src_b")
+    }),
+
+    // --- q107's removal path end to end: every duplicated 8-token span
+    // cut out, survivors re-joined; untouched docs keep their original
+    // text verbatim (hash-exact string reconstruction in both engines) ---
+    "q112_substring_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      operators.SubstringDedup.removeSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -3412,6 +3421,33 @@ object SparkEntry {
         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
         |    AS mean_jaccard
-        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // q112: q107's duplicated windows expanded to covered positions; docs
+    // WITH dup spans rebuild from the surviving tokens (possibly empty),
+    // docs without keep their original text byte-for-byte
+    "q112_substring_removal" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |d AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i FROM w JOIN d USING (g)),
+        |has AS (SELECT DISTINCT doc_id FROM dw),
+        |covpos AS (SELECT DISTINCT doc_id, p FROM dw,
+        |           UNNEST(generate_series(i, i + 7)) AS v(p)),
+        |pos AS (SELECT tok.doc_id, u.i AS p, ts[u.i] AS tk
+        |        FROM tok JOIN has USING (doc_id),
+        |             UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |kept AS (SELECT pos.doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
+        |         FROM pos WHERE NOT EXISTS (SELECT 1 FROM covpos c
+        |           WHERE c.doc_id = pos.doc_id AND c.p = pos.p)
+        |         GROUP BY pos.doc_id)
+        |SELECT doc.doc_id,
+        |  CASE WHEN has.doc_id IS NULL THEN doc.text
+        |       ELSE COALESCE(kept.txt, '') END AS text
+        |FROM documents doc LEFT JOIN has USING (doc_id)
+        |  LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin
   )
 }
