@@ -357,3 +357,59 @@ object ScaleCcnet {
     spark.stop()
   }
 }
+
+/** Round-12 probe: SubstringDedup's claim that shuffling 64-bit gram
+  * hashes instead of gram strings is the difference that matters at scale.
+  * Both variants run the identical pipeline (windows → per-gram distinct-doc
+  * count → semi-join back → coverage); only the shuffle key changes. A
+  * task-metrics listener totals actual shuffle-write bytes per run.
+  */
+object ScaleSubstr {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    // replicas get distinct suffixes so the natural duplicate rate is kept
+    // instead of making every window an 8-way duplicate
+    val d8 = (0 until 8).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))).reduce(_ union _)
+    // listener events drain asynchronously (the bus is private[spark]) —
+    // poll the counter until it has been stable for 500 ms
+    def settle(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get; var waited = 0
+      while (cur != prev && waited < 20000) {
+        prev = cur; Thread.sleep(500); waited += 500; cur = shuffleBytes.get
+      }
+      cur
+    }
+    def run(name: String)(f: => Long): Unit = {
+      settle(); shuffleBytes.set(0L)
+      val t0 = System.nanoTime(); val n = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name rows=$n%d t=$t%.2f shuffle_mb=${settle() / 1e6}%.1f")
+    }
+    run("warmup")(d8.count())
+    // consume EVERY output column: a bare count() lets the optimizer
+    // eliminate the coverage join entirely (left outer over an aggregated
+    // right side with no referenced columns) and measures only the scan
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      // max, not count: count(non-nullable) folds to count(*) and prunes
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__x"))
+        .agg(max("__x")).head.getLong(0)
+    // two rounds: round 0 absorbs codegen/JIT, read round 1
+    for (round <- 0 to 1; (tag, d) <- Seq("1x" -> d1, "8x" -> d8);
+         hashed <- Seq(true, false))
+      run(s"substr_${if (hashed) "hash" else "string"}_${tag}_r$round")(
+        consume(operators.SubstringDedup
+          .report(d, "doc_id", "text", k = 8, hashGrams = hashed)))
+    spark.stop()
+  }
+}

@@ -43,12 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** `(id, __pos, __h)` — every k-token window, 1-based token position. */
+  /** `(id, __pos, __h)` — every k-token window, 1-based token position.
+    * `hashGrams = false` carries the gram STRING as the key instead of its
+    * xxhash64 (collision-free at string-sized shuffle cost — the
+    * measurement is in DESIGN; ScaleSubstr is the rig).
+    */
   private def windows(df: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame =
+                      k: Int, hashGrams: Boolean): DataFrame =
     df.select(col(idCol),
         posexplode(shinglesAllFast(col(textCol), k)).as(Seq("__p0", "__g")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"), xxhash64(col("__g")).as("__h"))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"),
+        (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("__h"))
 
   /** Duplicated windows `(id, __pos)`: window k-grams occurring in at least
     * `minDocs` distinct documents. With `keepFirst` the occurrences inside
@@ -57,8 +62,9 @@ object SubstringDedup {
     * keep-one-copy variant of Lee et al.'s remove-all default).
     */
   private[operators] def dupWindows(df: DataFrame, idCol: String, textCol: String,
-                                    k: Int, minDocs: Int, keepFirst: Boolean): DataFrame = {
-    val w = windows(df, idCol, textCol, k)
+                                    k: Int, minDocs: Int, keepFirst: Boolean,
+                                    hashGrams: Boolean = true): DataFrame = {
+    val w = windows(df, idCol, textCol, k, hashGrams)
     val dup = w.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__keep"))
       .where(col("__nd") >= minDocs)
@@ -81,9 +87,10 @@ object SubstringDedup {
     * is one windowed `lead` + sum per document — no interval materialization.
     */
   def report(df: DataFrame, idCol: String, textCol: String, k: Int,
-             minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+             minDocs: Int = 2, keepFirst: Boolean = false,
+             hashGrams: Boolean = true): DataFrame = {
     val perDoc = Window.partitionBy(idCol).orderBy("__pos")
-    val cov = dupWindows(df, idCol, textCol, k, minDocs, keepFirst)
+    val cov = dupWindows(df, idCol, textCol, k, minDocs, keepFirst, hashGrams)
       .withColumn("__next", lead("__pos", 1).over(perDoc))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_dup_windows"),

@@ -83,6 +83,15 @@ class SubstringDedupSpec extends SparkSpec {
     assert(m(6L) === 3L)
   }
 
+  test("hashGrams=false (string keys) is result-identical to the hash path") {
+    val real = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def rows(hashed: Boolean) =
+      SubstringDedup.report(real, "doc_id", "text", k = 8, hashGrams = hashed)
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(true) === rows(false))
+  }
+
   test("sf0.001 corpus: real duplicated spans exist and fractions are sane") {
     val real = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
