@@ -1932,6 +1932,23 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       operators.SubstringDedup.removeSpans(docs, "doc_id", "text", k = 8)
         .orderBy("doc_id")
+    }),
+
+    // --- α-sampling with replacement (q110's other half): a hard α=0.3
+    // flattens budgets far above small sources' supply, so those repeat
+    // in whole epochs — replica position is epoch·total + the ONE base
+    // running sum, no window over the replicated stream ---
+    "q113_upsample_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+      val budgets = operators.Mix
+        .temperatureBudgets(docs, "source", "n_tok", alpha = 0.3, totalBudget = 60000L)
+      operators.Mix.upsampleTokens(docs, "source", "doc_id", "n_tok",
+          budgets.select("source", "budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("n_tok").cast("long").as("n_tokens"),
+          max("epoch").as("max_epoch"))
+        .orderBy("source")
     })
   )
 
@@ -3448,6 +3465,34 @@ object SparkEntry {
         |       ELSE COALESCE(kept.txt, '') END AS text
         |FROM documents doc LEFT JOIN has USING (doc_id)
         |  LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    // q113: epochs = ceil(budget / supply); a replica row is admitted iff
+    // epoch·supply + cum − n_tok < budget (the starts-under rule over the
+    // replicated stream)
+    "q113_upsample_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM d GROUP BY source),
+        |w AS (SELECT source, tot, pow(CAST(tot AS DOUBLE), 0.3) AS pw FROM s),
+        |t AS (SELECT SUM(pw) AS totw FROM w),
+        |b AS (SELECT source, tot,
+        |        CAST(floor(pw / totw * 60000) AS BIGINT) AS budget FROM w, t),
+        |ep AS (SELECT source, tot, budget,
+        |         CASE WHEN tot <= 0 THEN 1
+        |              ELSE GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1)
+        |         END AS ne FROM b),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |r AS (SELECT c.source, c.n_tok, g.e, ep.tot, ep.budget, c.cum
+        |      FROM c JOIN ep USING (source),
+        |           UNNEST(generate_series(0, ne - 1)) AS g(e))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(e) AS BIGINT) AS max_epoch
+        |FROM r WHERE e * tot + cum - n_tok < budget
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

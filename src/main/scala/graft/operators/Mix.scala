@@ -64,6 +64,44 @@ object Mix {
       .drop("__pw", "__tot")
   }
 
+  /** With-replacement upsampling to a token budget — the other half of the
+    * α-sampling story: when [[temperatureBudgets]] hands a low-resource
+    * stratum a quota ABOVE its supply, the stratum repeats in whole
+    * `orderCol` cycles (`epoch` 0, 1, 2, …) until the budget is met, the
+    * mT5/XLM-R behavior. Strata whose budget fits their supply reduce
+    * exactly to [[capTokens]] (an epoch-0 prefix); strata absent from
+    * `budgets` are kept once, uncapped. Output adds an `epoch` column
+    * (0-based replica index) — dedup-sensitive consumers can tell copies
+    * apart, and `(epoch, orderCol)` is the replicated stream order.
+    *
+    * Scale shape: the running sum is computed ONCE over the base corpus
+    * ([[Pack.runningTokens]]); a replica's position is then the pure
+    * per-row expression `epoch·total + cum`, so replication is one
+    * `explode(sequence(...))` with no window over the replicated stream.
+    * Output volume is budget-bounded: ~budget/avgDocTokens rows per
+    * stratum regardless of the epoch count.
+    */
+  def upsampleTokens(df: DataFrame, strataCol: String, orderCol: String,
+                     weightCol: String, budgets: DataFrame,
+                     subStrata: Int = 32): DataFrame = {
+    val b = budgets.select(col(strataCol), col("budget").cast("long").as("__budget"))
+    val tot = df.groupBy(strataCol)
+      .agg(sum(col(weightCol).cast("long")).as("__tot"))
+    Pack.runningTokens(df, strataCol, orderCol, weightCol, subStrata)
+      .join(broadcast(tot), Seq(strataCol))
+      .join(broadcast(b), Seq(strataCol), "left")
+      .withColumn("__ne",
+        when(col("__budget").isNull || col("__tot") <= 0, lit(1L))
+          .otherwise(greatest(
+            ceil(col("__budget").cast("double") / col("__tot")).cast("long"),
+            lit(1L))))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
+      .where(col("__budget").isNull ||
+        col("epoch") * col("__tot") + col("cum") - col(weightCol).cast("long")
+          < col("__budget"))
+      .drop("cum", "__tot", "__budget", "__ne")
+  }
+
   /** Deterministic round-robin interleave across strata for training
     * order: adds `pos` = this row's 1-based rank within its stratum (by
     * `orderCol`); sorting the output by `(pos, strataCol)` yields an epoch

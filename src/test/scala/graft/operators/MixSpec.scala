@@ -78,6 +78,43 @@ class MixSpec extends SparkSpec {
     assert(kept.filter(_ >= 1000L) === Set(1000L, 1001L))
   }
 
+  test("upsampleTokens repeats under-supplied strata in whole epochs") {
+    // books supply 3000, budget 7000 -> 3 epochs: two full + 4 docs of the
+    // third (starts 6000/6300/6600/6900 all under 7000); web budget 500 ->
+    // plain epoch-0 prefix of 5 docs
+    val budgets = Seq(("books", 7000L), ("web", 500L)).toDF("source", "budget")
+    val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect()
+    val books = up.filter(_._2 == "books")
+    assert(books.length === 24)
+    assert(books.count(_._3 == 0L) === 10 && books.count(_._3 == 1L) === 10)
+    assert(books.filter(_._3 == 2L).map(_._1).sorted.toSeq ===
+      Seq(1000L, 1001L, 1002L, 1003L))
+    val web = up.filter(_._2 == "web")
+    assert(web.map(_._1).sorted.toSeq === (0L until 5L))
+    assert(web.forall(_._3 == 0L))
+  }
+
+  test("upsampleTokens: fitting budgets reduce to capTokens; absent strata kept once") {
+    val budgets = Seq(("web", 1050L)).toDF("source", "budget")
+    val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect()
+    assert(up.forall(_._3 == 0L), "no stratum needed a second epoch")
+    val cap = Mix.capTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(up.map(_._1).toSet === cap, "epoch-0 admission == capTokens")
+    assert(up.count(_._2 == "books") === 10, "absent stratum kept in full")
+  }
+
+  test("upsampleTokens: zero budget admits nothing") {
+    val budgets = Seq(("books", 0L)).toDF("source", "budget")
+    val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)
+      .select("source").as[String].collect()
+    assert(!up.contains("books"))
+    assert(up.count(_ == "web") === 50)
+  }
+
   test("sliced running sum agrees with the single-window formulation") {
     val budgets = Seq(("web", 1050L), ("books", 600L)).toDF("source", "budget")
     for (sub <- Seq(1, 8)) {
