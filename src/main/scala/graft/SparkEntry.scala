@@ -1949,6 +1949,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("n_tok").cast("long").as("n_tokens"),
           max("epoch").as("max_epoch"))
         .orderBy("source")
+    }),
+
+    // --- r12 curation composition (q85's pattern for this round's ops):
+    // duplicated spans cut out of every doc → a 20-token quality floor on
+    // the CLEANED text → temperature budgets over cleaned token mass →
+    // with-replacement epoch admission. Every stage hash-exact, so the
+    // whole release recipe is too ---
+    "q114_curated_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val cleaned = operators.SubstringDedup
+        .removeSpans(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+        .where(col("n_tok") >= 20)
+      val budgets = operators.Mix
+        .temperatureBudgets(cleaned, "source", "n_tok", alpha = 0.5, totalBudget = 30000L)
+      operators.Mix.upsampleTokens(cleaned, "source", "doc_id", "n_tok",
+          budgets.select("source", "budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("n_tok").cast("long").as("n_tokens"),
+          max("epoch").as("max_epoch"))
+        .orderBy("source")
     })
   )
 
@@ -3479,6 +3500,46 @@ object SparkEntry {
         |t AS (SELECT SUM(pw) AS totw FROM w),
         |b AS (SELECT source, tot,
         |        CAST(floor(pw / totw * 60000) AS BIGINT) AS budget FROM w, t),
+        |ep AS (SELECT source, tot, budget,
+        |         CASE WHEN tot <= 0 THEN 1
+        |              ELSE GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1)
+        |         END AS ne FROM b),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |r AS (SELECT c.source, c.n_tok, g.e, ep.tot, ep.budget, c.cum
+        |      FROM c JOIN ep USING (source),
+        |           UNNEST(generate_series(0, ne - 1)) AS g(e))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(e) AS BIGINT) AS max_epoch
+        |FROM r WHERE e * tot + cum - n_tok < budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q114: q112's cleaned text -> re-tokenize -> 20-token floor -> q113's
+    // temperature/epoch admission at alpha=0.5, total 30000
+    "q114_curated_mix" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |dg AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i FROM w JOIN dg USING (g)),
+        |covpos AS (SELECT DISTINCT doc_id, p FROM dw,
+        |           UNNEST(generate_series(i, i + 7)) AS v(p)),
+        |pos AS (SELECT tok.doc_id, u.i AS p
+        |        FROM tok, UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |nt AS (SELECT pos.doc_id, COUNT(*) AS n_tok FROM pos
+        |       WHERE NOT EXISTS (SELECT 1 FROM covpos c
+        |         WHERE c.doc_id = pos.doc_id AND c.p = pos.p)
+        |       GROUP BY pos.doc_id),
+        |d AS (SELECT doc.doc_id, doc.source, CAST(nt.n_tok AS BIGINT) AS n_tok
+        |      FROM documents doc JOIN nt USING (doc_id) WHERE nt.n_tok >= 20),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM d GROUP BY source),
+        |pw AS (SELECT source, tot, pow(CAST(tot AS DOUBLE), 0.5) AS pwr FROM s),
+        |t AS (SELECT SUM(pwr) AS totw FROM pw),
+        |b AS (SELECT source, tot,
+        |        CAST(floor(pwr / totw * 30000) AS BIGINT) AS budget FROM pw, t),
         |ep AS (SELECT source, tot, budget,
         |         CASE WHEN tot <= 0 THEN 1
         |              ELSE GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1)
