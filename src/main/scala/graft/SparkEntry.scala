@@ -1970,6 +1970,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("n_tok").cast("long").as("n_tokens"),
           max("epoch").as("max_epoch"))
         .orderBy("source")
+    }),
+
+    // --- incremental substring dedup via the persisted gram index: the
+    // standing corpus (80%) is summarized once; the daily increment (20%)
+    // reports against the store — Bloom-pruned, no corpus-text rescan.
+    // For disjoint id spaces the result provably equals the full-corpus
+    // report restricted to the batch (SubstringDedupSpec), which is
+    // exactly what the oracle computes ---
+    "q115_substring_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/grams")))
+        operators.SubstringDedup.buildIndex(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8, root)
+      operators.SubstringDedup.reportAgainst(s, root,
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3554,6 +3573,30 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(MAX(e) AS BIGINT) AS max_epoch
         |FROM r WHERE e * tot + cum - n_tok < budget
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q115: q107's full-corpus report restricted to the increment — equal
+    // to the store-based incremental report for disjoint id spaces
+    "q115_substring_incremental" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |d AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |       FROM w JOIN d USING (g)),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_dup,
+        |          SUM(LEAST(8, COALESCE(nxt - i, 8))) AS covered
+        |        FROM dw GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |           CAST(GREATEST(len(ts) - 7, 0) AS BIGINT) AS n_windows FROM tok)
+        |SELECT b.doc_id, b.n_tokens, b.n_windows,
+        |  CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b.n_tokens, 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM base b LEFT JOIN cov USING (doc_id)
+        |WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin
   )
 }

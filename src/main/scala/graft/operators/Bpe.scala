@@ -118,6 +118,29 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a learned merge list: one parquet row per merge. A tokenizer
+    * is trained once and applied for the life of a model — the merge table
+    * must outlive the training session (and version like any other model
+    * artifact; compose with [[graft.pipeline.IndexVersions]] for sealed
+    * publishes).
+    */
+  def write(merges: Seq[Merge], path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "a", "b", "count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a persisted merge list in rank order (merge-count rows — tiny,
+    * driver-side by design: the list broadcasts into [[encodeWords]]).
+    */
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select("rank", "a", "b", "count").orderBy("rank")
+      .as[(Int, String, String, Long)].collect()
+      .map { case (r, a, b, c) => Merge(r, a, b, c) }.toSeq
+  }
+
   /** Replay the merge list over one word's base symbols — the same greedy
     * fold as [[mergePair]], imperatively. Kept in lockstep with the
     * expression (BpeSpec asserts equality), so encode-time and train-time

@@ -88,9 +88,18 @@ object SubstringDedup {
     */
   def report(df: DataFrame, idCol: String, textCol: String, k: Int,
              minDocs: Int = 2, keepFirst: Boolean = false,
-             hashGrams: Boolean = true): DataFrame = {
+             hashGrams: Boolean = true): DataFrame =
+    coverageReport(df, idCol, textCol, k,
+      dupWindows(df, idCol, textCol, k, minDocs, keepFirst, hashGrams))
+
+  /** The report assembly shared by the batch and incremental paths: fold a
+    * `(id, __pos)` duplicated-window set into per-doc coverage and join it
+    * onto the narrow per-doc stats.
+    */
+  private def coverageReport(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, dupWins: DataFrame): DataFrame = {
     val perDoc = Window.partitionBy(idCol).orderBy("__pos")
-    val cov = dupWindows(df, idCol, textCol, k, minDocs, keepFirst, hashGrams)
+    val cov = dupWins
       .withColumn("__next", lead("__pos", 1).over(perDoc))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_dup_windows"),
@@ -107,6 +116,121 @@ object SubstringDedup {
         when(col("n_tokens") > 0,
           round(col("covered_tokens").cast("double") / col("n_tokens"), 6))
           .otherwise(lit(0.0)))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted gram index: incremental substring dedup. A standing corpus
+  // is summarized ONCE into per-gram contribution rows (hash, distinct-doc
+  // count, lowest doc id); each daily increment then reports against the
+  // store without rescanning corpus text. Same lifecycle contract as the
+  // Bm25/Ivf stores: bucket-partitioned layout, batch_id inner partition
+  // with dynamic-overwrite retry idempotence, compactTo for small files,
+  // params row pinning (k, buckets).
+  // ------------------------------------------------------------------
+
+  /** Summable per-gram contribution rows for one build/append:
+    * `(__h, n_docs, min_doc)` — doc sets across batches are assumed
+    * DISJOINT (new data), so totals are plain sums and min-of-mins.
+    */
+  private def contributions(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    windows(df, idCol, textCol, k, hashGrams = true)
+      .groupBy("__h")
+      .agg(countDistinct(col(idCol)).cast("long").as("n_docs"),
+        min(col(idCol)).as("min_doc"))
+
+  /** Build a persisted gram index at `path` from the standing corpus. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                 path: String, buckets: Int = 64): Unit = {
+    contributions(df, idCol, textCol, k)
+      .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
+      .withColumn("batch_id", lit(0L))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket", "batch_id")
+      .parquet(s"$path/grams")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, buckets)).toDF("k", "buckets")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def storedParams(spark: org.apache.spark.sql.SparkSession,
+                           path: String): (Int, Int) = {
+    val row = spark.read.parquet(s"$path/params").head()
+    (row.getAs[Int]("k"), row.getAs[Int]("buckets"))
+  }
+
+  /** Fold a new batch's gram contributions into the store. Retry-idempotent
+    * like [[Bm25.append]]: rows land under `(__bucket, batch_id)` via
+    * dynamic partition overwrite and hashing is deterministic, so a
+    * replayed append replaces its prior attempt. Batch doc ids must be
+    * disjoint from every earlier batch (the summable-contribution
+    * contract); distinct batches need distinct ids > 0.
+    */
+  def appendIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                  batchId: Long): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
+    val (k, buckets) = storedParams(df.sparkSession, path)
+    contributions(df, idCol, textCol, k)
+      .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket", "batch_id").parquet(s"$path/grams")
+  }
+
+  /** Rewrite a store into a fresh fully-compacted one at `dest`: per-gram
+    * contributions collapse to single batch-0 rows. New directory; the
+    * atomic swap is the caller's snapshot/publish step.
+    */
+  def compactIndexTo(spark: org.apache.spark.sql.SparkSession, path: String,
+                     dest: String): Unit = {
+    val (k, buckets) = storedParams(spark, path)
+    spark.read.parquet(s"$path/grams")
+      .groupBy("__h")
+      .agg(sum("n_docs").cast("long").as("n_docs"), min("min_doc").as("min_doc"))
+      .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
+      .withColumn("batch_id", lit(0L))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket", "batch_id")
+      .parquet(s"$dest/grams")
+    import spark.implicits._
+    Seq((k, buckets)).toDF("k", "buckets")
+      .write.mode("overwrite").parquet(s"$dest/params")
+  }
+
+  /** [[report]] for a NEW batch against the standing corpus's store: a
+    * batch window is duplicated when store distinct docs + batch distinct
+    * docs holding its gram reach `minDocs`. With the default `minDocs = 2`
+    * that is "gram already in the corpus, or duplicated within the batch"
+    * — and for DISJOINT doc-id spaces the result equals
+    * `report(corpus ∪ batch)` restricted to the batch's rows
+    * (SubstringDedupSpec asserts the equivalence). The standing corpus's
+    * own copies are never re-flagged — increments treat the store as
+    * canonical, the keepFirst posture.
+    *
+    * Scale shape: corpus text is never rescanned; the store scan is
+    * Bloom-pruned by the BATCH's gram set before aggregating (the
+    * [[Decontaminate]] shape — a daily increment's cost tracks the
+    * increment and the store slice it actually touches, not the corpus).
+    */
+  def reportAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, textCol: String,
+                    minDocs: Int = 2): DataFrame = {
+    val (k, _) = storedParams(spark, path)
+    val w = windows(batch, idCol, textCol, k, hashGrams = true)
+    val batchCounts = w.groupBy("__h")
+      .agg(countDistinct(col(idCol)).cast("long").as("__bnd"))
+    val store = spark.read.parquet(s"$path/grams").select("__h", "n_docs")
+    val storeCounts = BloomPrune
+      .mightJoin(store, batchCounts, "__h", "__h")
+      .groupBy("__h").agg(sum("n_docs").cast("long").as("__snd"))
+    val dup = batchCounts.join(storeCounts, Seq("__h"), "left")
+      .where(coalesce(col("__snd"), lit(0L)) + col("__bnd") >= minDocs)
+      .select("__h")
+    coverageReport(batch, idCol, textCol, k,
+      w.join(dup, Seq("__h"), "left_semi").select(col(idCol), col("__pos")))
   }
 
   /** Rewrite each document with its duplicated spans CUT OUT: tokens covered

@@ -88,6 +88,19 @@ class BpeSpec extends SparkSpec {
     assert(enc(1L).nonEmpty)
   }
 
+  test("write/open round-trips the merge table; reopened encode is identical") {
+    val merges = Bpe.train(corpus, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_store").toString
+    Bpe.write(merges, s"$dir/merges", spark)
+    val reopened = Bpe.open(spark, s"$dir/merges")
+    assert(reopened === merges)
+    val a = Bpe.encode(corpus, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encode(corpus, "doc_id", "text", reopened)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a === b)
+  }
+
   test("sf0.001 corpus: roundtrip identity and compression both hold") {
     val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")

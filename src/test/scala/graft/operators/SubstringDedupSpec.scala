@@ -83,6 +83,64 @@ class SubstringDedupSpec extends SparkSpec {
     assert(m(6L) === 3L)
   }
 
+  test("incremental index: reportAgainst equals full recompute on the union") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e f z"),
+      (3L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    // 10 shares "c d e" with the corpus; 11 is clean; 12/13 share a gram
+    // only with each other (within-batch duplication)
+    val batch = Seq(
+      (10L, "m n c d e o"),
+      (11L, "h i j k l w"),
+      (12L, "q1 q2 q3 q4"),
+      (13L, "z9 q1 q2 q3 z8")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substr_idx").toString
+    SubstringDedup.buildIndex(corpus, "doc_id", "text", k = 3, s"$dir/v0")
+    val inc = SubstringDedup.reportAgainst(spark, s"$dir/v0", batch, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val full = SubstringDedup.report(corpus.union(batch), "doc_id", "text", k = 3)
+      .where($"doc_id" >= 10L).orderBy("doc_id").collect().toSeq
+    assert(inc === full)
+    // sanity on the planted structure
+    val m = inc.map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    assert(m(10L) === 3L) // "c d e"
+    assert(m(11L) === 0L)
+    assert(m(12L) === 3L) // "q1 q2 q3" at pos 1 -> [1,3]
+    assert(m(13L) === 3L) // "q1 q2 q3" at pos 2 -> [2,4]
+  }
+
+  test("incremental index: append extends the store; replay is idempotent; compaction equal") {
+    val corpusA = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val corpusB = Seq((2L, "g h i j k l")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "w1 c d e w2"),  // matches corpusA
+      (11L, "w3 h i j w4")   // matches the APPENDED corpusB
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substr_idx2").toString
+    SubstringDedup.buildIndex(corpusA, "doc_id", "text", k = 3, s"$dir/v0")
+    SubstringDedup.appendIndex(corpusB, "doc_id", "text", s"$dir/v0", batchId = 1)
+    // replayed append (orchestrator retry) must not double-count
+    SubstringDedup.appendIndex(corpusB, "doc_id", "text", s"$dir/v0", batchId = 1)
+    def rep(path: String) =
+      SubstringDedup.reportAgainst(spark, path, batch, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    val viaStore = rep(s"$dir/v0")
+    val m = viaStore.map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    assert(m(10L) === 3L && m(11L) === 3L)
+    // doubled contributions would be visible at minDocs = 3: a replayed
+    // append would push corpusB's grams to n_docs = 2 on their own
+    val strict = SubstringDedup
+      .reportAgainst(spark, s"$dir/v0", batch, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    assert(strict(11L) === 0L, "replayed append double-counted the store")
+    SubstringDedup.compactIndexTo(spark, s"$dir/v0", s"$dir/v1")
+    assert(rep(s"$dir/v1") === viaStore)
+  }
+
   test("hashGrams=false (string keys) is result-identical to the hash path") {
     val real = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
