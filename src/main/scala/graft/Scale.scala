@@ -413,3 +413,43 @@ object ScaleSubstr {
     spark.stop()
   }
 }
+
+/** Round-12 probe #2: the incremental gram-index claim — a daily
+  * increment's substring report against a persisted store must cost like
+  * the INCREMENT, while the full recompute pays the whole corpus every
+  * run. 8x corpus, 1x-sized batch (the realistic daily ratio).
+  */
+object ScaleSubstrInc {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val corpus = (0 until 8).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))).reduce(_ union _)
+    // daily:standing ~ 1:80 — a 500-doc increment against a 40k-doc store
+    val batch = d1.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(9000000)).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(corpus.count() + batch.count())
+    val root = java.nio.file.Files.createTempDirectory("substr_inc").toString
+    time("build_store_8x")({
+      operators.SubstringDedup.buildIndex(corpus, "doc_id", "text", 8, root); 1L
+    })
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__x"))
+        .agg(max("__x")).head.getLong(0)
+    for (round <- 0 to 1) {
+      time(s"incremental_r$round")(consume(operators.SubstringDedup
+        .reportAgainst(spark, root, batch, "doc_id", "text")))
+      time(s"full_recompute_r$round")(consume(operators.SubstringDedup
+        .report(corpus.union(batch), "doc_id", "text", k = 8)
+        .where(col("doc_id") >= 9000000L)))
+    }
+    spark.stop()
+  }
+}

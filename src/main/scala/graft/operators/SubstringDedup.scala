@@ -219,7 +219,12 @@ object SubstringDedup {
                     batch: DataFrame, idCol: String, textCol: String,
                     minDocs: Int = 2): DataFrame = {
     val (k, _) = storedParams(spark, path)
+    // the window projection feeds three consumers (batch gram counts, the
+    // Bloom build underneath them, the coverage semi-join) — materialize
+    // the INCREMENT's windows once instead of re-tokenizing its text three
+    // times; increment-sized by definition, freed by the ContextCleaner
     val w = windows(batch, idCol, textCol, k, hashGrams = true)
+      .localCheckpoint(true)
     val batchCounts = w.groupBy("__h")
       .agg(countDistinct(col(idCol)).cast("long").as("__bnd"))
     val store = spark.read.parquet(s"$path/grams").select("__h", "n_docs")
