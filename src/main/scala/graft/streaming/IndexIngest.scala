@@ -99,6 +99,30 @@ object IndexIngest {
     StreamBinding.recordWritten(spark, indexPath, appendId)
   }
 
+  /** Stream new documents into a persisted [[SubstringDedup]] gram index:
+    * the standing corpus's duplicated-span summary stays current as data
+    * arrives, so tomorrow's [[SubstringDedup.reportAgainst]] sees today's
+    * batches. Same binding/idempotence contract as the other stores — the
+    * gram contributions land under `(__bucket, batch_id)` with dynamic
+    * overwrite, so a replayed batch can never double-count a gram.
+    */
+  def runGrams(spark: SparkSession, changesDir: String, schema: StructType,
+               indexPath: String, checkpointDir: String,
+               idCol: String, textCol: String): StreamingQuery =
+    start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
+      gramsBatch(batch, batchId, indexPath, checkpointDir, idCol, textCol)
+    }
+
+  def gramsBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                 checkpointDir: String, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/grams", batchId)
+    graft.operators.SubstringDedup.appendIndex(batch, idCol, textCol,
+      indexPath, appendId)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
+
   private def start(spark: SparkSession, changesDir: String,
                     schema: StructType, checkpointDir: String)
                    (body: (DataFrame, Long) => Unit): StreamingQuery = {

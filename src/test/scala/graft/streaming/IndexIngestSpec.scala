@@ -317,4 +317,42 @@ class IndexIngestSpec extends SparkSpec {
     assert(streamed == rebuilt,
       "streamed appends must reproduce the batch-built index exactly")
   }
+
+  test("streams documents into a persisted gram index; incremental report equals full") {
+    val root = Files.createTempDirectory("gramingest").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val idx = s"$root/grams"; val ckpt = s"$root/ckpt"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val corpus = Seq(1L -> "a b c d e f", 2L -> "p q r s t u")
+    val streamedDocs = Seq(3L -> "g h i j k l", 4L -> "m n o v w x")
+    graft.operators.SubstringDedup.buildIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", k = 3, idx)
+    Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      streamedDocs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    IndexIngest.runGrams(spark, in, docSchema, idx, ckpt, "doc_id", "text")
+
+    // the probe batch shares "c d e" with the base corpus and "h i j" with
+    // a STREAMED doc — the second is visible only if the stream landed
+    val batch = Seq(10L -> "z1 c d e z2", 11L -> "z3 h i j z4", 12L -> "z5 z6 z7 z8")
+      .toDF("doc_id", "text")
+    val inc = graft.operators.SubstringDedup
+      .reportAgainst(spark, idx, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val full = graft.operators.SubstringDedup
+      .report((corpus ++ streamedDocs).toDF("doc_id", "text").union(batch),
+        "doc_id", "text", k = 3)
+      .where(col("doc_id") >= 10L).orderBy("doc_id").collect().toSeq
+    assert(inc === full)
+    val m = inc.map(r => r.getLong(0) -> r.getAs[Long]("covered_tokens")).toMap
+    assert(m(10L) === 3L && m(11L) === 3L && m(12L) === 0L)
+    // replay with no new files appends nothing: counts unchanged at minDocs=3
+    IndexIngest.runGrams(spark, in, docSchema, idx, ckpt, "doc_id", "text")
+    val strict = graft.operators.SubstringDedup
+      .reportAgainst(spark, idx, batch, "doc_id", "text", minDocs = 3)
+      .agg(sum("covered_tokens")).head.getLong(0)
+    assert(strict === 0L, "a replayed empty stream must not double-count")
+  }
 }
