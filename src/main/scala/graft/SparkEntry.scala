@@ -1989,6 +1989,46 @@ object SparkEntry {
       operators.SubstringDedup.reportAgainst(s, root,
           docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- gram-store lifecycle (q93/q106's shape for the substring index):
+    // publish v0 on half the standing corpus, append the other half as a
+    // REPLAYED batch, compact into sealed v1, report the increment via
+    // `latest` — the union-equivalence theorem makes the oracle q115's
+    // exact SQL, so any lost/double-counted gram breaks the hash ---
+    "q116_gram_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "gram_lifecycle8")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+          operators.SubstringDedup.buildIndex(
+            docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+            "doc_id", "text", k = 8, p))
+        val day1 = docs.where(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+        operators.SubstringDedup.appendIndex(day1, "doc_id", "text", v0, batchId = 1)
+        // a retried orchestrator step replays the whole append — a double
+        // count would flip minDocs thresholds and break the hash gate
+        operators.SubstringDedup.appendIndex(day1, "doc_id", "text", v0, batchId = 1)
+        pipeline.IndexVersions.compactLatest(s, root)(
+          operators.SubstringDedup.compactIndexTo(s, _, _))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      def rep(p: String) = operators.SubstringDedup
+        .reportAgainst(s, p, batch, "doc_id", "text").orderBy("doc_id")
+      val viaLatest = rep(latest)
+      val pathsEqual = rep(s"$root/v0").collect().toSeq ==
+        viaLatest.collect().toSeq
+      viaLatest.withColumn("version_ok", lit(versionOk))
+        .withColumn("paths_equal", lit(pathsEqual))
     })
   )
 
@@ -3596,6 +3636,30 @@ object SparkEntry {
         |  CASE WHEN b.n_tokens > 0
         |    THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b.n_tokens, 6)
         |    ELSE 0.0 END AS dup_frac
+        |FROM base b LEFT JOIN cov USING (doc_id)
+        |WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin,
+
+    // q116: q115's oracle + constant-true lifecycle booleans (q106's shape)
+    "q116_gram_lifecycle" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |d AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        |       FROM w JOIN d USING (g)),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_dup,
+        |          SUM(LEAST(8, COALESCE(nxt - i, 8))) AS covered
+        |        FROM dw GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |           CAST(GREATEST(len(ts) - 7, 0) AS BIGINT) AS n_windows FROM tok)
+        |SELECT b.doc_id, b.n_tokens, b.n_windows,
+        |  CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / b.n_tokens, 6)
+        |    ELSE 0.0 END AS dup_frac,
+        |  true AS version_ok, true AS paths_equal
         |FROM base b LEFT JOIN cov USING (doc_id)
         |WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin
   )
