@@ -2029,6 +2029,25 @@ object SparkEntry {
         viaLatest.collect().toSeq
       viaLatest.withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
+    }),
+
+    // --- the daily operation end to end: CLEAN the increment against the
+    // standing corpus's gram store (q115's store, reused) — spans the
+    // corpus or the batch already holds are cut, untouched docs stay
+    // verbatim; union equivalence makes the oracle q112's SQL on the
+    // increment ---
+    "q117_incremental_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/grams")))
+        operators.SubstringDedup.buildIndex(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8, root)
+      operators.SubstringDedup.removeSpansAgainst(s, root,
+          docs.where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3661,6 +3680,31 @@ object SparkEntry {
         |    ELSE 0.0 END AS dup_frac,
         |  true AS version_ok, true AS paths_equal
         |FROM base b LEFT JOIN cov USING (doc_id)
-        |WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin
+        |WHERE b.doc_id % 5 = 0 ORDER BY b.doc_id""".stripMargin,
+
+    // q117: q112's cleaned-text reconstruction restricted to the increment
+    "q117_incremental_clean" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
+        |d AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, i FROM w JOIN d USING (g)),
+        |has AS (SELECT DISTINCT doc_id FROM dw),
+        |covpos AS (SELECT DISTINCT doc_id, p FROM dw,
+        |           UNNEST(generate_series(i, i + 7)) AS v(p)),
+        |pos AS (SELECT tok.doc_id, u.i AS p, ts[u.i] AS tk
+        |        FROM tok JOIN has USING (doc_id),
+        |             UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |kept AS (SELECT pos.doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
+        |         FROM pos WHERE NOT EXISTS (SELECT 1 FROM covpos c
+        |           WHERE c.doc_id = pos.doc_id AND c.p = pos.p)
+        |         GROUP BY pos.doc_id)
+        |SELECT doc.doc_id,
+        |  CASE WHEN has.doc_id IS NULL THEN doc.text
+        |       ELSE COALESCE(kept.txt, '') END AS text
+        |FROM documents doc LEFT JOIN has USING (doc_id)
+        |  LEFT JOIN kept USING (doc_id)
+        |WHERE doc.doc_id % 5 = 0 ORDER BY doc.doc_id""".stripMargin
   )
 }

@@ -218,6 +218,31 @@ object SubstringDedup {
   def reportAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, textCol: String,
                     minDocs: Int = 2): DataFrame = {
+    val (k, dupWins) = dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs)
+    coverageReport(batch, idCol, textCol, k, dupWins)
+  }
+
+  /** [[removeSpans]] for a NEW batch against the standing corpus's store —
+    * the daily operation the incremental index exists for: clean today's
+    * data of every span the corpus (or the batch itself) already holds,
+    * without rescanning corpus text. Same duplicated-window semantics as
+    * [[reportAgainst]] (and the same union equivalence, asserted in spec).
+    */
+  def removeSpansAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int = 2): DataFrame = {
+    val (k, dupWins) = dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs)
+    cutSpans(batch, idCol, textCol, k, dupWins)
+  }
+
+  /** The incremental duplicated-window derivation shared by
+    * [[reportAgainst]] / [[removeSpansAgainst]]: store distinct-doc counts
+    * (Bloom-pruned by the batch's gram set) plus batch distinct-doc counts
+    * decide duplication; returns the store's `k` and the `(id, __pos)` set.
+    */
+  private def dupWindowsAgainst(spark: org.apache.spark.sql.SparkSession,
+                                path: String, batch: DataFrame, idCol: String,
+                                textCol: String, minDocs: Int): (Int, DataFrame) = {
     val (k, _) = storedParams(spark, path)
     // the window projection feeds three consumers (batch gram counts, the
     // Bloom build underneath them, the coverage semi-join) — materialize
@@ -234,8 +259,7 @@ object SubstringDedup {
     val dup = batchCounts.join(storeCounts, Seq("__h"), "left")
       .where(coalesce(col("__snd"), lit(0L)) + col("__bnd") >= minDocs)
       .select("__h")
-    coverageReport(batch, idCol, textCol, k,
-      w.join(dup, Seq("__h"), "left_semi").select(col(idCol), col("__pos")))
+    (k, w.join(dup, Seq("__h"), "left_semi").select(col(idCol), col("__pos")))
   }
 
   /** Rewrite each document with its duplicated spans CUT OUT: tokens covered
@@ -250,12 +274,18 @@ object SubstringDedup {
     * corpus text still never shuffles.
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
-                  minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+                  minDocs: Int = 2, keepFirst: Boolean = false): DataFrame =
+    cutSpans(df, idCol, textCol, k,
+      dupWindows(df, idCol, textCol, k, minDocs, keepFirst))
+
+  /** The span-cut assembly shared by the batch and incremental paths. */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                       dupWins: DataFrame): DataFrame = {
     val perDoc = Window.partitionBy(idCol).orderBy("__pos")
     // gaps-and-islands: interval [p, p+k-1] merges with its predecessor when
     // p <= prevEnd + 1 = prevPos + k, so a NEW island starts iff
     // pos - prevPos > k
-    val islands = dupWindows(df, idCol, textCol, k, minDocs, keepFirst)
+    val islands = dupWins
       .withColumn("__prev", lag("__pos", 1).over(perDoc))
       .withColumn("__newi",
         when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1)

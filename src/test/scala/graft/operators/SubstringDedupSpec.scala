@@ -112,6 +112,29 @@ class SubstringDedupSpec extends SparkSpec {
     assert(m(13L) === 3L) // "q1 q2 q3" at pos 2 -> [2,4]
   }
 
+  test("incremental removeSpansAgainst equals full-union removeSpans on the batch") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "x y c d e f z")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "m n c d e o"), (11L, "h i j k l w"),
+      (12L, "q1 q2 q3 q4"), (13L, "z9 q1 q2 q3 z8")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substr_idx3").toString
+    SubstringDedup.buildIndex(corpus, "doc_id", "text", k = 3, s"$dir/v0")
+    val inc = SubstringDedup
+      .removeSpansAgainst(spark, s"$dir/v0", batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val full = SubstringDedup
+      .removeSpans(corpus.union(batch), "doc_id", "text", k = 3)
+      .where($"doc_id" >= 10L).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(inc === full)
+    val m = inc.toMap
+    assert(m(10L) === "m n o")
+    assert(m(11L) === "h i j k l w") // untouched: verbatim
+    assert(m(12L) === "q4")
+    assert(m(13L) === "z9 z8")
+  }
+
   test("incremental index: append extends the store; replay is idempotent; compaction equal") {
     val corpusA = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val corpusB = Seq((2L, "g h i j k l")).toDF("doc_id", "text")
