@@ -397,21 +397,25 @@ object ScaleSubstr {
       println(f"SCALE $name rows=$n%d t=$t%.2f shuffle_mb=${settle() / 1e6}%.1f")
     }
     run("warmup")(d8.count())
-    // consume EVERY output column: a bare count() lets the optimizer
-    // eliminate the coverage join entirely (left outer over an aggregated
-    // right side with no referenced columns) and measures only the scan
-    def consume(df: org.apache.spark.sql.DataFrame): Long =
-      // max, not count: count(non-nullable) folds to count(*) and prunes
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__x"))
-        .agg(max("__x")).head.getLong(0)
     // two rounds: round 0 absorbs codegen/JIT, read round 1
     for (round <- 0 to 1; (tag, d) <- Seq("1x" -> d1, "8x" -> d8);
          hashed <- Seq(true, false))
       run(s"substr_${if (hashed) "hash" else "string"}_${tag}_r$round")(
-        consume(operators.SubstringDedup
+        ScaleConsume(operators.SubstringDedup
           .report(d, "doc_id", "text", k = 8, hashGrams = hashed)))
     spark.stop()
   }
+}
+
+/** Consume EVERY output column of a measured frame: a bare count() lets
+  * the optimizer eliminate join trees whose columns go unreferenced (and
+  * count(non-nullable) folds straight back to count(*)) — max over a
+  * full-row hash defeats both prunes.
+  */
+private[graft] object ScaleConsume {
+  def apply(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__x"))
+      .agg(max("__x")).head.getLong(0)
 }
 
 /** Round-12 probe #2: the incremental gram-index claim — a daily
@@ -440,13 +444,10 @@ object ScaleSubstrInc {
     time("build_store_8x")({
       operators.SubstringDedup.buildIndex(corpus, "doc_id", "text", 8, root); 1L
     })
-    def consume(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("__x"))
-        .agg(max("__x")).head.getLong(0)
     for (round <- 0 to 1) {
-      time(s"incremental_r$round")(consume(operators.SubstringDedup
+      time(s"incremental_r$round")(ScaleConsume(operators.SubstringDedup
         .reportAgainst(spark, root, batch, "doc_id", "text")))
-      time(s"full_recompute_r$round")(consume(operators.SubstringDedup
+      time(s"full_recompute_r$round")(ScaleConsume(operators.SubstringDedup
         .report(corpus.union(batch), "doc_id", "text", k = 8)
         .where(col("doc_id") >= 9000000L)))
     }

@@ -1983,7 +1983,9 @@ object SparkEntry {
       val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/grams")))
+      // guard on the LAST-written artifact (params lands after grams), so
+      // a crashed half-built store rebuilds instead of poisoning the cache
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/params/_SUCCESS")))
         operators.SubstringDedup.buildIndex(
           docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8, root)
       operators.SubstringDedup.reportAgainst(s, root,
@@ -2041,7 +2043,7 @@ object SparkEntry {
       val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/grams")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/params/_SUCCESS")))
         operators.SubstringDedup.buildIndex(
           docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 8, root)
       operators.SubstringDedup.removeSpansAgainst(s, root,

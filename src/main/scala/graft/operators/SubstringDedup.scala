@@ -49,11 +49,15 @@ object SubstringDedup {
     * measurement is in DESIGN; ScaleSubstr is the rig).
     */
   private def windows(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, hashGrams: Boolean): DataFrame =
+                      k: Int, hashGrams: Boolean): DataFrame = {
+    // every path flows through here and depends on the native shingle
+    // expression — register defensively for sessions not built by Tables
+    graft.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
         posexplode(shinglesAllFast(col(textCol), k)).as(Seq("__p0", "__g")))
       .select(col(idCol), (col("__p0") + 1).as("__pos"),
         (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("__h"))
+  }
 
   /** Duplicated windows `(id, __pos)`: window k-grams occurring in at least
     * `minDocs` distinct documents. With `keepFirst` the occurrences inside
@@ -129,15 +133,17 @@ object SubstringDedup {
   // ------------------------------------------------------------------
 
   /** Summable per-gram contribution rows for one build/append:
-    * `(__h, n_docs, min_doc)` — doc sets across batches are assumed
-    * DISJOINT (new data), so totals are plain sums and min-of-mins.
+    * `(__h, n_docs)` — doc sets across batches are assumed DISJOINT (new
+    * data), so totals are plain sums. Deliberately no per-gram canonical
+    * doc id: `keepFirst` is a batch-path concept; on the incremental path
+    * the STORE is canonical (increments never re-flag it), and a dead
+    * column at gram-store row counts is real bytes.
     */
   private def contributions(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
     windows(df, idCol, textCol, k, hashGrams = true)
       .groupBy("__h")
-      .agg(countDistinct(col(idCol)).cast("long").as("n_docs"),
-        min(col(idCol)).as("min_doc"))
+      .agg(countDistinct(col(idCol)).cast("long").as("n_docs"))
 
   /** Build a persisted gram index at `path` from the standing corpus. */
   def buildIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
@@ -189,7 +195,7 @@ object SubstringDedup {
     val (k, buckets) = storedParams(spark, path)
     spark.read.parquet(s"$path/grams")
       .groupBy("__h")
-      .agg(sum("n_docs").cast("long").as("n_docs"), min("min_doc").as("min_doc"))
+      .agg(sum("n_docs").cast("long").as("n_docs"))
       .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
       .withColumn("batch_id", lit(0L))
       .repartition(col("__bucket"))
