@@ -2050,6 +2050,29 @@ object SparkEntry {
           docs.where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text")),
           "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- D4-style diversity sampling (dedup-then-DIVERSIFY): k-means
+    // cells sampled to a flat quota in deterministic hash order — the
+    // cluster-balanced downsample that keeps tail modes a uniform sample
+    // crowds out. Clustering is not SQL-reproducible, so the gate is the
+    // invariant-boolean pattern: quota held in every cell, sample ⊂
+    // corpus, cell ids in range, sample non-trivial ---
+    "q118_diversity_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sample = operators.DiversitySample
+        .clusterBalanced(emb, "vec_id", "embedding", nClusters = 8,
+          perCluster = 40, trainSample = 10000)
+      val perCell = sample.groupBy("cell").agg(count(lit(1)).as("n"))
+      val quotaOk = perCell.agg(max("n")).head.getLong(0) <= 40L
+      val cellsOk = perCell.agg(min("cell").cast("long"), max("cell").cast("long"))
+        .head match { case r => r.getLong(0) >= 0L && r.getLong(1) <= 7L }
+      val subsetOk = sample.join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+        .isEmpty
+      val nonTrivial = sample.count() >= 40L
+      emb.sparkSession.range(1).select(
+        lit(quotaOk).as("quota_ok"), lit(cellsOk).as("cells_ok"),
+        lit(subsetOk).as("subset_ok"), lit(nonTrivial).as("non_trivial"))
     })
   )
 
@@ -3707,6 +3730,12 @@ object SparkEntry {
         |       ELSE COALESCE(kept.txt, '') END AS text
         |FROM documents doc LEFT JOIN has USING (doc_id)
         |  LEFT JOIN kept USING (doc_id)
-        |WHERE doc.doc_id % 5 = 0 ORDER BY doc.doc_id""".stripMargin
+        |WHERE doc.doc_id % 5 = 0 ORDER BY doc.doc_id""".stripMargin,
+
+    // q118: clustering is engine-internal — invariant booleans restated as
+    // constants (q65's pattern)
+    "q118_diversity_sample" ->
+      """SELECT true AS quota_ok, true AS cells_ok, true AS subset_ok,
+        |  true AS non_trivial""".stripMargin
   )
 }
