@@ -49,9 +49,23 @@ object DiversitySample {
     */
   def clusterBalanced(df: DataFrame, idCol: String, vecCol: String,
                       nClusters: Int, perCluster: Long,
-                      trainSample: Int = 100000, seed: Long = 42L): DataFrame = {
+                      trainSample: Int = 100000, seed: Long = 42L): DataFrame =
+    clusterBalancedFrom(
+      assigned(df, idCol, vecCol, nClusters, trainSample, seed)
+        .select(col(idCol), col("cell")),
+      idCol, perCluster)
+
+  /** [[clusterBalanced]] from a PRE-COMPUTED `(idCol, cell)` assignment —
+    * the pay-the-clustering-once path: a persisted [[Ivf]] store's
+    * `assigned` frame (or any clustering output) samples without
+    * retraining, so repeated draws (new quota, new α) cost only the
+    * admission pass.
+    */
+  def clusterBalancedFrom(assignment: DataFrame, idCol: String,
+                          perCluster: Long): DataFrame = {
     require(perCluster > 0, s"perCluster > 0: $perCluster")
-    val a = assigned(df, idCol, vecCol, nClusters, trainSample, seed)
+    val a = assignment.select(col(idCol), col("cell"),
+      xxhash64(col(idCol)).as("__ord"))
     val budgets = a.select("cell").distinct()
       .withColumn("budget", lit(perCluster))
     Mix.capTokens(a.withColumn("__one", lit(1L)), "cell", "__ord", "__one", budgets)
