@@ -177,9 +177,15 @@ object Bpe {
   }
 
   /** Tokenize the corpus with a trained merge list: `(idCol, pieces)` —
-    * the document's subword sequence in order. One posexplode + broadcast
-    * join against the encoded DISTINCT vocab + per-doc reassembly; docs
-    * with no tokens get an empty piece array.
+    * the document's subword sequence in order. One posexplode + join
+    * against the encoded DISTINCT vocab + per-doc reassembly; docs with no
+    * tokens get an empty piece array.
+    *
+    * The vocab side is NOT hint-broadcast on purpose: a tokenizer vocab is
+    * usually broadcast-sized and AQE will pick the broadcast join on its
+    * own, but a web-scale corpus's distinct-word table can run to 10^8
+    * rows, where a forced broadcast is a driver OOM — there the planner's
+    * shuffle join on the word key is the correct shape.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
@@ -187,7 +193,7 @@ object Bpe {
       docs.select(explode(tokens(col(textCol))).as("word")).distinct(), merges)
     val assembled = docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "word")))
-      .join(broadcast(vocab), Seq("word"))
+      .join(vocab, Seq("word"))
       .groupBy(idCol)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__pos"), col("pieces")))),

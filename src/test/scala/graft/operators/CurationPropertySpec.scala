@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven properties for the r12 curation operators, each checked
+  * against an independent brute-force Scala reference (the operator's
+  * distributed formulation must agree with the obvious quadratic one on
+  * arbitrary corpora, not just the hand fixtures).
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // small vocab so random docs collide often — duplication is the point
+  private val docGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(0, 14)
+    ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ts
+
+  private def corpusGen(nDocs: Int): Gen[Seq[(Long, Seq[String])]] =
+    Gen.listOfN(nDocs, docGen).map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts) })
+
+  /** Brute-force reference: per doc, the covered-position set for k-gram
+    * spans duplicated across >= minDocs distinct docs.
+    */
+  private def refCovered(corpus: Seq[(Long, Seq[String])], k: Int,
+                         minDocs: Int): Map[Long, Set[Int]] = {
+    val grams = corpus.flatMap { case (id, ts) =>
+      ts.sliding(k).filter(_.size == k).zipWithIndex
+        .map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+    corpus.map { case (id, _) =>
+      id -> grams.filter(w => w._1 == id && dup(w._3))
+        .flatMap(w => w._2 until (w._2 + k)).toSet
+    }.toMap
+  }
+
+  test("substring report agrees with the quadratic reference on random corpora") {
+    for (seed <- 1L to 6L; k <- Seq(2, 3)) {
+      val corpus = sample(corpusGen(14), seed * 31 + k)
+      val df = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val ref = refCovered(corpus, k, minDocs = 2)
+      val got = SubstringDedup.report(df, "doc_id", "text", k)
+        .select("doc_id", "covered_tokens", "n_dup_windows")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val gramsAll = corpus.flatMap { case (d, t) =>
+        t.sliding(k).filter(_.size == k).map(g => (d, g.mkString(" ")))
+      }
+      val dupG = gramsAll.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      corpus.foreach { case (id, ts) =>
+        assert(got(id)._1 === ref(id).size.toLong,
+          s"seed=$seed k=$k doc=$id ts=$ts covered ${got(id)._1} != ref ${ref(id)}")
+        val expectWins = ts.sliding(k).filter(_.size == k)
+          .count(g => dupG(g.mkString(" ")))
+        assert(got(id)._2 === expectWins.toLong, s"seed=$seed k=$k doc=$id windows")
+      }
+    }
+  }
+
+  test("removeSpans keeps exactly the uncovered tokens on random corpora") {
+    for (seed <- 10L to 14L) {
+      val corpus = sample(corpusGen(12), seed)
+      val df = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val ref = refCovered(corpus, 3, minDocs = 2)
+      val got = SubstringDedup.removeSpans(df, "doc_id", "text", k = 3)
+        .as[(Long, String)].collect().toMap
+      corpus.foreach { case (id, ts) =>
+        val expect = ts.zipWithIndex
+          .collect { case (t, i) if !ref(id)(i + 1) => t }.mkString(" ")
+        assert(got(id) === expect, s"seed=$seed doc=$id ts=$ts")
+      }
+    }
+  }
+
+  test("BPE roundtrip identity holds for arbitrary merge lists and words") {
+    val wordGen = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1L to 8L) {
+      val words = sample(Gen.listOfN(30, wordGen), seed)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val merges = Bpe.train(docs, "text", numMerges = 12)
+      words.foreach { w =>
+        val pieces = Bpe.encodeWord(w, merges)
+        assert(pieces.mkString("") === w + Bpe.EndOfWord, s"seed=$seed word=$w")
+        assert(pieces.nonEmpty && pieces.size <= w.length + 1)
+      }
+    }
+  }
+
+  test("upsampleTokens agrees with a sequential reference on random strata") {
+    val rowGen = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      w <- Gen.choose(1L, 9L)
+    } yield (src, w)
+    for (seed <- 1L to 6L) {
+      val rows = sample(Gen.listOfN(25, rowGen), seed)
+        .zipWithIndex.map { case ((s, w), i) => (i.toLong, s, w) }
+      val budgets = Seq(("s0", 40L), ("s1", 7L)) // s2 unbudgeted
+      val df = rows.toDF("id", "src", "w").repartition(3)
+      val got = Mix.upsampleTokens(df, "src", "id", "w",
+          budgets.toDF("src", "budget"))
+        .select("id", "epoch").as[(Long, Long)].collect().toSet
+      // sequential reference: replicate each stratum in epochs, admit while
+      // the row STARTS under budget
+      // NB: .toSeq before flatMap — flatMapping a Map into tuples rebuilds
+      // a Map and silently collapses (id, epoch) pairs by id
+      val ref = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+        val ordered = rs.sortBy(_._1)
+        val tot = ordered.map(_._3).sum
+        val starts = ordered.map(_._3).scanLeft(0L)(_ + _).init // per-row start
+        budgets.toMap.get(src) match {
+          case None => ordered.map(r => (r._1, 0L))
+          case Some(b) =>
+            val ne = math.max(1L, math.ceil(b.toDouble / tot).toLong)
+            for {
+              e <- 0L until ne
+              (r, st) <- ordered.zip(starts)
+              if e * tot + st < b
+            } yield (r._1, e)
+        }
+      }.toSet
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+}
