@@ -78,9 +78,20 @@ object DiversitySample {
     */
   def temperatureQuotas(df: DataFrame, idCol: String, vecCol: String,
                         nClusters: Int, alpha: Double, budget: Long,
-                        trainSample: Int = 100000, seed: Long = 42L): DataFrame = {
-    val a = assigned(df, idCol, vecCol, nClusters, trainSample, seed)
-      .withColumn("__one", lit(1L))
+                        trainSample: Int = 100000, seed: Long = 42L): DataFrame =
+    temperatureQuotasFrom(
+      assigned(df, idCol, vecCol, nClusters, trainSample, seed)
+        .select(col(idCol), col("cell")),
+      idCol, alpha, budget)
+
+  /** [[temperatureQuotas]] from a pre-computed `(idCol, cell)` assignment —
+    * the same pay-the-clustering-once path as [[clusterBalancedFrom]], so
+    * sweeping α over a persisted store costs only admission passes.
+    */
+  def temperatureQuotasFrom(assignment: DataFrame, idCol: String,
+                            alpha: Double, budget: Long): DataFrame = {
+    val a = assignment.select(col(idCol), col("cell"),
+      xxhash64(col(idCol)).as("__ord"), lit(1L).as("__one"))
     val budgets = Mix.temperatureBudgets(a, "cell", "__one", alpha, budget)
     Mix.capTokens(a, "cell", "__ord", "__one",
         budgets.select(col("cell"), col("budget")))

@@ -96,6 +96,40 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental store equivalence holds on random corpora and random splits") {
+    // the load-bearing theorem: reportAgainst(store(A), B) == report(A u B)
+    // restricted to B, and the same for span removal — fuzzed, not just
+    // the hand fixture
+    for (seed <- 20L to 22L) {
+      val all = sample(corpusGen(16), seed)
+      val (a, b0) = all.partition(_._1 % 3 != 0)
+      val b = b0.map { case (id, ts) => (id + 1000L, ts) } // disjoint id space
+      val dfA = a.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val dfB = b.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory(s"substr_fuzz$seed").toString
+      SubstringDedup.buildIndex(dfA, "doc_id", "text", k = 3, dir)
+      val incRep = SubstringDedup.reportAgainst(spark, dir, dfB, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val fullRep = SubstringDedup.report(dfA.union(dfB), "doc_id", "text", k = 3)
+        .where($"doc_id" >= 1000L).orderBy("doc_id").collect().toSeq
+      assert(incRep === fullRep, s"seed=$seed report")
+      val incRm = SubstringDedup.removeSpansAgainst(spark, dir, dfB, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val fullRm = SubstringDedup.removeSpans(dfA.union(dfB), "doc_id", "text", k = 3)
+        .where($"doc_id" >= 1000L).orderBy("doc_id")
+        .as[(Long, String)].collect().toSeq
+      assert(incRm === fullRm, s"seed=$seed removal")
+    }
+  }
+
+  test("BPE training is invariant to input partitioning") {
+    val corpus = sample(corpusGen(12), 33L)
+      .map { case (id, ts) => (id, ts.mkString(" ")) }
+    val one = Bpe.train(corpus.toDF("doc_id", "text").coalesce(1), "text", 10)
+    val many = Bpe.train(corpus.toDF("doc_id", "text").repartition(7), "text", 10)
+    assert(one === many, "merge list must not depend on partitioning")
+  }
+
   test("upsampleTokens agrees with a sequential reference on random strata") {
     val rowGen = for {
       src <- Gen.oneOf("s0", "s1", "s2")

@@ -63,6 +63,26 @@ class DiversitySampleSpec extends SparkSpec {
     assert(tail >= 0.12, f"tail share $tail%.3f not lifted above its 0.10 corpus share")
   }
 
+  test("the From variants equal the end-to-end paths on the same assignment") {
+    val a = Ivf.build(corpus, 3, id = "vec_id", vec = "embedding")
+      .assigned.select(col("id").as("vec_id"), col("cell"))
+    val flat = DiversitySample
+      .clusterBalancedFrom(a, "vec_id", perCluster = 15)
+      .as[(Long, Int)].collect().toSet
+    val flatE2e = DiversitySample
+      .clusterBalanced(corpus, "vec_id", "embedding", nClusters = 3, perCluster = 15)
+      .as[(Long, Int)].collect().toSet
+    assert(flat === flatE2e)
+    val temp = DiversitySample
+      .temperatureQuotasFrom(a, "vec_id", alpha = 0.5, budget = 40)
+      .as[(Long, Int)].collect().toSet
+    val tempE2e = DiversitySample
+      .temperatureQuotas(corpus, "vec_id", "embedding", nClusters = 3,
+        alpha = 0.5, budget = 40)
+      .as[(Long, Int)].collect().toSet
+    assert(temp === tempE2e)
+  }
+
   test("deterministic: identical sample across runs") {
     def run() = DiversitySample
       .clusterBalanced(corpus, "vec_id", "embedding", nClusters = 3, perCluster = 7)
