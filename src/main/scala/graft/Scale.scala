@@ -454,3 +454,33 @@ object ScaleSubstrInc {
     spark.stop()
   }
 }
+
+/** Round-12 probe #3: BPE training's architectural claim — the corpus is
+  * paid ONCE (the word-count scan); merge rounds run over the vocab and
+  * must stay ~flat as the corpus grows. 16x replicas share the 1x vocab
+  * (plus 16 replica-marker words), so flat round time at 16x is exactly
+  * the claim.
+  */
+object ScaleBpe {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val d16 = (0 until 16).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))).reduce(_ union _)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("warmup")(d16.count())
+    for ((tag, d) <- Seq("1x" -> d1, "16x" -> d16)) {
+      time(s"word_scan_$tag")(operators.Bpe.wordCounts(d, "text").count())
+      // rounds-only timing: the scan is inside train's first step, so
+      // subtract by timing 0 merges (scan + checkpoint, no rounds)
+      time(s"train0_$tag")({ operators.Bpe.train(d, "text", 0); 1L })
+      time(s"train20_$tag")({ operators.Bpe.train(d, "text", 20); 1L })
+    }
+    spark.stop()
+  }
+}
