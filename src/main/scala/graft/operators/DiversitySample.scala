@@ -33,15 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object DiversitySample {
 
-  /** `(idCol, cell, __ord)` — cluster assignment plus the deterministic
-    * admission key.
+  /** `(idCol, cell)` — the k-means assignment; the deterministic admission
+    * key is derived where it is used (the `*From` entry points).
     */
   private def assigned(df: DataFrame, idCol: String, vecCol: String,
                        nClusters: Int, trainSample: Int, seed: Long): DataFrame =
     Ivf.build(df, nClusters, id = idCol, vec = vecCol,
         trainSample = trainSample, seed = seed)
       .assigned
-      .select(col("id").as(idCol), col("cell"), xxhash64(col("id")).as("__ord"))
+      .select(col("id").as(idCol), col("cell"))
 
   /** Flat cluster-balanced sample: up to `perCluster` ids from each of
     * `nClusters` k-means cells. Returns `(idCol, cell)` — join back on the
@@ -51,9 +51,7 @@ object DiversitySample {
                       nClusters: Int, perCluster: Long,
                       trainSample: Int = 100000, seed: Long = 42L): DataFrame =
     clusterBalancedFrom(
-      assigned(df, idCol, vecCol, nClusters, trainSample, seed)
-        .select(col(idCol), col("cell")),
-      idCol, perCluster)
+      assigned(df, idCol, vecCol, nClusters, trainSample, seed), idCol, perCluster)
 
   /** [[clusterBalanced]] from a PRE-COMPUTED `(idCol, cell)` assignment —
     * the pay-the-clustering-once path: a persisted [[Ivf]] store's
@@ -80,9 +78,7 @@ object DiversitySample {
                         nClusters: Int, alpha: Double, budget: Long,
                         trainSample: Int = 100000, seed: Long = 42L): DataFrame =
     temperatureQuotasFrom(
-      assigned(df, idCol, vecCol, nClusters, trainSample, seed)
-        .select(col(idCol), col("cell")),
-      idCol, alpha, budget)
+      assigned(df, idCol, vecCol, nClusters, trainSample, seed), idCol, alpha, budget)
 
   /** [[temperatureQuotas]] from a pre-computed `(idCol, cell)` assignment —
     * the same pay-the-clustering-once path as [[clusterBalancedFrom]], so

@@ -83,18 +83,27 @@ object Mix {
     */
   def upsampleTokens(df: DataFrame, strataCol: String, orderCol: String,
                      weightCol: String, budgets: DataFrame,
-                     subStrata: Int = 32): DataFrame = {
+                     subStrata: Int = 32, maxEpochs: Long = 100L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs >= 1: $maxEpochs")
     val b = budgets.select(col(strataCol), col("budget").cast("long").as("__budget"))
     val tot = df.groupBy(strataCol)
       .agg(sum(col(weightCol).cast("long")).as("__tot"))
+    // epoch count is CLAMPED at maxEpochs — the UniMax convention (Chung
+    // et al. 2023): a quota orders of magnitude above a stratum's supply
+    // means catastrophic repetition, not more signal, and an unclamped
+    // count would also materialize a ceil(budget/supply)-element epoch
+    // array per row before the explode (an OOM for a 10-token stratum
+    // handed a 10^9-token quota). Raise maxEpochs deliberately if a
+    // heavier repeat is really wanted; the per-row array is maxEpochs
+    // longs at worst.
     Pack.runningTokens(df, strataCol, orderCol, weightCol, subStrata)
       .join(broadcast(tot), Seq(strataCol))
       .join(broadcast(b), Seq(strataCol), "left")
       .withColumn("__ne",
         when(col("__budget").isNull || col("__tot") <= 0, lit(1L))
-          .otherwise(greatest(
+          .otherwise(least(lit(maxEpochs), greatest(
             ceil(col("__budget").cast("double") / col("__tot")).cast("long"),
-            lit(1L))))
+            lit(1L)))))
       .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
       .where(col("__budget").isNull ||
         col("epoch") * col("__tot") + col("cum") - col(weightCol).cast("long")

@@ -259,8 +259,18 @@ object SubstringDedup {
     val batchCounts = w.groupBy("__h")
       .agg(countDistinct(col(idCol)).cast("long").as("__bnd"))
     val store = spark.read.parquet(s"$path/grams").select("__h", "n_docs")
+    // size the Bloom from the BATCH's own gram count (one cheap agg over
+    // the checkpointed windows): the default 2^23-bit geometry saturates
+    // for a real daily increment (~10^8 grams -> FP ~ 1.0) and would
+    // silently degrade the pruned store scan to a full one. ~10 bits per
+    // gram keeps FP ~1 %; the 2^27 cap bounds the broadcast literal at
+    // 16 MB (past that the prune still helps, just with a higher FP rate).
+    val nGrams = batchCounts.count()
+    val numBits = math.min(1L << 27,
+      math.max(1L << 20, java.lang.Long.highestOneBit(
+        math.max(1L, nGrams * 10) * 2 - 1))).toInt
     val storeCounts = BloomPrune
-      .mightJoin(store, batchCounts, "__h", "__h")
+      .mightJoin(store, batchCounts, "__h", "__h", numBits = numBits)
       .groupBy("__h").agg(sum("n_docs").cast("long").as("__snd"))
     val dup = batchCounts.join(storeCounts, Seq("__h"), "left")
       .where(coalesce(col("__snd"), lit(0L)) + col("__bnd") >= minDocs)

@@ -107,6 +107,18 @@ class MixSpec extends SparkSpec {
     assert(up.count(_._2 == "books") === 10, "absent stratum kept in full")
   }
 
+  test("upsampleTokens clamps runaway epoch counts (the UniMax cap)") {
+    // a quota absurdly above supply must not materialize millions of
+    // epochs — it clamps at maxEpochs whole passes
+    val budgets = Seq(("books", 1000000000L)).toDF("source", "budget")
+    val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets,
+        maxEpochs = 5L)
+      .where($"source" === "books")
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+    assert(up.length === 50, "5 clamped epochs x 10 docs")
+    assert(up.map(_._2).max === 4L)
+  }
+
   test("upsampleTokens: zero budget admits nothing") {
     val budgets = Seq(("books", 0L)).toDF("source", "budget")
     val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)
