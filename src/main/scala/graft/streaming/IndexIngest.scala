@@ -123,6 +123,54 @@ object IndexIngest {
     StreamBinding.recordWritten(spark, indexPath, appendId)
   }
 
+  /** The full streaming curation loop over the gram store: each arriving
+    * batch is CLEANED against the standing corpus (duplicated spans cut —
+    * spans the corpus already holds, or that repeat across the batch's own
+    * docs), the cleaned batch lands under `outDir/batch_id=<appendId>`,
+    * and THEN the batch's grams fold into the store so later batches
+    * dedup against it too. Clean-before-append order matters: a batch
+    * must not see its own grams as corpus (its internal duplication is
+    * already counted by the report's batch side).
+    *
+    * Exactly-once end to end: the cleaned output is dynamic-partition-
+    * overwritten under the resolved append id and the gram append is
+    * retry-idempotent, so a replayed micro-batch replaces BOTH of its
+    * prior effects. The cleaned text of a given doc depends on the store
+    * state at its batch's position in the stream — deterministic under
+    * replay because the store's content at append id N is itself
+    * replay-stable.
+    *
+    * The store accumulates the RAW batch's grams, not the cleaned ones —
+    * deliberately: the gram index is the memory of every span ever seen,
+    * so text that was cut once stays flagged when it reappears in a later
+    * batch (appending only cleaned grams would let removed boilerplate
+    * re-enter the corpus one copy per batch).
+    */
+  def runGramsClean(spark: SparkSession, changesDir: String, schema: StructType,
+                    indexPath: String, outDir: String, checkpointDir: String,
+                    idCol: String, textCol: String): StreamingQuery =
+    start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
+      gramsCleanBatch(batch, batchId, indexPath, outDir, checkpointDir,
+        idCol, textCol)
+    }
+
+  def gramsCleanBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                      outDir: String, checkpointDir: String,
+                      idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/grams", batchId)
+    graft.operators.SubstringDedup
+      .removeSpansAgainst(spark, indexPath, batch, idCol, textCol)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(appendId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+    graft.operators.SubstringDedup.appendIndex(batch, idCol, textCol,
+      indexPath, appendId)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
+
   private def start(spark: SparkSession, changesDir: String,
                     schema: StructType, checkpointDir: String)
                    (body: (DataFrame, Long) => Unit): StreamingQuery = {

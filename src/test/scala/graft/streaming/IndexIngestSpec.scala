@@ -355,4 +355,36 @@ class IndexIngestSpec extends SparkSpec {
       .agg(sum("covered_tokens")).head.getLong(0)
     assert(strict === 0L, "a replayed empty stream must not double-count")
   }
+
+  test("streaming clean loop: batches clean against the store AND each other") {
+    val root = Files.createTempDirectory("gramclean").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val idx = s"$root/grams"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.operators.SubstringDedup.buildIndex(
+      Seq(1L -> "a b c d e f").toDF("doc_id", "text"), "doc_id", "text", k = 3, idx)
+
+    // batch 1: doc 10 quotes the corpus ("c d e" cut); doc 11 is fresh
+    Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      Seq("""{"doc_id":10,"text":"x1 c d e x2"}""",
+          """{"doc_id":11,"text":"fresh span here x3"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    IndexIngest.runGramsClean(spark, in, docSchema, idx, out, ckpt, "doc_id", "text")
+    // batch 2: doc 20 repeats batch 1's "fresh span here" — visible only
+    // because batch 1's RAW grams were folded into the store
+    Files.write(java.nio.file.Paths.get(in, "b2.json"),
+      Seq("""{"doc_id":20,"text":"y1 fresh span here y2"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    IndexIngest.runGramsClean(spark, in, docSchema, idx, out, ckpt, "doc_id", "text")
+
+    val cleaned = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cleaned(10L) === "x1 x2")
+    assert(cleaned(11L) === "fresh span here x3") // untouched in ITS batch
+    assert(cleaned(20L) === "y1 y2") // cut against batch 1's memory
+    // replay with no new files changes nothing
+    IndexIngest.runGramsClean(spark, in, docSchema, idx, out, ckpt, "doc_id", "text")
+    assert(spark.read.parquet(out).count() === 3)
+  }
 }
