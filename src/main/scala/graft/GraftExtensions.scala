@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => MinHashSig(c(0), c(1), c(2))))
     ext.injectFunction(fn("graft_simhash", classOf[SimHash].getName, 1,
       c => SimHash(c(0))))
+    ext.injectFunction(fn("graft_gram_hashes", classOf[GramHashes].getName, 2,
+      c => GramHashes(c(0), c(1))))
     ext.injectFunction(fn("graft_dot", classOf[DotProduct].getName, 2,
       c => DotProduct(c(0), c(1))))
     ext.injectFunction(fn("graft_l2norm", classOf[L2Normalize].getName, 1,

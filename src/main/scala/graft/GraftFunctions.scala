@@ -20,6 +20,8 @@ object GraftFunctions {
         c => MinHashSig(c(0), c(1), c(2)), "internal")
       reg.createOrReplaceTempFunction("graft_simhash",
         c => SimHash(c(0)), "internal")
+      reg.createOrReplaceTempFunction("graft_gram_hashes",
+        c => GramHashes(c(0), c(1)), "internal")
       reg.createOrReplaceTempFunction("graft_dot",
         c => DotProduct(c(0), c(1)), "internal")
       reg.createOrReplaceTempFunction("graft_l2norm",

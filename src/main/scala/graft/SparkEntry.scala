@@ -1980,7 +1980,7 @@ object SparkEntry {
     // exactly what the oracle computes ---
     "q115_substring_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
+      val root = cachedIndexDir(s, dir, "documents", "substr_idx8g2")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
       // guard on the LAST-written artifact (params lands after grams), so
@@ -2000,7 +2000,7 @@ object SparkEntry {
     // exact SQL, so any lost/double-counted gram breaks the hash ---
     "q116_gram_lifecycle" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = cachedIndexDir(s, dir, "documents", "gram_lifecycle8")
+      val root = cachedIndexDir(s, dir, "documents", "gram_lifecycle8g2")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
@@ -2040,7 +2040,7 @@ object SparkEntry {
     // increment ---
     "q117_incremental_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = cachedIndexDir(s, dir, "documents", "substr_idx8")
+      val root = cachedIndexDir(s, dir, "documents", "substr_idx8g2")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/params/_SUCCESS")))

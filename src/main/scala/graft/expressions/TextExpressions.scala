@@ -197,3 +197,49 @@ case class SimHash(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
+
+/** graft_gram_hashes(text, k) → array<long>: one 64-bit hash per k-token
+  * window, in positional order — the substring-dedup hot path WITHOUT
+  * materializing gram strings. Each token hashes once
+  * ([[TextOps.hashString]]); a window's hash is the polynomial combination
+  * of its k token hashes folded through mix64, so two windows collide iff
+  * their token-hash sequences collide (same ~2^-64 per-pair rate the
+  * string-hash path has). O(n·k) multiply-adds replace O(n·k·len) string
+  * building + hashing; empty array when the document has fewer than k
+  * tokens.
+  */
+case class GramHashes(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextOps.checkArgs(prettyName, Seq(
+      (left.dataType, TextOps.isString, "string"),
+      (right.dataType, TextOps.isInt, "int")))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(text: Any, k: Any): Any = {
+    val kk = k.asInstanceOf[Int]
+    val toks = TextOps.tokenize(
+      text.asInstanceOf[UTF8String].toLowerCase.toString)
+    if (kk <= 0 || toks.length < kk)
+      return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = TextOps.hashString(toks(i), 0L); i += 1 }
+    val m = toks.length - kk + 1
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + kk) { h = h * 0x100000001B3L + th(j); j += 1 }
+      out(i) = TextOps.mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GramHashes =
+    copy(left = l, right = r)
+}

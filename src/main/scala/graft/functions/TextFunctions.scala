@@ -50,6 +50,12 @@ object TextFunctions {
   /** Native 64-bit SimHash straight from text. */
   def simHashFast(text: Column): Column = call_function("graft_simhash", text)
 
+  /** Native per-window 64-bit gram hashes in positional order — the
+    * substring-dedup hot path without materializing gram strings.
+    */
+  def gramHashesFast(text: Column, k: Int): Column =
+    call_function("graft_gram_hashes", text, lit(k))
+
   /** MinHash signature: k independent min-hashes over the shingle set.
     * Hash family: xxhash64 seeded by the hash index (prepended as a column).
     * Null when the shingle set is empty.

@@ -33,30 +33,45 @@ import org.apache.spark.sql.functions._
   * docs, never a global sort), and the interval list that rides back onto a
   * document row is bounded by that document's own window count.
   *
-  * Grams are compared by 64-bit xxhash64, not by string: at 10^12 corpus
-  * windows the expected number of colliding gram PAIRS is ~(10^12)^2 / 2^65
-  * ≈ 3·10^4 — a ~3·10^-8 false-duplicate rate, negligible against the
-  * sliver a real corpus's true duplicate rate represents, and the hash
-  * halves-or-better the shuffle bytes a 50-byte gram string would cost.
-  * (False POSITIVES only — a collision can spuriously mark a window
-  * duplicated, never hide a real duplicate.)
+  * Grams are compared by 64-bit hash, not by string — and on the hashed
+  * path no gram string is ever even built: the native `graft_gram_hashes`
+  * expression hashes each token once and combines k token hashes per
+  * window. At 10^12 corpus windows the expected number of colliding gram
+  * PAIRS is ~(10^12)^2 / 2^65 ≈ 3·10^4 — a ~3·10^-8 false-duplicate rate,
+  * negligible against the sliver a real corpus's true duplicate rate
+  * represents, and the hash halves-or-better the shuffle bytes a 50-byte
+  * gram string would cost. (False POSITIVES only — a collision can
+  * spuriously mark a window duplicated, never hide a real duplicate.)
   */
 object SubstringDedup {
 
+  /** Store/shuffle hash identity of the hashed-gram path — recorded in
+    * every persisted gram store's params and required to match on read:
+    * a store hashed under one scheme must never silently join a batch
+    * hashed under another.
+    */
+  val HashVersion = "gram64v2"
+
   /** `(id, __pos, __h)` — every k-token window, 1-based token position.
     * `hashGrams = false` carries the gram STRING as the key instead of its
-    * xxhash64 (collision-free at string-sized shuffle cost — the
+    * 64-bit hash (collision-free at string-sized shuffle cost — the
     * measurement is in DESIGN; ScaleSubstr is the rig).
     */
   private def windows(df: DataFrame, idCol: String, textCol: String,
                       k: Int, hashGrams: Boolean): DataFrame = {
-    // every path flows through here and depends on the native shingle
-    // expression — register defensively for sessions not built by Tables
+    // every path flows through here and depends on the native gram
+    // expressions — register defensively for sessions not built by Tables
     graft.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol),
-        posexplode(shinglesAllFast(col(textCol), k)).as(Seq("__p0", "__g")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"),
-        (if (hashGrams) xxhash64(col("__g")) else col("__g")).as("__h"))
+    if (hashGrams)
+      // native window hashes: no gram STRING is ever materialized — one
+      // token-hash pass plus k multiply-adds per window (gram64v2)
+      df.select(col(idCol),
+          posexplode(gramHashesFast(col(textCol), k)).as(Seq("__p0", "__h")))
+        .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__h"))
+    else
+      df.select(col(idCol),
+          posexplode(shinglesAllFast(col(textCol), k)).as(Seq("__p0", "__g")))
+        .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__g").as("__h"))
   }
 
   /** Duplicated windows `(id, __pos)`: window k-grams occurring in at least
@@ -156,13 +171,21 @@ object SubstringDedup {
       .parquet(s"$path/grams")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((k, buckets)).toDF("k", "buckets")
+    Seq((k, buckets, HashVersion)).toDF("k", "buckets", "hash")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
   private def storedParams(spark: org.apache.spark.sql.SparkSession,
                            path: String): (Int, Int) = {
-    val row = spark.read.parquet(s"$path/params").head()
+    val p = spark.read.parquet(s"$path/params")
+    val row = p.head()
+    // pre-hash-version stores carry no column; anything else must match —
+    // joining two hash schemes silently reports every batch clean
+    val stored = if (p.columns.contains("hash")) row.getAs[String]("hash")
+      else "pre-versioned"
+    require(stored == HashVersion,
+      s"gram store at $path was hashed with '$stored' but this build uses " +
+        s"'$HashVersion' — rebuild or compact the store with the current code")
     (row.getAs[Int]("k"), row.getAs[Int]("buckets"))
   }
 
@@ -202,7 +225,7 @@ object SubstringDedup {
       .write.mode("overwrite").partitionBy("__bucket", "batch_id")
       .parquet(s"$dest/grams")
     import spark.implicits._
-    Seq((k, buckets)).toDF("k", "buckets")
+    Seq((k, buckets, HashVersion)).toDF("k", "buckets", "hash")
       .write.mode("overwrite").parquet(s"$dest/params")
   }
 

@@ -29,6 +29,26 @@ class NativeConsistencySpec extends SparkSpec {
     assert(diff2.count() === 0)
   }
 
+  test("gram hashes: positional alignment, injectivity on real grams, edge cases") {
+    // window COUNT and POSITIONS must line up with the string-gram path,
+    // and distinct gram strings must map to distinct hashes on the corpus
+    val both = docs.select(col("doc_id"),
+        shinglesAllFast(col("text"), 5).as("gs"),
+        gramHashesFast(col("text"), 5).as("hs"))
+    assert(both.where(size(col("gs")) =!= size(col("hs"))).count() === 0)
+    // equal gram strings <=> equal hashes, across the whole corpus
+    val pairs = both.select(explode(arrays_zip(col("gs"), col("hs"))).as("p"))
+      .select(col("p.gs").as("g"), col("p.hs").as("h"))
+    assert(pairs.groupBy("g").agg(countDistinct("h").as("n"))
+      .where(col("n") =!= 1).count() === 0, "one gram, two hashes")
+    assert(pairs.groupBy("h").agg(countDistinct("g").as("n"))
+      .where(col("n") =!= 1).count() === 0, "hash collision on real grams")
+    // short docs produce empty arrays
+    val short = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+      .select(gramHashesFast(col("text"), 3).as("hs"))
+    assert(short.where(size(col("hs")) =!= 0).count() === 0)
+  }
+
   test("native cosine == HOF cosine within double rounding") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").limit(30)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
