@@ -3607,7 +3607,10 @@ object SparkEntry {
         |  LEFT JOIN kept USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
 
-    // q113: epochs = ceil(budget / supply); a replica row is admitted iff
+    // q113: epochs = ceil(budget / supply) clamped at the engine's
+    // maxEpochs = 100 (UniMax repetition cap — mirrored here so engine and
+    // oracle compute the same quantity even for a stratum whose budget
+    // exceeds 100x its supply); a replica row is admitted iff
     // epoch·supply + cum − n_tok < budget (the starts-under rule over the
     // replicated stream)
     "q113_upsample_mix" ->
@@ -3621,7 +3624,7 @@ object SparkEntry {
         |        CAST(floor(pw / totw * 60000) AS BIGINT) AS budget FROM w, t),
         |ep AS (SELECT source, tot, budget,
         |         CASE WHEN tot <= 0 THEN 1
-        |              ELSE GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1)
+        |              ELSE LEAST(GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1), 100)
         |         END AS ne FROM b),
         |c AS (SELECT doc_id, source, n_tok,
         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -3661,7 +3664,7 @@ object SparkEntry {
         |        CAST(floor(pwr / totw * 30000) AS BIGINT) AS budget FROM pw, t),
         |ep AS (SELECT source, tot, budget,
         |         CASE WHEN tot <= 0 THEN 1
-        |              ELSE GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1)
+        |              ELSE LEAST(GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1), 100)
         |         END AS ne FROM b),
         |c AS (SELECT doc_id, source, n_tok,
         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

@@ -185,7 +185,9 @@ object SubstringDedup {
       else "pre-versioned"
     require(stored == HashVersion,
       s"gram store at $path was hashed with '$stored' but this build uses " +
-        s"'$HashVersion' — rebuild or compact the store with the current code")
+        s"'$HashVersion' — rebuild the store from the corpus text with the " +
+        "current code (compaction cannot migrate hash schemes: it " +
+        "re-aggregates stored hashes and the source text is gone)")
     (row.getAs[Int]("k"), row.getAs[Int]("buckets"))
   }
 
@@ -246,8 +248,10 @@ object SubstringDedup {
     */
   def reportAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, textCol: String,
-                    minDocs: Int = 2): DataFrame = {
-    val (k, dupWins) = dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs)
+                    minDocs: Int = 2,
+                    belowBatchId: Option[Long] = None): DataFrame = {
+    val (k, dupWins) =
+      dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs, belowBatchId)
     coverageReport(batch, idCol, textCol, k, dupWins)
   }
 
@@ -259,8 +263,10 @@ object SubstringDedup {
     */
   def removeSpansAgainst(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, idCol: String, textCol: String,
-                         minDocs: Int = 2): DataFrame = {
-    val (k, dupWins) = dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs)
+                         minDocs: Int = 2,
+                         belowBatchId: Option[Long] = None): DataFrame = {
+    val (k, dupWins) =
+      dupWindowsAgainst(spark, path, batch, idCol, textCol, minDocs, belowBatchId)
     cutSpans(batch, idCol, textCol, k, dupWins)
   }
 
@@ -268,10 +274,21 @@ object SubstringDedup {
     * [[reportAgainst]] / [[removeSpansAgainst]]: store distinct-doc counts
     * (Bloom-pruned by the batch's gram set) plus batch distinct-doc counts
     * decide duplication; returns the store's `k` and the `(id, __pos)` set.
+    *
+    * `belowBatchId` restricts the store scan to `batch_id < belowBatchId`
+    * (partition-pruned — `batch_id` is a partition column, so excluded
+    * batches are dropped at file-listing time). The streaming clean loop
+    * passes its own resolved append id here: a crash-REPLAYED micro-batch
+    * whose gram append already landed would otherwise see its own grams as
+    * corpus, push every window to `minDocs = 2`, and cut essentially all of
+    * its text — then dynamic-overwrite the previously correct output. With
+    * the bound, the store a batch cleans against is exactly the store as of
+    * the batch's position in the stream, replayed or not.
     */
   private def dupWindowsAgainst(spark: org.apache.spark.sql.SparkSession,
                                 path: String, batch: DataFrame, idCol: String,
-                                textCol: String, minDocs: Int): (Int, DataFrame) = {
+                                textCol: String, minDocs: Int,
+                                belowBatchId: Option[Long] = None): (Int, DataFrame) = {
     val (k, _) = storedParams(spark, path)
     // the window projection feeds three consumers (batch gram counts, the
     // Bloom build underneath them, the coverage semi-join) — materialize
@@ -281,7 +298,10 @@ object SubstringDedup {
       .localCheckpoint(true)
     val batchCounts = w.groupBy("__h")
       .agg(countDistinct(col(idCol)).cast("long").as("__bnd"))
-    val store = spark.read.parquet(s"$path/grams").select("__h", "n_docs")
+    val allBatches = spark.read.parquet(s"$path/grams")
+    val store = belowBatchId
+      .fold(allBatches)(b => allBatches.where(col("batch_id") < lit(b)))
+      .select("__h", "n_docs")
     // size the Bloom from the BATCH's own gram count (one cheap agg over
     // the checkpointed windows): the default 2^23-bit geometry saturates
     // for a real daily increment (~10^8 grams -> FP ~ 1.0) and would

@@ -137,8 +137,11 @@ object IndexIngest {
     * retry-idempotent, so a replayed micro-batch replaces BOTH of its
     * prior effects. The cleaned text of a given doc depends on the store
     * state at its batch's position in the stream — deterministic under
-    * replay because the store's content at append id N is itself
-    * replay-stable.
+    * replay because the clean reads the store bounded to
+    * `batch_id < appendId`: a crash between the gram append and the
+    * checkpoint commit leaves the batch's own grams in the store, and
+    * without the bound the replayed clean would count them as corpus and
+    * cut essentially all of the batch's text.
     *
     * The store accumulates the RAW batch's grams, not the cleaned ones —
     * deliberately: the gram index is the memory of every span ever seen,
@@ -160,8 +163,14 @@ object IndexIngest {
     val spark = batch.sparkSession
     val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
       indexPath, s"$indexPath/grams", batchId)
+    // clean against the store STRICTLY BELOW this batch's append id: on a
+    // crash-replay whose gram append already landed (half-committed batch),
+    // an unbounded scan would count the batch's own grams as corpus and cut
+    // essentially all of its text; the bound makes the store-as-seen
+    // identical on first run and on every replay (partition-pruned filter)
     graft.operators.SubstringDedup
-      .removeSpansAgainst(spark, indexPath, batch, idCol, textCol)
+      .removeSpansAgainst(spark, indexPath, batch, idCol, textCol,
+        belowBatchId = Some(appendId))
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(appendId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

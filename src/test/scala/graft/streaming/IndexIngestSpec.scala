@@ -387,4 +387,40 @@ class IndexIngestSpec extends SparkSpec {
     IndexIngest.runGramsClean(spark, in, docSchema, idx, out, ckpt, "doc_id", "text")
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("crash-replay of gramsCleanBatch: a batch never cleans against its own grams") {
+    val root = Files.createTempDirectory("gramcrash").toString
+    val idx = s"$root/grams"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    graft.operators.SubstringDedup.buildIndex(
+      Seq(1L -> "a b c d e f").toDF("doc_id", "text"), "doc_id", "text", k = 3, idx)
+
+    // doc 10 quotes the corpus ("c d e" cut); doc 11 shares nothing with it
+    val batch = Seq(10L -> "x1 c d e x2", 11L -> "novel words appear here only")
+      .toDF("doc_id", "text")
+    IndexIngest.gramsCleanBatch(batch, 0L, idx, out, ckpt, "doc_id", "text")
+    val first = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(first(10L) === "x1 x2")
+    assert(first(11L) === "novel words appear here only")
+
+    // the crash window: appendIndex landed (the store now holds the batch's
+    // own grams at its append id) but the checkpoint never committed, so
+    // the engine re-runs the SAME micro-batch. The replayed clean must read
+    // the store as it was BELOW the batch's append id — an unbounded scan
+    // would find every batch gram already present (store 1 + batch 1 >=
+    // minDocs 2) and cut essentially all text, then dynamic-overwrite the
+    // previously correct partition
+    IndexIngest.gramsCleanBatch(batch, 0L, idx, out, ckpt, "doc_id", "text")
+    val replayed = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(replayed === first,
+      s"crash-replay over-cut against the batch's own grams: $replayed")
+    // and the gram append itself stayed idempotent: one contribution row
+    // per (gram, batch) — a gram the corpus also holds legitimately has a
+    // batch-0 row AND an append row, but never two rows in the same batch
+    val perGram = spark.read.parquet(s"$idx/grams")
+      .groupBy("__h", "batch_id").count().agg(max("count")).head.getLong(0)
+    assert(perGram === 1L, "replayed append duplicated gram contributions")
+  }
 }
