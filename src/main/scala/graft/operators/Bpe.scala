@@ -89,18 +89,39 @@ object Bpe {
     * max weighted count with `(a, b)` lexicographic tie-break; stops early
     * when the best remaining pair falls under `minCount`.
     *
-    * Each round re-materializes the vocab table with an eager
-    * `localCheckpoint`, TRUNCATING lineage — without it every round's plan
-    * nests the previous round's merge fold and per-round planning cost
-    * compounds until the driver dies on plan strings alone (observed: OOM
-    * in `explainString` at 20 rounds over a real vocab). Superseded
-    * checkpoint blocks are released by the ContextCleaner once the previous
-    * round's DataFrame is unreachable.
+    * Hybrid execution — the shape real tokenizer trainers use: the one
+    * corpus scan builds the distinct-word table distributed, and then IF
+    * that table fits comfortably on the driver (`localVocabLimit` rows) the
+    * merge rounds run LOCALLY over the collected `(syms, cnt)` array —
+    * identical argmax / `(a, b)` tie-break / greedy fold ([[trainLocal]]
+    * shares [[fuse]] with [[encodeWord]], and BpeSpec pins
+    * local == distributed), so the result is bit-identical while each
+    * round costs microseconds instead of a full job round-trip (~40
+    * sequential jobs of pure scheduler overhead at gate scale). The vocab
+    * row count never changes across rounds (symbols merge WITHIN words),
+    * so the route is decided once, after the only corpus-sized stage.
+    *
+    * Above the limit (a web-scale corpus's distinct-word table can run to
+    * 10^8 rows) the rounds stay distributed: each is one vocab-sized
+    * aggregation (adjacent-pair counts, map-side partials) plus a 1-row
+    * argmax collect. Each distributed round re-materializes the vocab
+    * table with an eager `localCheckpoint`, TRUNCATING lineage — without
+    * it every round's plan nests the previous round's merge fold and
+    * per-round planning cost compounds until the driver dies on plan
+    * strings alone (observed: OOM in `explainString` at 20 rounds over a
+    * real vocab). Superseded checkpoint blocks are released by the
+    * ContextCleaner once the previous round's DataFrame is unreachable.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L, localVocabLimit: Long = 1L << 20): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges >= 0: $numMerges")
     var words = initialWords(docs, textCol).localCheckpoint(true)
+    if (words.count() <= localVocabLimit) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return trainLocal(
+        words.as[(Seq[String], Long)].collect(), numMerges, minCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -117,6 +138,49 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** The driver-side merge rounds over a collected vocab table — same
+    * argmax (max weighted count, `(a, b)` lexicographic tie-break), same
+    * stop rule, same greedy [[fuse]] as the distributed path and
+    * [[encodeWord]]; exposed for the spec that pins the equality.
+    */
+  private[operators] def trainLocal(vocab: Array[(Seq[String], Long)],
+                                    numMerges: Int, minCount: Long): Seq[Merge] = {
+    var words = vocab.map { case (s, c) => (s.toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        pc.update((syms(i), syms(i + 1)),
+          pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt)
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        if (c < minCount) done = true
+        else {
+          merges += Merge(merges.length, a, b, c)
+          words = words.map { case (syms, cnt) => (fuse(syms, a, b), cnt) }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right non-overlapping merge pass — the imperative
+    * twin of [[mergePair]], shared by [[encodeWord]] and [[trainLocal]].
+    */
+  private def fuse(syms: Vector[String], a: String, b: String): Vector[String] =
+    if (syms.length < 2) syms
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      out.toVector
+    }
 
   /** Persist a learned merge list: one parquet row per merge. A tokenizer
     * is trained once and applied for the life of a model — the merge table
@@ -148,17 +212,7 @@ object Bpe {
     */
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
     var syms = (word.map(_.toString) :+ EndOfWord).toVector
-    merges.foreach { m =>
-      if (syms.length >= 2) {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == m.a && x == m.b)
-            out(out.length - 1) = m.a + m.b
-          else out += x
-        }
-        syms = out.toVector
-      }
-    }
+    merges.foreach { m => syms = fuse(syms, m.a, m.b) }
     syms
   }
 

@@ -101,6 +101,22 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("local driver-side rounds equal distributed rounds merge for merge") {
+    // localVocabLimit = 0 forces every round through the distributed path;
+    // the default takes the collected tail — results must be bit-identical
+    // (same argmax, same (a, b) tie-break, same greedy fold)
+    val viaLocal = Bpe.train(corpus, "text", numMerges = 25, minCount = 1L)
+    val viaDist = Bpe.train(corpus, "text", numMerges = 25, minCount = 1L,
+      localVocabLimit = 0L)
+    assert(viaLocal === viaDist)
+    // and on a corpus with heavy ties + overlap runs ("aaa bb aaa")
+    val tricky = Seq((1L, "aaa bb aaa ababa"), (2L, "bb cc bb aaa")).toDF("doc_id", "text")
+    val l2 = Bpe.train(tricky, "text", numMerges = 12, minCount = 1L)
+    val d2 = Bpe.train(tricky, "text", numMerges = 12, minCount = 1L,
+      localVocabLimit = 0L)
+    assert(l2 === d2)
+  }
+
   test("sf0.001 corpus: roundtrip identity and compression both hold") {
     val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
