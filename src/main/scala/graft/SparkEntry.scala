@@ -2089,6 +2089,56 @@ object SparkEntry {
       emb.sparkSession.range(1).select(
         lit(quotaOk).as("quota_ok"), lit(cellsOk).as("cells_ok"),
         lit(subsetOk).as("subset_ok"), lit(nonTrivial).as("non_trivial"))
+    }),
+
+    // --- BPE merge-table lifecycle (q106/q93/q116's shape for the last
+    // persisted model artifact without one): train 20 merges → sealed v0,
+    // EXTEND the vocab by 20 more → sealed v1 (tokenizer versions are
+    // immutable once a model trained against them — extension publishes a
+    // new version, never an in-place mutation), open `latest` and gate the
+    // prefix-stability theorem: extend(train(20), 20) == train(40)
+    // merge-for-merge, v0 is its exact prefix, and the reopened latest
+    // encodes with exact roundtrip + compression (q109's booleans) ---
+    "q119_bpe_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "bpe_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = operators.Bpe.train(docs, "text", numMerges = 20)
+        pipeline.IndexVersions.publish(s, root)(p =>
+          operators.Bpe.write(v0, p, s))
+        val extended = operators.Bpe.extend(docs, "text",
+          operators.Bpe.open(s, s"$root/v0"), numMore = 20)
+        pipeline.IndexVersions.publish(s, root)(p =>
+          operators.Bpe.write(extended, p, s))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val viaStore = operators.Bpe.open(s, latest)
+      val oneShot = operators.Bpe.train(docs, "text", numMerges = 40)
+      val extendedEqualsOneShot = viaStore == oneShot
+      val v0IsPrefix = operators.Bpe.open(s, s"$root/v0") == oneShot.take(20)
+      val base = size(tokens(col("text"))) +
+        aggregate(tokens(col("text")), lit(0), (acc, w) => acc + length(w))
+      docs.join(
+          operators.Bpe.encode(docs, "doc_id", "text", viaStore), Seq("doc_id"))
+        .select(
+          (operators.Bpe.decode(col("pieces")) ===
+            concat_ws(" ", tokens(col("text")))).as("rt"),
+          size(col("pieces")).cast("long").as("np"),
+          base.cast("long").as("nb"))
+        .agg(count(lit(1)).as("n_docs"), min("rt").as("all_roundtrip"),
+          (sum("np") < sum("nb")).as("compressed"))
+        .select(col("n_docs"), col("all_roundtrip"), col("compressed"),
+          lit(versionOk).as("version_ok"),
+          lit(extendedEqualsOneShot).as("extend_equals_oneshot"),
+          lit(v0IsPrefix).as("v0_is_prefix"))
     })
   )
 
@@ -3755,6 +3805,15 @@ object SparkEntry {
     // constants (q65's pattern)
     "q118_diversity_sample" ->
       """SELECT true AS quota_ok, true AS cells_ok, true AS subset_ok,
-        |  true AS non_trivial""".stripMargin
+        |  true AS non_trivial""".stripMargin,
+
+    // q119: the lifecycle booleans are exact by the prefix-stability
+    // theorem (extend re-segments the vocab to training's exact round-20
+    // state); roundtrip/compression are q109's constants
+    "q119_bpe_lifecycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
+        |  true AS compressed, true AS version_ok,
+        |  true AS extend_equals_oneshot, true AS v0_is_prefix
+        |FROM documents""".stripMargin
   )
 }

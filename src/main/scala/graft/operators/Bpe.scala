@@ -115,12 +115,50 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minCount: Long = 2L, localVocabLimit: Long = 1L << 20): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges >= 0: $numMerges")
-    var words = initialWords(docs, textCol).localCheckpoint(true)
+    rounds(initialWords(docs, textCol).localCheckpoint(true),
+      numMerges, minCount, localVocabLimit, rankOffset = 0)
+  }
+
+  /** Continue training an existing merge list with up to `numMore` new
+    * merges over `docs` — the vocab-EXTENSION half of the merge-table
+    * lifecycle (retraining from scratch is the other; a tokenizer version
+    * is immutable once a model trained against it, so extension publishes
+    * a NEW sealed version via [[graft.pipeline.IndexVersions]], never an
+    * in-place mutation).
+    *
+    * Prefix-stability theorem (BpeSpec pins it): greedy BPE's state after
+    * `k` merges is fully determined by those merges — re-segmenting the
+    * vocab through `prior` reproduces the words table training had after
+    * round `k` exactly, so `extend(docs, train(docs, k), m) ==
+    * train(docs, k + m)` whenever `prior` came from the same corpus. The
+    * re-segmentation is ONE vocab-sized pass ([[encodeWords]] replays the
+    * whole list per distinct word), not `k` sequential rounds.
+    */
+  def extend(docs: DataFrame, textCol: String, prior: Seq[Merge], numMore: Int,
+             minCount: Long = 2L, localVocabLimit: Long = 1L << 20): Seq[Merge] = {
+    require(numMore >= 0, s"numMore >= 0: $numMore")
+    require(prior.map(_.rank) == prior.indices,
+      s"prior merges must be rank-ordered 0..${prior.length - 1}")
+    val wc = wordCounts(docs, textCol)
+    val words = encodeWords(wc.select("word"), prior)
+      .join(wc, Seq("word"))
+      .select(col("pieces").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    prior ++ rounds(words, numMore, minCount, localVocabLimit,
+      rankOffset = prior.length)
+  }
+
+  /** Route the merge rounds local or distributed (see [[train]] scaladoc);
+    * `rankOffset` numbers the learned merges for the extension path.
+    */
+  private def rounds(words0: DataFrame, numMerges: Int, minCount: Long,
+                     localVocabLimit: Long, rankOffset: Int): Seq[Merge] = {
+    var words = words0
     if (words.count() <= localVocabLimit) {
-      val spark = docs.sparkSession
+      val spark = words.sparkSession
       import spark.implicits._
       return trainLocal(
-        words.as[(Seq[String], Long)].collect(), numMerges, minCount)
+        words.as[(Seq[String], Long)].collect(), numMerges, minCount, rankOffset)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -130,7 +168,7 @@ object Bpe {
       if (top.isEmpty || top(0).getLong(2) < minCount) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(merges.length, a, b, c)
+        merges += Merge(rankOffset + merges.length, a, b, c)
         words = words
           .select(mergePair(col("syms"), a, b).as("syms"), col("cnt"))
           .localCheckpoint(true)
@@ -145,7 +183,8 @@ object Bpe {
     * [[encodeWord]]; exposed for the spec that pins the equality.
     */
   private[operators] def trainLocal(vocab: Array[(Seq[String], Long)],
-                                    numMerges: Int, minCount: Long): Seq[Merge] = {
+                                    numMerges: Int, minCount: Long,
+                                    rankOffset: Int = 0): Seq[Merge] = {
     var words = vocab.map { case (s, c) => (s.toVector, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -159,7 +198,7 @@ object Bpe {
         val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
         if (c < minCount) done = true
         else {
-          merges += Merge(merges.length, a, b, c)
+          merges += Merge(rankOffset + merges.length, a, b, c)
           words = words.map { case (syms, cnt) => (fuse(syms, a, b), cnt) }
         }
       }

@@ -117,6 +117,25 @@ class BpeSpec extends SparkSpec {
     assert(l2 === d2)
   }
 
+  test("extend continues training exactly: extend(train(k), m) == train(k+m)") {
+    val full = Bpe.train(corpus, "text", numMerges = 14, minCount = 1L)
+    assert(full.length === 14)
+    for (k <- Seq(0, 1, 6, 13)) {
+      val ext = Bpe.extend(corpus, "text", full.take(k), numMore = 14 - k,
+        minCount = 1L)
+      assert(ext === full, s"prefix-stability broke at split $k")
+    }
+    // and across the local/distributed route boundary: distributed
+    // continuation from a locally-trained prefix (and vice versa)
+    val extDist = Bpe.extend(corpus, "text", full.take(6), numMore = 8,
+      minCount = 1L, localVocabLimit = 0L)
+    assert(extDist === full)
+    val fullDist = Bpe.train(corpus, "text", numMerges = 6, minCount = 1L,
+      localVocabLimit = 0L)
+    assert(Bpe.extend(corpus, "text", fullDist, numMore = 8, minCount = 1L)
+      === full)
+  }
+
   test("sf0.001 corpus: roundtrip identity and compression both hold") {
     val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
