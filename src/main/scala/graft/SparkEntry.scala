@@ -2139,6 +2139,67 @@ object SparkEntry {
           lit(versionOk).as("version_ok"),
           lit(extendedEqualsOneShot).as("extend_equals_oneshot"),
           lit(v0IsPrefix).as("v0_is_prefix"))
+    }),
+
+    // --- D4's CLAIM, not just its mechanics (q118 gates the latter): on a
+    // corpus with a genuine tail mode, cluster-balanced sampling keeps the
+    // tail while a same-size uniform draw crowds it out. The testdata's
+    // k-means cells are near-balanced (50-71 rows at sf0.01), so the tail
+    // is CONSTRUCTED deterministically — cell 7 restricted to its first 3
+    // rows by xxhash64 order — and the gate compares D4 against the
+    // uniform baseline at identical sample size: tail kept whole (quota >=
+    // tail), min-cell count >= uniform's, tail share amplified vs the
+    // corpus share (exact cross-multiplied rationals; >= because at SFs
+    // where no cell exceeds the quota both samples degenerate to the
+    // corpus). The uniform baseline's global sort-limit is gate-harness
+    // code, not the operator — at scale a uniform draw is a fraction
+    // sample ---
+    "q120_diversity_tail" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = cachedIndexDir(s, dir, "embeddings", "divsample8")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/done/_SUCCESS"))) {
+        Ivf.write(Ivf.build(emb, nCells = 8, trainSample = 10000), root)
+        s.range(1).write.mode("overwrite").parquet(s"$root/done")
+      }
+      val assignment = Ivf.open(s, root).assigned
+        .select(col("id").as("vec_id"), col("cell"))
+      val tailCell = 7
+      val ord = Seq(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      // the tail is picked by a SALTED hash, independent of the xxhash64
+      // admission/baseline order — picking by the same hash would hand the
+      // uniform baseline exactly the tail rows that sort first globally
+      // (observed: all 3 kept, a ~0.5% draw, when unsalted)
+      val tailKeep = assignment.where(col("cell") === tailCell)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cell")
+            .orderBy(xxhash64(col("vec_id"), lit(42)).asc, col("vec_id").asc)))
+        .where(col("__r") <= 3).drop("__r")
+      val corpus = assignment.where(col("cell") =!= tailCell)
+        .unionByName(tailKeep).cache()
+      val corpusN = corpus.count()
+      val tailN = corpus.where(col("cell") === tailCell).count()
+      val d4 = operators.DiversitySample
+        .clusterBalancedFrom(corpus, "vec_id", perCluster = 10)
+      val d4PerCell = d4.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = d4PerCell.values.sum
+      val uniPerCell = corpus.orderBy(ord: _*).limit(n.toInt)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cells = corpus.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      corpus.unpersist()
+      val d4Min = cells.map(c => d4PerCell.getOrElse(c, 0L)).min
+      val uniMin = cells.map(c => uniPerCell.getOrElse(c, 0L)).min
+      val d4Tail = d4PerCell.getOrElse(tailCell, 0L)
+      s.range(1).select(
+        lit(d4Tail == tailN).as("tail_kept_whole"),
+        lit(d4Min >= uniMin).as("min_cell_ge_uniform"),
+        lit(d4Tail * corpusN >= tailN * n).as("tail_share_amplified"),
+        lit(n <= corpusN && n > 0).as("sample_proper"))
     })
   )
 
@@ -3814,6 +3875,13 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
         |  true AS compressed, true AS version_ok,
         |  true AS extend_equals_oneshot, true AS v0_is_prefix
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // q120: the D4-claim tolerance booleans (constructed-tail gate; see
+    // the query's comment for why each is guaranteed, with >= exactly
+    // where SF-degenerate equality is possible)
+    "q120_diversity_tail" ->
+      """SELECT true AS tail_kept_whole, true AS min_cell_ge_uniform,
+        |  true AS tail_share_amplified, true AS sample_proper""".stripMargin
   )
 }
