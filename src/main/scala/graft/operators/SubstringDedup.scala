@@ -354,18 +354,30 @@ object SubstringDedup {
       .groupBy(col(idCol), col("__isl"))
       .agg(min("__pos").as("__s"), (max("__pos") + lit(k - 1)).as("__e"))
       .groupBy(idCol)
-      .agg(collect_list(struct(col("__s"), col("__e"))).as("__ivs"))
+      // sorted by __s (struct compare is field-ordered) — the gap-slice
+      // rebuild below depends on island order, which collect_list alone
+      // does not guarantee
+      .agg(array_sort(collect_list(struct(col("__s"), col("__e")))).as("__ivs"))
     val others = df.columns.filterNot(_ == textCol).map(col)
+    // survivors = the gaps BETWEEN merged islands, copied out with slice():
+    // islands [(s1,e1)..(sm,em)] leave gaps [1,s1-1], [e1+1,s2-1], ...,
+    // [em+1,T] — each token is copied at most once, so the rebuild is
+    // O(tokens + islands) per document (the per-token exists() scan it
+    // replaces was O(tokens x islands): quadratic-ish on a boilerplate-
+    // heavy long doc with thousands of islands). Interior gaps are
+    // non-empty by the merge invariant (a new island starts only past
+    // prevEnd + 1); the boundary gaps collapse to length 0 via greatest.
     df.join(islands, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn(textCol,
         when(col("__ivs").isNull, col(textCol)).otherwise(concat_ws(" ",
-          filter(
-            zip_with(tokens(col(textCol)),
-              sequence(lit(1), greatest(tokenCount(col(textCol)), lit(1))),
-              (t, p) => when(
-                exists(col("__ivs"), iv => p >= iv("__s") && p <= iv("__e")),
-                lit(null).cast("string")).otherwise(t)),
-            t => t.isNotNull))))
+          flatten(zip_with(
+            concat(array(lit(1)),
+              transform(col("__ivs"), iv => (iv("__e") + 1).cast("int"))),
+            concat(transform(col("__ivs"), iv => (iv("__s") - 1).cast("int")),
+              array(size(col("__toks")))),
+            (gs, ge) => slice(col("__toks"), gs,
+              greatest(ge - gs + 1, lit(0))))))))
       .select(others :+ col(textCol): _*)
   }
 }
