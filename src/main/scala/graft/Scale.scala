@@ -479,7 +479,71 @@ object ScaleBpe {
       // rounds-only timing: the scan is inside train's first step, so
       // subtract by timing 0 merges (scan + checkpoint, no rounds)
       time(s"train0_$tag")({ operators.Bpe.train(d, "text", 0); 1L })
+      // hybrid default (vocab fits the driver -> local rounds) vs the
+      // forced-distributed rounds a 10^8-word vocab would take: the r12
+      // corpus-flat-rounds claim is about the DISTRIBUTED path, the r13
+      // hybrid claim is the gap between the two at driver-sized vocabs
       time(s"train20_$tag")({ operators.Bpe.train(d, "text", 20); 1L })
+      time(s"train20dist_$tag")({
+        operators.Bpe.train(d, "text", 20, localVocabLimit = 0L); 1L })
+    }
+    spark.stop()
+  }
+}
+
+/** Round-13 probe: the span-cut rebuild. The old formulation tested every
+  * token against every island (`exists` inside `zip_with` — O(T x I) per
+  * doc); the new one slices the gaps between sorted islands (O(T + I)).
+  * Both run here as raw expressions over IDENTICAL synthetic inputs — docs
+  * of `T` tokens with `I` disjoint k-islands — so the probe isolates
+  * exactly the rewritten expression; island construction and text are
+  * shared. A boilerplate-heavy doc (hundreds of islands) is where the old
+  * path went quadratic-ish.
+  */
+object ScaleCut {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val k = 8
+    def corpus(nDocs: Int, tokensPerDoc: Int, islands: Int) = {
+      val text = concat_ws(" ", transform(
+        sequence(lit(1), lit(tokensPerDoc)), i => concat(lit("w"), i)))
+      // islands at stride so they stay disjoint and non-adjacent
+      val stride = tokensPerDoc / math.max(islands, 1)
+      val ivs = transform(sequence(lit(0), lit(islands - 1)),
+        j => struct((j * stride + 1).as("__s"), (j * stride + k).as("__e")))
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        text.as("text"), ivs.as("__ivs"))
+    }
+    def oldCut(toks: org.apache.spark.sql.Column) = concat_ws(" ",
+      filter(zip_with(toks, sequence(lit(1), greatest(size(toks), lit(1))),
+        (t, p) => when(exists(col("__ivs"),
+          iv => p >= iv("__s") && p <= iv("__e")),
+          lit(null).cast("string")).otherwise(t)), t => t.isNotNull))
+    def newCut(toks: org.apache.spark.sql.Column) = concat_ws(" ",
+      flatten(zip_with(
+        concat(array(lit(1)), transform(col("__ivs"), iv => (iv("__e") + 1).cast("int"))),
+        concat(transform(col("__ivs"), iv => (iv("__s") - 1).cast("int")),
+          array(size(toks))),
+        (gs, ge) => slice(toks, gs, greatest(ge - gs + 1, lit(0))))))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name n=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    import graft.functions.TextFunctions.tokens
+    for (round <- 0 to 1; (tag, islands) <- Seq("i30" -> 30, "i240" -> 240)) {
+      // __toks materialized in a prior projection exactly as production
+      // cutSpans does — inlining tokens(text) into the lambda would
+      // re-tokenize the doc once PER GAP and swamp the measurement
+      val d = corpus(4000, 2400, islands)
+        .withColumn("__toks", tokens(col("text")))
+      val equal = d.select((oldCut(col("__toks")) ===
+        newCut(col("__toks"))).as("eq"))
+        .agg(min("eq")).head.getBoolean(0)
+      require(equal, s"old/new cut disagree at $tag")
+      time(s"cut_old_${tag}_r$round")(ScaleConsume(
+        d.select(col("doc_id"), oldCut(col("__toks")).as("text"))))
+      time(s"cut_new_${tag}_r$round")(ScaleConsume(
+        d.select(col("doc_id"), newCut(col("__toks")).as("text"))))
     }
     spark.stop()
   }
