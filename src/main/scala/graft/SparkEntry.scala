@@ -2200,6 +2200,32 @@ object SparkEntry {
         lit(d4Min >= uniMin).as("min_cell_ge_uniform"),
         lit(d4Tail * corpusN >= tailN * n).as("tail_share_amplified"),
         lit(n <= corpusN && n > 0).as("sample_proper"))
+    }),
+
+    // --- unigram-LM tokenizer (Kudo 2018; the SentencePiece family —
+    // q109's gate shape for the OTHER subword model): train 300 pieces by
+    // Viterbi-EM over the corpus's substring lattice, encode every doc,
+    // and gate the construction guarantees — per-word roundtrip exact
+    // (Viterbi segmentations tile the word; single-char floor keeps any
+    // text segmentable), piece stream compresses vs character level,
+    // inventory within budget, probs normalized to unit mass ---
+    "q121_unigram_tokenizer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = operators.Unigram.train(docs, "text", vocabSize = 300)
+      val mass = pieces.iterator.map(p => math.exp(p.logProb)).sum
+      val enc = operators.Unigram.encode(docs, "doc_id", "text", pieces)
+      val rtBad = operators.Unigram.decodeJoined(docs, "doc_id", "text", pieces)
+        .join(docs.select(col("doc_id"),
+          concat_ws(" ", tokens(col("text"))).as("__norm")), Seq("doc_id"))
+        .where(col("text") =!= col("__norm")).count()
+      docs.join(enc, Seq("doc_id"))
+        .select(size(col("pieces")).cast("long").as("np"),
+          aggregate(tokens(col("text")), lit(0L), (a, w) => a + length(w)).as("nc"))
+        .agg(count(lit(1)).as("n_docs"), (sum("np") < sum("nc")).as("compressed"))
+        .select(col("n_docs"),
+          lit(rtBad == 0L).as("all_roundtrip"), col("compressed"),
+          lit(pieces.size <= 300).as("vocab_within_budget"),
+          lit(math.abs(mass - 1.0) < 1e-9).as("probs_normalized"))
     })
   )
 
@@ -3882,6 +3908,13 @@ object SparkEntry {
     // where SF-degenerate equality is possible)
     "q120_diversity_tail" ->
       """SELECT true AS tail_kept_whole, true AS min_cell_ge_uniform,
-        |  true AS tail_share_amplified, true AS sample_proper""".stripMargin
+        |  true AS tail_share_amplified, true AS sample_proper""".stripMargin,
+
+    // q121: the unigram-tokenizer construction guarantees restated as
+    // constants (EM isn't SQL-expressible; q109's pattern)
+    "q121_unigram_tokenizer" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
+        |  true AS compressed, true AS vocab_within_budget,
+        |  true AS probs_normalized FROM documents""".stripMargin
   )
 }
