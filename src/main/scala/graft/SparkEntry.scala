@@ -2226,6 +2226,26 @@ object SparkEntry {
           lit(rtBad == 0L).as("all_roundtrip"), col("compressed"),
           lit(pieces.size <= 300).as("vocab_within_budget"),
           lit(math.abs(mass - 1.0) < 1e-9).as("probs_normalized"))
+    }),
+
+    // --- fixed-length training-sequence assembly (GPT concat-and-chunk,
+    // the pipeline's final mile): the corpus's token streams concatenate
+    // in doc order and split into exact 128-token sequences, each carrying
+    // the doc-start offsets attention-reset needs. Hash-exact over
+    // whitespace tokens (the packing semantics are tokenizer-agnostic —
+    // the BPE composition is spec-gated in TokenPackSpec); every sequence
+    // row reconstructs its text and boundary list verbatim in both
+    // engines ---
+    "q122_sequence_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("pieces"))
+      operators.TokenPack.sequences(docs, "doc_id", "pieces", seqLen = 128)
+        .select(col("seq_id"),
+          array_join(col("pieces"), " ").as("seq_text"),
+          array_join(transform(col("doc_starts"), x => x.cast("string")), ",")
+            .as("doc_starts"),
+          col("n_tokens"), col("n_docs"))
+        .orderBy("seq_id")
     })
   )
 
@@ -3915,6 +3935,23 @@ object SparkEntry {
     "q121_unigram_tokenizer" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
         |  true AS compressed, true AS vocab_within_budget,
-        |  true AS probs_normalized FROM documents""".stripMargin
+        |  true AS probs_normalized FROM documents""".stripMargin,
+
+    // q122: global token index in (doc_id, position) order, 128-token
+    // chunks, doc starts at in-doc position 1; COALESCE('') matches
+    // Spark's empty array_join on boundary-free sequences
+    "q122_sequence_pack" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |tok AS (SELECT doc_id, ts[i] AS w, i FROM t0,
+        |        UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |idx AS (SELECT doc_id, w, i,
+        |          row_number() OVER (ORDER BY doc_id, i) - 1 AS g FROM tok)
+        |SELECT g // 128 AS seq_id,
+        |  string_agg(w, ' ' ORDER BY g) AS seq_text,
+        |  COALESCE(string_agg(CASE WHEN i = 1 THEN CAST(g % 128 AS VARCHAR) END,
+        |    ',' ORDER BY g), '') AS doc_starts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM idx GROUP BY g // 128 ORDER BY seq_id""".stripMargin
   )
 }
