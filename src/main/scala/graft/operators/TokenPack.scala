@@ -56,17 +56,25 @@ object TokenPack {
       .withColumn("__ord", col(idCol).cast("long") * lit(maxLen) + col("__pos"))
       .withColumn("__s", lit(0))
       .withColumn("__w", lit(1L))
+    // ONE bounded collect per sequence; pieces/boundaries/counts all derive
+    // from it in the projection. A countDistinct aggregate here would
+    // expand into a second full shuffle of the token stream keyed on
+    // (seq_id, id) — deriving n_docs from the collected (<= seqLen) rows
+    // keeps the plan at exactly two token-stream shuffles (running index,
+    // seq assembly; plan-audited in DESIGN).
     Pack.runningTokens(stream, "__s", "__ord", "__w", subStrata)
       .withColumn("seq_id", expr(s"(cum - 1) DIV $seqLen"))
       .withColumn("__off", expr(s"(cum - 1) % $seqLen").cast("int"))
       .groupBy("seq_id")
-      .agg(
-        transform(array_sort(collect_list(struct(col("__off"), col("__tok")))),
-          x => x("__tok")).as("pieces"),
-        sort_array(collect_list(when(col("__pos") === 0, col("__off"))))
-          .as("doc_starts"),
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"))
+      .agg(array_sort(collect_list(struct(col("__off"), col("__tok"),
+        col("__pos"), col(idCol).cast("long").as("__id")))).as("__rows"))
+      .select(col("seq_id"),
+        transform(col("__rows"), x => x("__tok")).as("pieces"),
+        transform(filter(col("__rows"), x => x("__pos") === 0),
+          x => x("__off")).as("doc_starts"),
+        size(col("__rows")).cast("long").as("n_tokens"),
+        size(array_distinct(transform(col("__rows"), x => x("__id"))))
+          .cast("long").as("n_docs"))
   }
 
   private def emptyResult(docs: DataFrame, piecesCol: String): DataFrame = {
