@@ -2246,6 +2246,20 @@ object SparkEntry {
             .as("doc_starts"),
           col("n_tokens"), col("n_docs"))
         .orderBy("seq_id")
+    }),
+
+    // --- deterministic shard shuffle (training-data delivery): the final
+    // seed-driven global permutation into N shards. Shard id and
+    // within-shard rank are pure functions of (seed, doc_id) — the same
+    // result on any cluster layout, partition count, or input row order,
+    // which orderBy(rand(seed)) can NOT promise (Spark seeds rand per
+    // partition). One exchange keyed by shard + per-shard external sort;
+    // hash-exact per-row gate ---
+    "q123_shard_shuffle" -> ((s, dir) => {
+      operators.Shards.assign(t(s, dir, "documents"), "doc_id",
+          numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
     })
   )
 
@@ -3952,6 +3966,19 @@ object SparkEntry {
         |    ',' ORDER BY g), '') AS doc_starts,
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM idx GROUP BY g // 128 ORDER BY seq_id""".stripMargin
+        |FROM idx GROUP BY g // 128 ORDER BY seq_id""".stripMargin,
+
+    // q123: shard = first 4 hex chars of the salted md5 mod 8, rank = row
+    // order of an independently salted md5 within the shard — both pure
+    // functions of (seed, doc_id), so the oracle reproduces the
+    // permutation exactly
+    "q123_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('42:shard:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 8 AS shard,
+        |    md5('42:ord:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin
   )
 }
