@@ -2260,6 +2260,53 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
+    }),
+
+    // --- persisted MinHash-LSH band store LIFECYCLE (the 4th persisted
+    // store to get the full gate, joining IVF q106 / BM25 q93 / grams
+    // q116): publish a base index, append two ingest batches — one
+    // replayed WHOLE, the orchestrator-retry case dynamic overwrite must
+    // absorb — compact to a sealed v1, and answer incremental near-dup
+    // candidates through the version resolver. Hash-exact vs q77's
+    // one-shot SQL-minhash oracle, so any loss or duplication in the
+    // append/replay/compact chain shifts the pair set and fails; the
+    // rollback path (v0 + its appends) must answer identically to v1 ---
+    "q124_bands_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "bands_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+          operators.MinHashIndex.write(
+            docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+            "doc_id", "text", p))
+        val day1 = docs.where(col("doc_id") % 5 === 3)
+        operators.MinHashIndex.append(day1, "doc_id", "text", v0, batchId = 1)
+        operators.MinHashIndex.append(day1, "doc_id", "text", v0, batchId = 1)
+        operators.MinHashIndex.append(docs.where(col("doc_id") % 5 === 4),
+          "doc_id", "text", v0, batchId = 2)
+        pipeline.IndexVersions.compactLatest(s, root)(
+          operators.MinHashIndex.compactTo(s, _, _))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      def cands(p: String) =
+        operators.MinHashIndex.candidates(
+          operators.MinHashIndex.open(s, p), batch, "doc_id", "text")
+          .orderBy("kind", "id_a", "id_b")
+      val viaLatest = cands(latest)
+      // bounded collect: candidate pairs at gate scale (q77's output size)
+      val pathsEqual = cands(s"$root/v0").collect().toSeq ==
+        viaLatest.collect().toSeq
+      viaLatest.withColumn("version_ok", lit(versionOk))
+        .withColumn("paths_equal", lit(pathsEqual))
     })
   )
 
@@ -3979,6 +4026,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(shard AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
-        |FROM k ORDER BY shard, pos""".stripMargin
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
+    // q124: the store lifecycle must answer exactly what the one-shot
+    // minhash computation answers — q77's band-slice-equality oracle with
+    // the version/rollback booleans appended
+    "q124_bands_lifecycle" -> {
+      val sig = graft.expressions.OracleHashSql.minhashSig(3, 16)
+      s"""WITH sig AS (SELECT * FROM ($sig) tt),
+         |bnd AS (SELECT doc_id, j // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY j), ',') AS bv
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |nb AS (SELECT * FROM bnd WHERE doc_id % 5 = 0),
+         |ob AS (SELECT * FROM bnd WHERE doc_id % 5 <> 0),
+         |no AS (SELECT DISTINCT nb.doc_id AS id_a, ob.doc_id AS id_b, 'new_old' AS kind
+         |       FROM nb JOIN ob ON nb.band = ob.band AND nb.bv = ob.bv),
+         |nn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 'new_new' AS kind
+         |       FROM nb a JOIN nb b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, kind, true AS version_ok, true AS paths_equal
+         |FROM (SELECT * FROM no UNION ALL SELECT * FROM nn)
+         |ORDER BY kind, id_a, id_b""".stripMargin
+    }
   )
 }

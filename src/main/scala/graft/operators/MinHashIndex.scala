@@ -83,6 +83,29 @@ object MinHashIndex {
       .partitionBy("band", "batch_id").parquet(s"$path/buckets")
   }
 
+  /** Compact a multi-batch index into a single base batch at `dest` —
+    * shaped for [[graft.pipeline.IndexVersions.compactLatest]], like
+    * [[Ivf.compactTo]]: writes to a NEW directory (in-place rewrites are
+    * not atomic on object stores; the swap is the version publish step).
+    * Band rows are folded DISTINCT on `(id, band, bucket)`: a well-formed
+    * store has one row per (id, band) so this is a no-op, but a document
+    * re-ingested under two different batch ids would otherwise carry its
+    * duplicate rows forward forever and double-count against the
+    * degenerate-bucket cap. Scale: one shuffle of (id, band, bucket)
+    * triples — index-sized, never corpus-sized.
+    */
+  def compactTo(spark: SparkSession, path: String, dest: String): Unit = {
+    val idx = open(spark, path)
+    idx.buckets.select("id", "band", "bucket").distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("band", "batch_id")
+      .parquet(s"$dest/buckets")
+    import spark.implicits._
+    Seq((idx.shingleN, idx.numHashes, idx.rowsPerBand))
+      .toDF("shingle_n", "num_hashes", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$dest/params")
+  }
+
   // Cached batch-band DataFrames, keyed by (canonicalized batch plan,
   // columns, hash params) — candidates() consumes the batch's band rows
   // from FOUR plan positions (the cap self-join's both sides via `all`,

@@ -113,6 +113,35 @@ class MinHashIndexSpec extends SparkSpec {
       s"appended docs must be findable, got $got")
   }
 
+  test("compactTo folds batches (and cross-batch re-ingest dups) into one base") {
+    val dir = Files.createTempDirectory("mhidx3").toString
+    val dest = Files.createTempDirectory("mhidx3c").toString
+    MinHashIndex.write(corpus, "doc_id", "text", dir)
+    MinHashIndex.append(batch, "doc_id", "text", dir, batchId = 1)
+    // the same doc re-ingested under a DIFFERENT batch id — compaction
+    // must fold its duplicate band rows, or they double-count against the
+    // degenerate-bucket cap forever
+    MinHashIndex.append(batch.where(col("doc_id") === 100),
+      "doc_id", "text", dir, batchId = 2)
+    MinHashIndex.compactTo(spark, dir, dest)
+    val compacted = MinHashIndex.open(spark, dest)
+    assert((compacted.shingleN, compacted.numHashes, compacted.rowsPerBand)
+      == (3, 16, 4), "params must survive compaction")
+    assert(spark.read.parquet(s"$dest/buckets")
+      .select("batch_id").distinct().as[Long].collect().toSeq == Seq(0L),
+      "compaction re-bases everything to batch 0")
+    assert(compacted.buckets.select("id", "band", "bucket").distinct().count()
+      == compacted.buckets.count(), "duplicate band rows must fold")
+    // query equivalence: compacted store answers what the multi-batch
+    // store answers
+    val next = Seq(mk(300, "novel content that resembles nothing in the standing corpus at all"))
+      .toDF("doc_id", "text")
+    val before = pairs(MinHashIndex.candidates(
+      MinHashIndex.open(spark, dir), next, "doc_id", "text"))
+    val after = pairs(MinHashIndex.candidates(compacted, next, "doc_id", "text"))
+    assert(after == before)
+  }
+
   test("combined bucket-size cap drops degenerate buckets") {
     val boiler = (0 until 30).map(i => mk(1000 + i, "identical boilerplate text repeated verbatim across documents"))
       .toDF("doc_id", "text")
