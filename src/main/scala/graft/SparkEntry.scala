@@ -2307,6 +2307,20 @@ object SparkEntry {
         viaLatest.collect().toSeq
       viaLatest.withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
+    }),
+
+    // --- one-pass filter-threshold sweep: the survival curve (docs and
+    // tokens kept) over 19 candidate quality cutoffs from ONE corpus
+    // scan — the threshold-picking ablation that naively costs K full
+    // reads. Metric is pre-rounded so the grid comparison can never flip
+    // on a last-ulp cross-engine difference; grid thresholds are DERIVED
+    // (i * 0.05 in both engines' IEEE doubles), not parallel literal
+    // lists that could drift ---
+    "q125_filter_sweep" -> ((s, dir) => {
+      quality.FilterSweep.sweep(t(s, dir, "documents"),
+        round(qualityScore(col("text")), 6),
+        size(tokens(col("text"))),
+        (1 to 19).map(i => (i, i * 0.05)))
     })
   )
 
@@ -4046,6 +4060,30 @@ object SparkEntry {
          |SELECT id_a, id_b, kind, true AS version_ok, true AS paths_equal
          |FROM (SELECT * FROM no UNION ALL SELECT * FROM nn)
          |ORDER BY kind, id_a, id_b""".stripMargin
-    }
+    },
+
+    // q125: q20's quality formula swept over a derived grid; 0.05 is cast
+    // to DOUBLE so DuckDB multiplies in IEEE (its bare 0.05 literal is
+    // DECIMAL and would drift from Spark's double grid)
+    "q125_filter_sweep" ->
+      """WITH m0 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS sw,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS dig
+        |  FROM documents),
+        |q AS (SELECT round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |        least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 4.0 + dig * 2.0, 1.0)) * 0.2, 6) AS m,
+        |      CAST(n_tok AS BIGINT) AS w FROM m0),
+        |g AS (SELECT CAST(i AS INT) AS i, i * CAST(0.05 AS DOUBLE) AS th
+        |      FROM generate_series(1, 19) t(i))
+        |SELECT i, round(th, 2) AS threshold,
+        |  CAST(SUM(CASE WHEN m >= th THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(SUM(CASE WHEN m >= th THEN w ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  round(CAST(SUM(CASE WHEN m >= th THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS frac_docs,
+        |  round(CAST(SUM(CASE WHEN m >= th THEN w ELSE 0 END) AS DOUBLE) / SUM(w), 6) AS frac_tokens
+        |FROM q CROSS JOIN g GROUP BY i, th ORDER BY i""".stripMargin
   )
 }
