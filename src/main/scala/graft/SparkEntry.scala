@@ -2321,6 +2321,46 @@ object SparkEntry {
         round(qualityScore(col("text")), 6),
         size(tokens(col("text"))),
         (1 to 19).map(i => (i, i * 0.05)))
+    }),
+
+    // --- unigram tokenizer STORE lifecycle (q119's gate for the other
+    // subword model — with this, every persisted model/index artifact has
+    // a sealed-version gate): publish a 200-piece v0 and a 300-piece v1,
+    // resolve through the version chain, and require the stored model to
+    // answer EXACTLY like the freshly trained one — piece inventory
+    // (parquet doubles round-trip exactly) and the encode it produces ---
+    "q126_unigram_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "unigram_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        pipeline.IndexVersions.publish(s, root)(p => operators.Unigram.write(
+          operators.Unigram.train(docs, "text", vocabSize = 200), p, s))
+        pipeline.IndexVersions.publish(s, root)(p => operators.Unigram.write(
+          operators.Unigram.train(docs, "text", vocabSize = 300), p, s))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val stored = operators.Unigram.open(s, latest)
+      val trained = operators.Unigram.train(docs, "text", vocabSize = 300)
+      val storeEqualsTrained =
+        stored.sortBy(_.piece) == trained.sortBy(_.piece)
+      val v0Smaller = operators.Unigram.open(s, s"$root/v0").size <= 200
+      val enc = operators.Unigram.encode(docs, "doc_id", "text", stored)
+      docs.join(enc, Seq("doc_id"))
+        .select(size(col("pieces")).cast("long").as("np"),
+          aggregate(tokens(col("text")), lit(0L), (a, w) => a + length(w)).as("nc"))
+        .agg(count(lit(1)).as("n_docs"), (sum("np") < sum("nc")).as("compressed"))
+        .select(col("n_docs"), col("compressed"),
+          lit(versionOk).as("version_ok"),
+          lit(storeEqualsTrained).as("store_equals_trained"),
+          lit(v0Smaller).as("v0_within_budget"))
     })
   )
 
@@ -4084,6 +4124,13 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN m >= th THEN w ELSE 0 END) AS BIGINT) AS n_tokens_kept,
         |  round(CAST(SUM(CASE WHEN m >= th THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS frac_docs,
         |  round(CAST(SUM(CASE WHEN m >= th THEN w ELSE 0 END) AS DOUBLE) / SUM(w), 6) AS frac_tokens
-        |FROM q CROSS JOIN g GROUP BY i, th ORDER BY i""".stripMargin
+        |FROM q CROSS JOIN g GROUP BY i, th ORDER BY i""".stripMargin,
+
+    // q126: store-vs-trained equality and version booleans restated as
+    // constants (EM isn't SQL-expressible; q121's pattern)
+    "q126_unigram_lifecycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS compressed,
+        |  true AS version_ok, true AS store_equals_trained,
+        |  true AS v0_within_budget FROM documents""".stripMargin
   )
 }
