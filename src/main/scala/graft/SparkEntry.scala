@@ -2361,6 +2361,17 @@ object SparkEntry {
           lit(versionOk).as("version_ok"),
           lit(storeEqualsTrained).as("store_equals_trained"),
           lit(v0Smaller).as("v0_within_budget"))
+    }),
+
+    // --- span corruption (T5 denoising objective): mask ~15% of tokens in
+    // hashed contiguous spans, emit (input with sentinels, target spans).
+    // Span starts/lengths are hashed coins over (seed, doc, pos) — the
+    // same samples on any cluster layout or retry, unlike RNG draws —
+    // which also makes every byte SQL-reproducible: hash-exact per-doc
+    // gate on both assembled strings ---
+    "q127_span_corrupt" -> ((s, dir) => {
+      operators.SpanCorrupt.corrupt(t(s, dir, "documents"),
+        "doc_id", "text", seed = 42L).orderBy("doc_id")
     })
   )
 
@@ -4131,6 +4142,43 @@ object SparkEntry {
     "q126_unigram_lifecycle" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS compressed,
         |  true AS version_ok, true AS store_equals_trained,
-        |  true AS v0_within_budget FROM documents""".stripMargin
+        |  true AS v0_within_budget FROM documents""".stripMargin,
+
+    // q127: the hashed coins replayed in SQL — span start iff the salted
+    // md5 prefix mod 20 is 0, length 1 + md5 mod 5; masked iff the running
+    // max of span ends passes the position; islands are maximal masked
+    // runs; both strings reassemble via ordered filtered string_agg
+    "q127_span_corrupt" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS w FROM t0,
+        |        UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |f AS (SELECT doc_id, pos, w,
+        |    (CAST(CAST('0x' || substr(md5('42:s:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 20 = 0) AS s
+        |  FROM tok),
+        |f2 AS (SELECT *, CASE WHEN s THEN pos + 1 +
+        |    CAST(CAST('0x' || substr(md5('42:l:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 5 END AS e
+        |  FROM f),
+        |m AS (SELECT *, COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) > pos, false) AS mk FROM f2),
+        |r AS (SELECT *, mk AND NOT COALESCE(lag(mk) OVER (PARTITION BY doc_id ORDER BY pos), false) AS rs FROM m),
+        |isl AS (SELECT *, SUM(CASE WHEN rs THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) - 1 AS k FROM r),
+        |p AS (SELECT doc_id, pos, mk, rs,
+        |    CASE WHEN NOT mk THEN w
+        |         WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS inp,
+        |    CASE WHEN mk THEN CASE WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+        |         ELSE w END END AS tgt
+        |  FROM isl),
+        |a AS (SELECT doc_id,
+        |    COALESCE(string_agg(inp, ' ' ORDER BY pos) FILTER (WHERE inp IS NOT NULL), '') AS input_text,
+        |    COALESCE(string_agg(tgt, ' ' ORDER BY pos) FILTER (WHERE tgt IS NOT NULL), '') AS target_text,
+        |    CAST(SUM(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |    CAST(SUM(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.input_text, '') AS input_text,
+        |  COALESCE(a.target_text, '') AS target_text,
+        |  COALESCE(a.n_masked, 0) AS n_masked,
+        |  COALESCE(a.n_spans, 0) AS n_spans
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }
