@@ -2372,6 +2372,17 @@ object SparkEntry {
     "q127_span_corrupt" -> ((s, dir) => {
       operators.SpanCorrupt.corrupt(t(s, dir, "documents"),
         "doc_id", "text", seed = 42L).orderBy("doc_id")
+    }),
+
+    // --- sequence-length ablation (q125's shape for the packer): padding
+    // waste of per-document packing and concat-and-chunk sequence counts
+    // for six candidate lengths from ONE scan — per-doc token counts
+    // cross a broadcast length grid; all integer arithmetic, hash-exact ---
+    "q128_padding_sweep" -> ((s, dir) => {
+      operators.Pack.paddingSweep(
+        t(s, dir, "documents")
+          .select(size(tokens(col("text"))).as("n_tok")),
+        "n_tok", Seq(32, 64, 128, 256, 512, 1024))
     })
   )
 
@@ -4179,6 +4190,22 @@ object SparkEntry {
         |  COALESCE(a.target_text, '') AS target_text,
         |  COALESCE(a.n_masked, 0) AS n_masked,
         |  COALESCE(a.n_spans, 0) AS n_spans
-        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q128: integer ceil arithmetic replayed per grid length
+    "q128_padding_sweep" ->
+      """WITH d AS (SELECT CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS nt
+        |           FROM documents),
+        |g AS (SELECT CAST(unnest([32, 64, 128, 256, 512, 1024]) AS INT) AS seq_len)
+        |SELECT seq_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM((nt + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs_padded,
+        |  CAST(SUM(((nt + seq_len - 1) // seq_len) * seq_len - nt) AS BIGINT) AS n_pad_tokens,
+        |  CASE WHEN SUM((nt + seq_len - 1) // seq_len) = 0 THEN 0.0
+        |       ELSE round(CAST(SUM(((nt + seq_len - 1) // seq_len) * seq_len - nt) AS DOUBLE) /
+        |            (CAST(SUM((nt + seq_len - 1) // seq_len) AS DOUBLE) * seq_len), 6) END AS pad_frac,
+        |  CAST((SUM(nt) + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_concat
+        |FROM d CROSS JOIN g GROUP BY seq_len ORDER BY seq_len""".stripMargin
   )
 }

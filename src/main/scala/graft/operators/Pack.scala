@@ -72,6 +72,43 @@ object Pack {
         expr(s"(cum - CAST(`$weightCol` AS BIGINT)) DIV CAST($budget AS BIGINT)"))
   }
 
+  /** One-pass sequence-length ablation (the packing twin of
+    * [[graft.quality.FilterSweep]]): for each candidate `seqLen`, how much
+    * padding does PER-DOCUMENT packing waste (each doc rounded up to whole
+    * sequences — the no-cross-doc-attention regime) and how many sequences
+    * does concat-and-chunk emit. Choosing the training sequence length is
+    * exactly the kind of ablation that naively re-runs the packer per
+    * candidate over the full corpus; here per-doc token counts are
+    * computed once and crossed with the broadcast length grid — all
+    * integer arithmetic, so the oracle is bit-exact. Shuffle: K result
+    * rows.
+    */
+  def paddingSweep(docs: DataFrame, weightCol: String,
+                   seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0), "seqLens must be > 0")
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = broadcast(seqLens.toDF("seq_len"))
+    // integer ceil via DIV — Column./ is DOUBLE division, which loses
+    // exactness past 2^53 tokens; 0 sequences for empty docs
+    val nSeq = expr("(__nt + seq_len - 1) DIV seq_len")
+    docs.select(col(weightCol).cast("long").as("__nt"))
+      .crossJoin(g)
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(nSeq).as("n_seqs_padded"),
+        sum(nSeq * col("seq_len").cast("long") - col("__nt"))
+          .as("n_pad_tokens"))
+      .withColumn("pad_frac",
+        when(col("n_seqs_padded") === 0L, lit(0.0)).otherwise(
+          round(col("n_pad_tokens").cast("double") /
+            (col("n_seqs_padded").cast("double") * col("seq_len")), 6)))
+      .withColumn("n_seqs_concat",
+        expr("(n_tokens + seq_len - 1) DIV seq_len"))
+      .orderBy("seq_len")
+  }
+
   /** `df` plus `__sub`: an order-preserving slice id in `[0, subStrata)` —
     * every row in slice s has `orderCol` <= every row in slice s+1 (rows
     * equal to a boundary land below it). Boundaries come from one

@@ -36,4 +36,16 @@ class FilterSweepSpec extends SparkSpec {
     assert(out.getDouble(4) === 0.5)
     assert(out.getDouble(5) === 0.617284) // round(250/405, 6)
   }
+
+  test("paddingSweep: exact ceil math, empty docs take no sequence") {
+    val d = Seq(0L, 1L, 100L, 128L, 129L, 300L).toDF("n_tok")
+    val r = graft.operators.Pack.paddingSweep(d, "n_tok", Seq(128))
+      .collect().head
+    // seqs: 0,1,1,1,2,3 = 8; pad: 0,127,28,0,127,84 = 366
+    assert(r.getAs[Long]("n_seqs_padded") === 8L)
+    assert(r.getAs[Long]("n_pad_tokens") === 366L)
+    assert(r.getAs[Long]("n_tokens") === 658L)
+    assert(r.getAs[Long]("n_seqs_concat") === 6L) // ceil(658/128)
+    assert(r.getAs[Double]("pad_frac") === 0.357422) // round(366/1024, 6)
+  }
 }
