@@ -2383,6 +2383,17 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(size(tokens(col("text"))).as("n_tok")),
         "n_tok", Seq(32, 64, 128, 256, 512, 1024))
+    }),
+
+    // --- winnowing fingerprints (MOSS, SIGMOD 2003): per-window rightmost
+    // argmin of gram hashes via the (h << 20 | 2^20-pos) encoding — a
+    // plain window MIN both engines replay bit-exactly on the gram md5.
+    // Local-similarity overlap report: any shared w+k-1 token run is
+    // guaranteed a shared fingerprint at ~2/(w+1) gram density ---
+    "q129_winnow_overlap" -> ((s, dir) => {
+      operators.Winnow.overlap(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 5, minShared = 2, maxDocsPerHash = 100)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -4206,6 +4217,25 @@ object SparkEntry {
         |       ELSE round(CAST(SUM(((nt + seq_len - 1) // seq_len) * seq_len - nt) AS DOUBLE) /
         |            (CAST(SUM((nt + seq_len - 1) // seq_len) AS DOUBLE) * seq_len), 6) END AS pad_frac,
         |  CAST((SUM(nt) + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_concat
-        |FROM d CROSS JOIN g GROUP BY seq_len ORDER BY seq_len""".stripMargin
+        |FROM d CROSS JOIN g GROUP BY seq_len ORDER BY seq_len""".stripMargin,
+
+    // q129: the same 40-bit md5 gram hash, the same (h, pos) long
+    // encoding, the same 5-hash window min — then the capped
+    // fingerprint self-join
+    "q129_winnow_overlap" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |g AS (SELECT doc_id, i AS pos, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+        |      FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i)
+        |      WHERE len(ts) >= 4 AND i < 1048575),
+        |h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) AS h FROM g),
+        |v AS (SELECT doc_id, pos, h * 1048576 + (1048576 - pos) AS v FROM h),
+        |mn AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mv FROM v),
+        |sel AS (SELECT DISTINCT doc_id, mv // 1048576 AS h FROM mn WHERE pos >= 5),
+        |cap AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 100),
+        |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+  * algorithm): hash every k-token gram, slide a w-hash window, and keep
+  * each window's minimum hash (rightmost on ties). The guarantee: any
+  * shared run of w+k-1 tokens between two documents shares at least one
+  * selected fingerprint, at ~2/(w+1) of the gram density — position-robust
+  * overlap detection (MinHash is whole-document; substring dedup is exact
+  * spans; winnowing is the local-similarity middle ground).
+  *
+  * The rightmost-tie argmin is made a PLAIN window min by encoding
+  * `(hash, position)` into one long: `v = h * 2^20 + (2^20 - pos)` —
+  * increasing in h, decreasing in pos at equal h, decodable by div/mod.
+  * h keeps 40 bits of the gram's md5, so v fits int64 with a 2^20
+  * position budget per document (`maxPos`; longer docs are fingerprinted
+  * on their first 2^20-1 grams and flagged loudly). Both engines compute
+  * the identical md5, so selection is bit-reproducible — no RNG, no
+  * native hash to replicate.
+  *
+  * Scale shape: grams never leave their document (per-doc windows, the
+  * q107 pattern); only the selected `(doc, hash)` fingerprints — a
+  * ~2/(w+1) fraction of gram count — shuffle for the overlap join, and
+  * degenerate hashes (boilerplate shared by everything) are dropped by a
+  * distinct-doc cap exactly like the LSH bucket cap.
+  */
+object Winnow {
+
+  private val PosBudget = 1L << 20
+
+  /** Selected fingerprints `(id, pos, h)` — `pos` is the 1-based gram
+    * position, `h` the 40-bit gram hash. Documents with fewer than
+    * `k + w - 1` tokens (no full window) produce no rows.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k, w >= 1: $k, $w")
+    val grams = docs
+      .select(col(idCol), posexplode(wordShingles(col(textCol), k))
+        .as(Seq("__p0", "__g")))
+      .where(col("__p0") < PosBudget - 1)
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        conv(substring(md5(col("__g").cast("binary")), 1, 10), 16, 10)
+          .cast("long").as("h"))
+    val v = col("h") * PosBudget + (lit(PosBudget) - col("pos"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("__v", min(v).over(win))
+      // only full windows select (the paper's boundary rule: the first
+      // window is grams 1..w, represented here by the row at pos = w)
+      .where(col("pos") >= w)
+      .select(col(idCol), col("__v")).distinct()
+      .select(col(idCol),
+        (lit(PosBudget) - pmod(col("__v"), lit(PosBudget))).as("pos"),
+        shiftright(col("__v"), 20).as("h")) // exact; Column./ is double
+  }
+
+  /** Cross-document overlap report: pairs sharing >= `minShared` selected
+    * fingerprints. Hashes selected in more than `maxDocsPerHash` documents
+    * are dropped before the self-join — the degenerate-boilerplate cap,
+    * same reasoning as [[TextDedup.minHashCandidates]]'s bucket cap.
+    */
+  def overlap(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 4, w: Int = 5, minShared: Long = 2,
+              maxDocsPerHash: Long = 100): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    val bounded = fp.join(
+      fp.groupBy("h").agg(countDistinct("id").as("__n"))
+        .where(col("__n") <= maxDocsPerHash).drop("__n"),
+      Seq("h"), "left_semi")
+    bounded.select(col("h"), col("id").as("id_a"))
+      .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(r: scala.util.Random, n: Int): String =
+    (1 to n).map(_ => s"w${r.nextInt(5000)}").mkString(" ")
+
+  test("decoded (pos, h) matches the gram's md5 prefix recomputed by hand") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    def h(p: Long): Long = {
+      val g = toks.slice(p.toInt - 1, p.toInt - 1 + 4).mkString(" ")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    assert(fps.nonEmpty)
+    fps.foreach { case (p, hv) => assert(hv == h(p), s"pos $p") }
+  }
+
+  test("winnowing guarantee: a shared w+k-1 token run shares a fingerprint") {
+    val r = new scala.util.Random(7)
+    val shared = words(new scala.util.Random(99), 8) // k+w-1 = 4+5-1 = 8
+    // plant the run at different offsets inside otherwise-unrelated docs
+    val docs = Seq(
+      (1L, words(r, 37) + " " + shared + " " + words(r, 23)),
+      (2L, words(r, 11) + " " + shared + " " + words(r, 61))
+    ).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 5)
+    val a = fp.where(col("doc_id") === 1L).select("h").as[Long].collect().toSet
+    val b = fp.where(col("doc_id") === 2L).select("h").as[Long].collect().toSet
+    assert(a.intersect(b).nonEmpty,
+      "documents sharing a full window-length run must share a fingerprint")
+  }
+
+  test("density lands near 2/(w+1)") {
+    val r = new scala.util.Random(3)
+    val docs = (1 to 20).map(i => (i.toLong, words(r, 500)))
+      .toDF("doc_id", "text")
+    val nFp = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 5).count()
+    val nGrams = 20 * (500 - 3)
+    val density = nFp.toDouble / nGrams
+    assert(density > 0.2 && density < 0.5, s"density $density far from 1/3")
+  }
+
+  test("overlap flags the plagiarized pair and not unrelated ones") {
+    val r = new scala.util.Random(11)
+    val passage = words(new scala.util.Random(5), 60)
+    val docs = Seq(
+      (1L, words(r, 100) + " " + passage),
+      (2L, passage + " " + words(r, 150)),
+      (3L, words(r, 200))
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.overlap(docs, "doc_id", "text", minShared = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("deterministic under repartition") {
+    val r = new scala.util.Random(13)
+    val docs = (1 to 10).map(i => (i.toLong, words(r, 200)))
+      .toDF("doc_id", "text")
+    val a = Winnow.fingerprints(docs, "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    val b = Winnow.fingerprints(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(a == b)
+  }
+}
