@@ -2394,6 +2394,25 @@ object SparkEntry {
       operators.Winnow.overlap(t(s, dir, "documents"), "doc_id", "text",
           k = 4, w = 5, minShared = 2, maxDocsPerHash = 100)
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- delivery composition capstone (q114's shape for the NEW ops):
+    // quality filter at the sweep-chosen cutoff → exact dedup (keep
+    // lowest id per content hash) → deterministic shard shuffle → per-
+    // shard manifest. Every stage is individually oracled (q20/q17/q123);
+    // this gates that they COMPOSE — counts and token sums per shard are
+    // hash-exact, so a row lost or duplicated at any seam fails ---
+    "q130_delivery_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs
+        .where(round(qualityScore(col("text")), 6) >= 0.45)
+      val deduped = TextDedup.exact(kept, "doc_id", "text")
+      operators.Shards.assign(deduped, "doc_id", numShards = 8, seed = 7L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+          max("pos").as("max_pos"))
+        .orderBy("shard")
     })
   )
 
@@ -4236,6 +4255,33 @@ object SparkEntry {
         |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // q130: q20's quality formula, min-id-per-md5 exact dedup, q123's
+    // shard/rank math, folded to the per-shard manifest
+    "q130_delivery_manifest" ->
+      """WITH m0 AS (SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS sw,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+        |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS dig
+        |  FROM documents),
+        |kept AS (SELECT doc_id, text, CAST(n_tok AS BIGINT) AS nt FROM m0
+        |  WHERE round(least(n_tok / 20.0, 1.0) * 0.4 +
+        |        least((CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4 +
+        |        (1.0 - least(punct * 4.0 + dig * 2.0, 1.0)) * 0.2, 6) >= 0.45),
+        |dd AS (SELECT doc_id, nt FROM kept
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+        |sh AS (SELECT doc_id, nt,
+        |    CAST(CAST('0x' || substr(md5('7:shard:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 8 AS shard,
+        |    md5('7:ord:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM dd),
+        |rk AS (SELECT doc_id, nt, CAST(shard AS INT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+        |  FROM sh)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens, MAX(pos) AS max_pos
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
   )
 }
