@@ -165,4 +165,75 @@ class CurationPropertySpec extends SparkSpec {
       assert(got === ref, s"seed=$seed")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("winnowing selection equals the definitional reference on random corpora") {
+    val k = 3; val w = 4
+    for (seed <- 1L to 6L) {
+      val corpus = sample(corpusGen(12), seed * 31)
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      val got = Winnow.fingerprints(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // definition: for every window of w gram hashes, select the
+      // rightmost position attaining the window minimum
+      val ref = corpus.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val hs = toks.sliding(k).filter(_.size == k).zipWithIndex.map {
+          case (g, i) => (i + 1,
+            java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(10), 16))
+        }.toSeq
+        hs.sliding(w).filter(_.size == w).flatMap { win =>
+          val mn = win.map(_._2).min
+          Some(win.filter(_._2 == mn).map(_._1).max)
+            .map(p => (id, p.toLong, mn))
+        }
+      }.toSet
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
+  test("span corruption equals a sequential reference on random docs") {
+    val sp = 4; val ms = 3; val seed0 = 9L
+    for (seed <- 1L to 5L) {
+      val corpus = sample(corpusGen(8), seed * 17)
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      val got = SpanCorrupt.corrupt(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", seed = seed0, startPeriod = sp, maxSpan = ms)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      corpus.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        def coin(salt: String, p: Int): Long = java.lang.Long.parseLong(
+          md5hex(s"$seed0:$salt:$id:$p").take(4), 16)
+        val masked = Array.fill(toks.length)(false)
+        toks.indices.foreach { p =>
+          if (coin("s", p) % sp == 0) {
+            val len = 1 + (coin("l", p) % ms).toInt
+            (p until math.min(p + len, toks.length)).foreach(masked(_) = true)
+          }
+        }
+        val inp = new StringBuilder; val tgt = new StringBuilder
+        var isl = -1
+        toks.indices.foreach { p =>
+          val rs = masked(p) && (p == 0 || !masked(p - 1))
+          if (rs) isl += 1
+          val sent = s"<extra_id_$isl>"
+          if (!masked(p)) { if (inp.nonEmpty) inp += ' '; inp ++= toks(p) }
+          else if (rs) { if (inp.nonEmpty) inp += ' '; inp ++= sent }
+          if (masked(p)) {
+            if (tgt.nonEmpty) tgt += ' '
+            if (rs) { tgt ++= sent; tgt += ' ' }
+            tgt ++= toks(p)
+          }
+        }
+        val nM = masked.count(identity).toLong
+        assert(got(id) === ((inp.toString, tgt.toString, nM, (isl + 1).toLong)),
+          s"seed=$seed doc=$id")
+      }
+    }
+  }
 }
