@@ -548,3 +548,48 @@ object ScaleCut {
     spark.stop()
   }
 }
+
+/** Round-13 probe: winnowing's scale claims — (a) fingerprint selection is
+  * linear in corpus size (per-doc windows, no cross-doc work), and (b) the
+  * overlap join's shuffle carries only the ~2/(w+1)-density fingerprints,
+  * not grams. 1x vs 8x corpora with distinct replica suffixes (keeps the
+  * natural duplicate rate), shuffle bytes from the task-metrics listener.
+  */
+object ScaleWin {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    val d1 = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val d8 = (0 until 8).map(i =>
+      d1.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))).reduce(_ union _)
+    def settle(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get; var waited = 0
+      while (cur != prev && waited < 20000) {
+        prev = cur; Thread.sleep(500); waited += 500; cur = shuffleBytes.get
+      }
+      cur
+    }
+    def run(name: String)(f: => Long): Unit = {
+      settle(); shuffleBytes.set(0L)
+      val t0 = System.nanoTime(); val n = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name rows=$n%d t=$t%.2f shuffle_mb=${settle() / 1e6}%.1f")
+    }
+    run("warmup")(d8.count())
+    for (round <- 0 to 1; (tag, d) <- Seq("1x" -> d1, "8x" -> d8)) {
+      run(s"win_fp_${tag}_r$round")(
+        ScaleConsume(Winnow.fingerprints(d, "doc_id", "text")))
+      run(s"win_overlap_${tag}_r$round")(
+        ScaleConsume(Winnow.overlap(d, "doc_id", "text")))
+    }
+    spark.stop()
+  }
+}

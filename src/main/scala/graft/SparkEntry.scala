@@ -4238,24 +4238,12 @@ object SparkEntry {
         |  CAST((SUM(nt) + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_concat
         |FROM d CROSS JOIN g GROUP BY seq_len ORDER BY seq_len""".stripMargin,
 
-    // q129: the same 40-bit md5 gram hash, the same (h, pos) long
-    // encoding, the same 5-hash window min — then the capped
-    // fingerprint self-join
-    "q129_winnow_overlap" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
-        |g AS (SELECT doc_id, i AS pos, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
-        |      FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS u(i)
-        |      WHERE len(ts) >= 4 AND i < 1048575),
-        |h AS (SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) AS h FROM g),
-        |v AS (SELECT doc_id, pos, h * 1048576 + (1048576 - pos) AS v FROM h),
-        |mn AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mv FROM v),
-        |sel AS (SELECT DISTINCT doc_id, mv // 1048576 AS h FROM mn WHERE pos >= 5),
-        |cap AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 100),
-        |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+    // q129: the native gram-hash chain replayed in SQL (per-token
+    // hashString, k-step FNV fold, mix64 — OracleHashSql.winnowOverlap),
+    // then the same (h >>> 24, pos) long encoding, 5-hash window min,
+    // and capped fingerprint self-join
+    "q129_winnow_overlap" -> graft.expressions.OracleHashSql
+      .winnowOverlap(k = 4, w = 5, minShared = 2, maxDocsPerHash = 100),
 
     // q130: q20's quality formula, min-id-per-md5 exact dedup, q123's
     // shard/rank math, folded to the per-shard manifest

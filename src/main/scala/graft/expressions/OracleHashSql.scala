@@ -160,6 +160,46 @@ object OracleHashSql {
        |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Oracle for [[graft.operators.Winnow.overlap]]: the native
+    * `graft_gram_hashes` chain — per-token `hashString(t, 0)`, a k-step
+    * FNV fold per window (one CTE layer per step, the mixCte pattern),
+    * `mix64` — then winnowing's `(h >>> 24) * 2^20 + (2^20 - pos)`
+    * encoding, the w-frame window MIN, the degenerate-hash cap, and the
+    * fingerprint self-join. The FNV prime and fold seed are the same
+    * constants [[TextOps]] compiles, so oracle and engine cannot drift.
+    */
+  def winnowOverlap(k: Int, w: Int, minShared: Long,
+                    maxDocsPerHash: Long): String = {
+    val fnvp = "1099511628211" // 0x100000001B3, the gram-fold FNV prime
+    val foldLayers = (1 to k).map { j =>
+      s"wf$j AS (SELECT doc_id, pos, tvs, (${mul("v", fnvp)} + tvs[pos + ${j - 1}]) % $U AS v FROM wf${j - 1})"
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents),
+       |tp AS (SELECT doc_id, i AS pos, ts[i] AS t FROM tok,
+       |       UNNEST(generate_series(1, len(ts))) AS u(i)),
+       |str AS (${foldCte("(SELECT DISTINCT t FROM tp) dt", "t")}),
+       |x0 AS (SELECT t, ${xor("v", m0)} AS v FROM str),
+       |${mixCte("b", "x0", "v")},
+       |th AS (SELECT doc_id, pos, b4.v AS tv FROM tp JOIN b4 USING (t)),
+       |ta AS (SELECT doc_id, list(tv ORDER BY pos) AS tvs FROM th GROUP BY doc_id),
+       |wf0 AS (SELECT doc_id, i AS pos, tvs, CAST(1125899906842597 AS HUGEINT) AS v
+       |        FROM ta, UNNEST(generate_series(1, len(tvs) - ${k - 1})) AS u(i)
+       |        WHERE len(tvs) >= $k AND i <= 1048575),
+       |$foldLayers,
+       |wh AS (SELECT doc_id, pos, v FROM wf$k),
+       |${mixCte("w", "wh", "v")},
+       |venc AS (SELECT doc_id, pos,
+       |  CAST(v // 16777216 AS BIGINT) * 1048576 + (1048576 - pos) AS v FROM w4),
+       |mn AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mv FROM venc),
+       |sel AS (SELECT DISTINCT doc_id, mv // 1048576 AS h FROM mn WHERE pos >= $w),
+       |cap AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $maxDocsPerHash),
+       |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority
     * (tie → 0), bits reassembled into a signed 64-bit value.
     */

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,11 +16,12 @@ import org.apache.spark.sql.functions._
   * The rightmost-tie argmin is made a PLAIN window min by encoding
   * `(hash, position)` into one long: `v = h * 2^20 + (2^20 - pos)` —
   * increasing in h, decreasing in pos at equal h, decodable by div/mod.
-  * h keeps 40 bits of the gram's md5, so v fits int64 with a 2^20
-  * position budget per document (`maxPos`; longer docs are fingerprinted
-  * on their first 2^20-1 grams and flagged loudly). Both engines compute
-  * the identical md5, so selection is bit-reproducible — no RNG, no
-  * native hash to replicate.
+  * h keeps the top 40 bits of the native 64-bit gram hash
+  * (`graft_gram_hashes` — per-token hashString + FNV fold + mix64; no
+  * gram string ever materialized), so v fits int64 with a 2^20 position
+  * budget per document. The hash chain is replayed bit-exactly in SQL by
+  * [[graft.expressions.OracleHashSql.winnowOverlap]] — selection is
+  * deterministic and oracle-checkable, no RNG.
   *
   * Scale shape: grams never leave their document (per-doc windows, the
   * q107 pattern); only the selected `(doc, hash)` fingerprints — a
@@ -40,13 +40,14 @@ object Winnow {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"k, w >= 1: $k, $w")
+    graft.GraftFunctions.register(docs.sparkSession)
     val grams = docs
-      .select(col(idCol), posexplode(wordShingles(col(textCol), k))
-        .as(Seq("__p0", "__g")))
+      .select(col(idCol),
+        posexplode(call_function("graft_gram_hashes", col(textCol), lit(k)))
+          .as(Seq("__p0", "__h64")))
       .where(col("__p0") < PosBudget - 1)
       .select(col(idCol), (col("__p0") + 1).as("pos"),
-        conv(substring(md5(col("__g").cast("binary")), 1, 10), 16, 10)
-          .cast("long").as("h"))
+        shiftrightunsigned(col("__h64"), 24).as("h"))
     val v = col("h") * PosBudget + (lit(PosBudget) - col("pos"))
     val win = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)

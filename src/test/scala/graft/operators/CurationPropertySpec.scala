@@ -183,8 +183,7 @@ class CurationPropertySpec extends SparkSpec {
       val ref = corpus.flatMap { case (id, text) =>
         val toks = text.split(" ").filter(_.nonEmpty)
         val hs = toks.sliding(k).filter(_.size == k).zipWithIndex.map {
-          case (g, i) => (i + 1,
-            java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(10), 16))
+          case (g, i) => (i + 1, WinnowRef.gramHash(g.toSeq) >>> 24)
         }.toSeq
         hs.sliding(w).filter(_.size == w).flatMap { win =>
           val mn = win.map(_._2).min

@@ -3,24 +3,46 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Independent reimplementation of the `graft_gram_hashes` chain from its
+  * documented formulas, for spec cross-checks (the compiled `TextOps` is
+  * private to the expressions package — re-deriving it here is the point:
+  * the reference must not share code with the implementation).
+  */
+object WinnowRef {
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def hashString(s: String): Long = {
+    var h = 1125899906842597L
+    s.foreach(c => h = 31 * h + c)
+    mix64(h ^ mix64(0L))
+  }
+  def gramHash(toks: Seq[String]): Long = {
+    var h = 1125899906842597L
+    toks.foreach(t => h = h * 0x100000001B3L + hashString(t))
+    mix64(h)
+  }
+}
+
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
   private def words(r: scala.util.Random, n: Int): String =
     (1 to n).map(_ => s"w${r.nextInt(5000)}").mkString(" ")
 
-  test("decoded (pos, h) matches the gram's md5 prefix recomputed by hand") {
+  test("decoded (pos, h) matches the documented gram-hash chain by hand") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
     val fps = Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 3)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
-    def h(p: Long): Long = {
-      val g = toks.slice(p.toInt - 1, p.toInt - 1 + 4).mkString(" ")
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(10), 16)
-    }
+    // independent reimplementation of the documented chain (TextOps is
+    // private): per-token polynomial hash -> mix64, FNV window fold -> mix64
+    def h(p: Long): Long = WinnowRef.gramHash(
+      toks.slice(p.toInt - 1, p.toInt - 1 + 4).toSeq) >>> 24
     assert(fps.nonEmpty)
     fps.foreach { case (p, hv) => assert(hv == h(p), s"pos $p") }
   }
