@@ -2413,6 +2413,20 @@ object SparkEntry {
           sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
           max("pos").as("max_pos"))
         .orderBy("shard")
+    }),
+
+    // --- data-constrained mixing audit (Muennighoff 2023 accounting): the
+    // budget a temperature mix hands each source, the epoch count it
+    // implies (UniMax-clamped, q113's rule), and the unique/repeated token
+    // split delivered — the pre-flight repetition check. Budget above
+    // supply on purpose (4x the corpus) so low-resource strata show
+    // epochs > 1; strata-sized arithmetic, hash-exact ---
+    "q131_mix_audit" -> ((s, dir) => {
+      operators.Mix.audit(
+        t(s, dir, "documents")
+          .select(col("source"), tokenCount(col("text")).as("n_tok")),
+        "source", "n_tok", alpha = 0.5, totalBudget = 200000L)
+        .orderBy("source")
     })
   )
 
@@ -4270,6 +4284,30 @@ object SparkEntry {
         |  FROM sh)
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS n_tokens, MAX(pos) AS max_pos
-        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q131: q110's budget CTE + the audit arithmetic (integer-DIV ceil,
+    // UniMax clamp at 100, unique/repeated split)
+    "q131_mix_audit" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        |t AS (SELECT SUM(pw) AS tot FROM w),
+        |b AS (SELECT source, n_tokens, round(pw / tot, 6) AS p,
+        |        CAST(floor(pw / tot * 200000) AS BIGINT) AS budget FROM w, t),
+        |e AS (SELECT *, CASE WHEN n_tokens <= 0 THEN 1
+        |        ELSE LEAST(100, GREATEST((budget + n_tokens - 1) // n_tokens, 1)) END AS epochs
+        |      FROM b),
+        |f AS (SELECT *, LEAST(budget, epochs * n_tokens) AS delivered_tokens,
+        |        LEAST(n_tokens, budget) AS unique_tokens FROM e)
+        |SELECT source, n_tokens, p, budget, CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(delivered_tokens AS BIGINT) AS delivered_tokens,
+        |  CAST(unique_tokens AS BIGINT) AS unique_tokens,
+        |  CAST(delivered_tokens - unique_tokens AS BIGINT) AS repeated_tokens,
+        |  CASE WHEN delivered_tokens = 0 THEN 1.0
+        |       ELSE round(CAST(unique_tokens AS DOUBLE) / delivered_tokens, 6) END AS unique_frac
+        |FROM f ORDER BY source""".stripMargin
   )
 }

@@ -111,6 +111,35 @@ object Mix {
       .drop("cum", "__tot", "__budget", "__ne")
   }
 
+  /** Data-constrained mixing audit (the accounting inputs of Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models"): per
+    * stratum, the temperature budget, the epoch count that budget implies
+    * (UniMax-clamped exactly like [[upsampleTokens]]), and the
+    * unique/repeated token split actually delivered — the table a mix
+    * designer reads BEFORE committing a run to catastrophic repetition.
+    * Pure strata-sized derivation on [[temperatureBudgets]]' output; no
+    * corpus pass beyond the one aggregation that already does. Integer
+    * ceil via DIV (exact past 2^53, where double ceil is not).
+    */
+  def audit(df: DataFrame, strataCol: String, weightCol: String,
+            alpha: Double, totalBudget: Long,
+            maxEpochs: Long = 100L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs >= 1: $maxEpochs")
+    temperatureBudgets(df, strataCol, weightCol, alpha, totalBudget)
+      .withColumn("epochs",
+        when(col("n_tokens") <= 0L, lit(1L)).otherwise(least(lit(maxEpochs),
+          greatest(expr("(budget + n_tokens - 1) DIV n_tokens"), lit(1L)))))
+      .withColumn("delivered_tokens",
+        least(col("budget"), col("epochs") * col("n_tokens")))
+      .withColumn("unique_tokens", least(col("n_tokens"), col("budget")))
+      .withColumn("repeated_tokens",
+        col("delivered_tokens") - col("unique_tokens"))
+      .withColumn("unique_frac",
+        when(col("delivered_tokens") === 0L, lit(1.0)).otherwise(
+          round(col("unique_tokens").cast("double") /
+            col("delivered_tokens"), 6)))
+  }
+
   /** Deterministic round-robin interleave across strata for training
     * order: adds `pos` = this row's 1-based rank within its stratum (by
     * `orderCol`); sorting the output by `(pos, strataCol)` yields an epoch

@@ -119,6 +119,37 @@ class MixSpec extends SparkSpec {
     assert(up.map(_._2).max === 4L)
   }
 
+  test("audit: epochs, delivered and unique/repeated split check out by hand") {
+    // supplies: web 5000, books 3000; alpha=1 natural; budget 16000 total
+    val a = Mix.audit(corpus, "source", "n_tok", alpha = 1.0,
+        totalBudget = 16000L)
+      .orderBy("source").collect()
+    val books = a(0); val web = a(1)
+    // natural p: web 5/8, books 3/8 → budgets 10000, 6000
+    assert(web.getAs[Long]("budget") === 10000L)
+    assert(books.getAs[Long]("budget") === 6000L)
+    // web: budget 10000 > supply 5000 → 2 epochs, unique 5000, repeated 5000
+    assert(web.getAs[Long]("epochs") === 2L)
+    assert(web.getAs[Long]("delivered_tokens") === 10000L)
+    assert(web.getAs[Long]("unique_tokens") === 5000L)
+    assert(web.getAs[Long]("repeated_tokens") === 5000L)
+    assert(web.getAs[Double]("unique_frac") === 0.5)
+    // books: budget 6000 = 2x supply 3000
+    assert(books.getAs[Long]("epochs") === 2L)
+    assert(books.getAs[Long]("repeated_tokens") === 3000L)
+  }
+
+  test("audit: the UniMax clamp bounds delivered tokens, not the budget") {
+    val tiny = Seq((1L, "rare", 10L), (2L, "big", 100000L))
+      .toDF("doc_id", "source", "n_tok")
+    val a = Mix.audit(tiny, "source", "n_tok", alpha = 0.3,
+        totalBudget = 10000000L, maxEpochs = 5L)
+      .where(col("source") === "rare").collect().head
+    assert(a.getAs[Long]("epochs") === 5L)
+    assert(a.getAs[Long]("delivered_tokens") === 50L) // 5 epochs x 10 tokens
+    assert(a.getAs[Long]("unique_tokens") === 10L)
+  }
+
   test("upsampleTokens: zero budget admits nothing") {
     val budgets = Seq(("books", 0L)).toDF("source", "budget")
     val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)
