@@ -2427,6 +2427,49 @@ object SparkEntry {
           .select(col("source"), tokenCount(col("text")).as("n_tok")),
         "source", "n_tok", alpha = 0.5, totalBudget = 200000L)
         .orderBy("source")
+    }),
+
+    // --- persisted winnow fingerprint store LIFECYCLE (q124's gate at
+    // winnowing granularity — incremental LOCAL-overlap against a
+    // standing corpus): publish base, append two batches with one
+    // replayed whole, compact to sealed v1, answer batch-vs-store overlap
+    // through the version resolver — hash-exact vs the one-shot SQL
+    // fingerprint chain, rollback-path equality included ---
+    "q132_winnow_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "winnow_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+          operators.Winnow.write(
+            docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+            "doc_id", "text", p))
+        val day1 = docs.where(col("doc_id") % 5 === 3)
+        operators.Winnow.append(day1, "doc_id", "text", v0, batchId = 1)
+        operators.Winnow.append(day1, "doc_id", "text", v0, batchId = 1)
+        operators.Winnow.append(docs.where(col("doc_id") % 5 === 4),
+          "doc_id", "text", v0, batchId = 2)
+        pipeline.IndexVersions.compactLatest(s, root)(
+          operators.Winnow.compactTo(s, _, _))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      def cands(p: String) =
+        operators.Winnow.overlapAgainst(
+          operators.Winnow.open(s, p), batch, "doc_id", "text")
+          .orderBy("kind", "id_a", "id_b")
+      val viaLatest = cands(latest)
+      val pathsEqual = cands(s"$root/v0").collect().toSeq ==
+        viaLatest.collect().toSeq
+      viaLatest.withColumn("version_ok", lit(versionOk))
+        .withColumn("paths_equal", lit(pathsEqual))
     })
   )
 
@@ -4308,6 +4351,16 @@ object SparkEntry {
         |  CAST(delivered_tokens - unique_tokens AS BIGINT) AS repeated_tokens,
         |  CASE WHEN delivered_tokens = 0 THEN 1.0
         |       ELSE round(CAST(unique_tokens AS DOUBLE) / delivered_tokens, 6) END AS unique_frac
-        |FROM f ORDER BY source""".stripMargin
+        |FROM f ORDER BY source""".stripMargin,
+
+    // q132: the one-shot fingerprint chain split batch-vs-rest, plus the
+    // lifecycle booleans as constants
+    "q132_winnow_lifecycle" -> {
+      val base = graft.expressions.OracleHashSql
+        .winnowIncremental(k = 4, w = 5, minShared = 2, maxDocsPerHash = 100)
+      s"""SELECT id_a, id_b, kind, n_shared,
+         |  true AS version_ok, true AS paths_equal
+         |FROM ($base) t ORDER BY kind, id_a, id_b""".stripMargin
+    }
   )
 }

@@ -169,7 +169,37 @@ object OracleHashSql {
     * constants [[TextOps]] compiles, so oracle and engine cannot drift.
     */
   def winnowOverlap(k: Int, w: Int, minShared: Long,
-                    maxDocsPerHash: Long): String = {
+                    maxDocsPerHash: Long): String =
+    s"""${winnowFpCtes(k, w, maxDocsPerHash)}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for [[graft.operators.Winnow.overlapAgainst]] with the q77
+    * split convention (batch = `doc_id % 5 = 0`, index = the rest):
+    * `(id_a, id_b, kind, n_shared)` — the store lifecycle must answer
+    * exactly what the one-shot fingerprint computation answers.
+    */
+  def winnowIncremental(k: Int, w: Int, minShared: Long,
+                        maxDocsPerHash: Long): String =
+    s"""${winnowFpCtes(k, w, maxDocsPerHash)},
+       |nf AS (SELECT doc_id, h FROM fp WHERE doc_id % 5 = 0),
+       |obf AS (SELECT doc_id, h FROM fp WHERE doc_id % 5 <> 0),
+       |no AS (SELECT nf.doc_id AS id_a, obf.doc_id AS id_b, 'new_old' AS kind,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared
+       |       FROM nf JOIN obf ON nf.h = obf.h GROUP BY 1, 2),
+       |nn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'new_new' AS kind,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared
+       |       FROM nf a JOIN nf b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, kind, n_shared
+       |FROM (SELECT * FROM no UNION ALL SELECT * FROM nn)
+       |WHERE n_shared >= $minShared ORDER BY kind, id_a, id_b""".stripMargin
+
+  /** The shared fingerprint chain: token hashes → per-window FNV fold →
+    * mix64 → winnow selection → degeneracy cap, ending in CTE
+    * `fp(doc_id, h)`.
+    */
+  private def winnowFpCtes(k: Int, w: Int, maxDocsPerHash: Long): String = {
     val fnvp = "1099511628211" // 0x100000001B3, the gram-fold FNV prime
     val foldLayers = (1 to k).map { j =>
       s"wf$j AS (SELECT doc_id, pos, tvs, (${mul("v", fnvp)} + tvs[pos + ${j - 1}]) % $U AS v FROM wf${j - 1})"
@@ -194,10 +224,7 @@ object OracleHashSql {
        |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mv FROM venc),
        |sel AS (SELECT DISTINCT doc_id, mv // 1048576 AS h FROM mn WHERE pos >= $w),
        |cap AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $maxDocsPerHash),
-       |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared ORDER BY id_a, id_b""".stripMargin
+       |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))""".stripMargin
   }
 
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority

@@ -62,6 +62,110 @@ object Winnow {
         shiftright(col("__v"), 20).as("h")) // exact; Column./ is double
   }
 
+  // ------------------------------------------------------------------
+  // Persisted fingerprint store — incremental local-overlap against a
+  // standing corpus, the [[MinHashIndex]] contract at winnowing
+  // granularity: fingerprint the corpus once, keep only (id, h) rows
+  // (~2/(w+1) of gram count, no text), and check each ingest batch
+  // against the store. Same retry-idempotent (bucket, batch_id) layout,
+  // same params pinning, same distinct-folding compaction.
+  // ------------------------------------------------------------------
+
+  private val StoreBuckets = 64
+
+  final case class Index(fps: DataFrame, k: Int, w: Int)
+
+  /** Build and persist: fingerprints under `path/fps` (partitioned by a
+    * 64-way hash bucket so an overlap join's tasks read aligned slices)
+    * plus `(k, w)` under `path/params` so [[open]]/[[append]] can never
+    * mix window geometries.
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+            k: Int = 4, w: Int = 5): Unit = {
+    val s = docs.sparkSession
+    storeRows(docs, idCol, textCol, k, w)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
+      .parquet(s"$path/fps")
+    import s.implicits._
+    Seq((k, w)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def storeRows(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame =
+    fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+      .withColumn("bucket", pmod(col("h"), lit(StoreBuckets)).cast("int"))
+
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Index(spark.read.parquet(s"$path/fps"),
+      p.getAs[Int]("k"), p.getAs[Int]("w"))
+  }
+
+  /** Retry-idempotent append (dynamic overwrite under `(bucket,
+    * batch_id)`): fingerprinting is deterministic, so a replayed append
+    * rewrites exactly its prior partitions. Params come from the store.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String, path: String,
+             batchId: Long): Unit = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the base build): $batchId")
+    val idx = open(docs.sparkSession, path)
+    storeRows(docs, idCol, textCol, idx.k, idx.w)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(s"$path/fps")
+  }
+
+  /** Compact to a single base batch at `dest` (new directory — the swap is
+    * the caller's version-publish step), distinct-folding documents
+    * re-ingested under different batch ids.
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, path: String,
+                dest: String): Unit = {
+    val idx = open(spark, path)
+    idx.fps.select("id", "h", "bucket").distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
+      .parquet(s"$dest/fps")
+    import spark.implicits._
+    Seq((idx.k, idx.w)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"$dest/params")
+  }
+
+  /** Batch-vs-store overlap: `(id_a, id_b, kind, n_shared)` where
+    * `new_old` pairs a batch doc with an indexed doc and `new_new` pairs
+    * two batch docs (`id_a < id_b`). The cap counts distinct docs per
+    * hash over index AND batch combined — identical degeneracy semantics
+    * to the one-shot [[overlap]]. Batch text is fingerprinted once.
+    */
+  def overlapAgainst(index: Index, batch: DataFrame, idCol: String,
+                     textCol: String, minShared: Long = 2,
+                     maxDocsPerHash: Long = 100): DataFrame = {
+    val nb = fingerprints(batch, idCol, textCol, index.k, index.w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+      .withColumn("is_new", lit(true))
+    val all = nb.unionByName(
+      index.fps.select(col("id"), col("h")).withColumn("is_new", lit(false)))
+    val bounded = all.join(
+      all.groupBy("h").agg(countDistinct("id").as("__n"))
+        .where(col("__n") <= maxDocsPerHash).drop("__n"),
+      Seq("h"), "left_semi")
+    val n = bounded.where(col("is_new")).select(col("h"), col("id").as("id_a"))
+    val o = bounded.where(!col("is_new")).select(col("h"), col("id").as("id_b"))
+    val newOld = n.join(o, Seq("h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .withColumn("kind", lit("new_old"))
+    val newNew = n.join(n.select(col("h"), col("id_a").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .withColumn("kind", lit("new_new"))
+    newOld.unionByName(newNew).where(col("n_shared") >= minShared)
+      .select("id_a", "id_b", "kind", "n_shared")
+  }
+
   /** Cross-document overlap report: pairs sharing >= `minShared` selected
     * fingerprints. Hashes selected in more than `maxDocsPerHash` documents
     * are dropped before the self-join — the degenerate-boilerplate cap,

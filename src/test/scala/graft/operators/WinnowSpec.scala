@@ -86,6 +86,44 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("store: write/append/replay/compact answers like the one-shot path") {
+    val r = new scala.util.Random(23)
+    val passage = words(new scala.util.Random(41), 60)
+    val old = Seq(
+      (1L, words(r, 120) + " " + passage),
+      (2L, words(r, 150)),
+      (3L, passage + " " + words(r, 80))
+    ).toDF("doc_id", "text")
+    val day1 = Seq((10L, words(r, 90) + " " + passage)).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, passage + " " + words(r, 70)),
+      (101L, words(r, 130))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winstore").toString
+    val dest = java.nio.file.Files.createTempDirectory("winstorec").toString
+    Winnow.write(old, "doc_id", "text", dir)
+    Winnow.append(day1, "doc_id", "text", dir, batchId = 1)
+    // replayed append (orchestrator retry) must not duplicate rows
+    Winnow.append(day1, "doc_id", "text", dir, batchId = 1)
+    val storedRows = spark.read.parquet(s"$dir/fps").count()
+    assert(storedRows ===
+      Winnow.fingerprints(old.unionByName(day1), "doc_id", "text")
+        .select("doc_id", "h").distinct().count(),
+      "replayed append duplicated fingerprint rows")
+    Winnow.compactTo(spark, dir, dest)
+    def pairs(p: String) = Winnow.overlapAgainst(Winnow.open(spark, p),
+        batch, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    val before = pairs(dir); val after = pairs(dest)
+    assert(after === before, "compaction changed answers")
+    // the planted passage is found against both an old and an appended doc
+    assert(before.exists(p => p._1 == 100L && Set(1L, 3L, 10L)(p._2) &&
+      p._3 == "new_old"))
+    // params survive
+    val idx = Winnow.open(spark, dest)
+    assert((idx.k, idx.w) === (4, 5))
+  }
+
   test("deterministic under repartition") {
     val r = new scala.util.Random(13)
     val docs = (1 to 10).map(i => (i.toLong, words(r, 200)))
