@@ -149,10 +149,12 @@ object Winnow {
       .withColumn("is_new", lit(true))
     val all = nb.unionByName(
       index.fps.select(col("id"), col("h")).withColumn("is_new", lit(false)))
-    val bounded = all.join(
-      all.groupBy("h").agg(countDistinct("id").as("__n"))
-        .where(col("__n") <= maxDocsPerHash).drop("__n"),
-      Seq("h"), "left_semi")
+    // window-count cap on the shared exchange — see [[overlap]]; each
+    // side's rows are distinct (id, h), so at the gate's disjoint
+    // batch/index id spaces the row count per h is the distinct-doc count
+    val bounded = all
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__n") <= maxDocsPerHash).drop("__n")
     val n = bounded.where(col("is_new")).select(col("h"), col("id").as("id_a"))
     val o = bounded.where(!col("is_new")).select(col("h"), col("id").as("id_b"))
     val newOld = n.join(o, Seq("h"))
@@ -174,12 +176,18 @@ object Winnow {
   def overlap(docs: DataFrame, idCol: String, textCol: String,
               k: Int = 4, w: Int = 5, minShared: Long = 2,
               maxDocsPerHash: Long = 100): DataFrame = {
+    // The cap is a WINDOW count over h, not a groupBy + semi-join: the
+    // window's hash exchange on h is then the single shared subtree both
+    // self-join sides reference — ReuseExchange computes the fingerprint
+    // pass ONCE and the join on h reuses the partitioning (no caching
+    // needed, lineage intact; measured: the groupBy+semi-join shape
+    // re-fingerprinted the corpus per plan position). fp rows are
+    // distinct (id, h), so the row count per h IS the distinct-doc count.
     val fp = fingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("h")).distinct()
-    val bounded = fp.join(
-      fp.groupBy("h").agg(countDistinct("id").as("__n"))
-        .where(col("__n") <= maxDocsPerHash).drop("__n"),
-      Seq("h"), "left_semi")
+    val bounded = fp
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__n") <= maxDocsPerHash).drop("__n")
     bounded.select(col("h"), col("id").as("id_a"))
       .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
