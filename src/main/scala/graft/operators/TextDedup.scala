@@ -67,10 +67,15 @@ object TextDedup {
       .where(col("sig").isNotNull)
     val buckets = sig.select(col("id"),
       posexplode(lshBuckets(col("sig"), rowsPerBand)).as(Seq("band", "bucket")))
-    val bounded = buckets.join(
-      buckets.groupBy("band", "bucket").count()
-        .where(col("count") <= maxBucketSize).drop("count"),
-      Seq("band", "bucket"), "left_semi")
+    // window-count cap: the window's exchange on (band, bucket) is the
+    // shared subtree both self-join sides reference — exchange reuse
+    // computes the signature pass once and the join reuses the
+    // partitioning (one shuffle instead of the groupBy+semi-join's two;
+    // same row-count semantics — see Winnow.overlap for the measurement)
+    val bounded = buckets
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
