@@ -143,9 +143,11 @@ object TextDedup {
       .where(size(col("set")) > 0)
     val postings = sets.select(col("id"), size(col("set")).as("sz"),
       explode(col("set")).as("shingle"))
-    val bounded = postings.join(
-      postings.groupBy("shingle").count().where(col("count") <= maxPostings).drop("count"),
-      Seq("shingle"), "left_semi")
+    // window-count cap on the shared shingle exchange (one shuffle;
+    // the shingle-set pass is not recomputed for the count side)
+    val bounded = postings
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("__n") <= maxPostings).drop("__n")
     val a = bounded.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = bounded.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
@@ -234,10 +236,11 @@ object TextDedup {
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
-    val bounded = chunks.join(
-      chunks.groupBy("chunk_idx", "chunk").count()
-        .where(col("count") <= maxBucketSize).drop("count"),
-      Seq("chunk_idx", "chunk"), "left_semi")
+    // window-count cap on the shared chunk exchange (one shuffle)
+    val bounded = chunks
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
     val a = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
