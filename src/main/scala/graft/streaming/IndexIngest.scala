@@ -123,6 +123,28 @@ object IndexIngest {
     StreamBinding.recordWritten(spark, indexPath, appendId)
   }
 
+  /** Stream new documents into a persisted [[graft.operators.Winnow]]
+    * fingerprint store: the standing corpus's local-overlap index stays
+    * current as data arrives, so tomorrow's
+    * [[graft.operators.Winnow.overlapAgainst]] sees today's batches.
+    * Same binding/idempotence contract as the other stores.
+    */
+  def runWinnow(spark: SparkSession, changesDir: String, schema: StructType,
+                indexPath: String, checkpointDir: String,
+                idCol: String, textCol: String): StreamingQuery =
+    start(spark, changesDir, schema, checkpointDir) { (batch, batchId) =>
+      winnowBatch(batch, batchId, indexPath, checkpointDir, idCol, textCol)
+    }
+
+  def winnowBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                  checkpointDir: String, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val appendId = StreamBinding.resolveAppendId(spark, checkpointDir,
+      indexPath, s"$indexPath/fps", batchId)
+    graft.operators.Winnow.append(batch, idCol, textCol, indexPath, appendId)
+    StreamBinding.recordWritten(spark, indexPath, appendId)
+  }
+
   /** The full streaming curation loop over the gram store: each arriving
     * batch is CLEANED against the standing corpus (duplicated spans cut —
     * spans the corpus already holds, or that repeat across the batch's own

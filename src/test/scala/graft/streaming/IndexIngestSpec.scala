@@ -423,4 +423,42 @@ class IndexIngestSpec extends SparkSpec {
       .groupBy("__h", "batch_id").count().agg(max("count")).head.getLong(0)
     assert(perGram === 1L, "replayed append duplicated gram contributions")
   }
+
+  test("streams documents into a persisted winnow store; overlap sees them") {
+    val root = Files.createTempDirectory("winingest").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    val idx = s"$root/fps"; val ckpt = s"$root/ckpt"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // shared runs of k+w-1 = 8 tokens — the winnowing guarantee length
+    val runA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val runB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val corpus = Seq(1L -> s"$runA f1 f2 f3 f4 f5 f6 f7",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    val streamedDocs = Seq(3L -> s"g1 g2 g3 g4 $runB g5 g6")
+    graft.operators.Winnow.write(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", idx)
+    Files.write(java.nio.file.Paths.get(in, "b1.json"),
+      streamedDocs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    IndexIngest.runWinnow(spark, in, docSchema, idx, ckpt, "doc_id", "text")
+
+    // probe shares runA with the base corpus and runB with a STREAMED doc
+    val batch = Seq(10L -> s"z1 z2 $runA z3",
+      11L -> s"z4 $runB z5 z6", 12L -> "z7 z8 z9 z10 z11 z12 z13 z14")
+      .toDF("doc_id", "text")
+    val got = graft.operators.Winnow.overlapAgainst(
+        graft.operators.Winnow.open(spark, idx), batch, "doc_id", "text",
+        minShared = 1)
+      .where(col("kind") === "new_old")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((10L, 1L)), s"base-corpus overlap missing: $got")
+    assert(got.contains((11L, 3L)), s"streamed-doc overlap missing: $got")
+    assert(!got.exists(_._1 == 12L), s"unrelated doc flagged: $got")
+    // replay with no new files appends nothing
+    IndexIngest.runWinnow(spark, in, docSchema, idx, ckpt, "doc_id", "text")
+    val rows = spark.read.parquet(s"$idx/fps")
+      .groupBy("id", "h").count().agg(max("count")).head.getLong(0)
+    assert(rows === 1L, "replayed empty stream duplicated fingerprint rows")
+  }
 }
