@@ -2470,6 +2470,16 @@ object SparkEntry {
         viaLatest.collect().toSeq
       viaLatest.withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
+    }),
+
+    // --- fill-in-the-middle sample prep (Bavarian 2022; q127's coin
+    // discipline for the decoder-only infilling objective): a hashed half
+    // of documents rearrange to <pre> P <suf> S <mid> M at two hashed
+    // boundaries; pure per-row array projections — no explode, no
+    // shuffle. Hash-exact on the assembled string ---
+    "q133_fim_split" -> ((s, dir) => {
+      operators.Fim.split(t(s, dir, "documents"), "doc_id", "text",
+        seed = 42L).orderBy("doc_id")
     })
   )
 
@@ -4361,6 +4371,28 @@ object SparkEntry {
       s"""SELECT id_a, id_b, kind, n_shared,
          |  true AS version_ok, true AS paths_equal
          |FROM ($base) t ORDER BY kind, id_a, id_b""".stripMargin
-    }
+    },
+
+    // q133: the apply/boundary coins replayed; DuckDB list slicing is
+    // 1-based inclusive, matching Spark's slice(start, length) windows
+    "q133_fim_split" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+        |    CAST(CAST('0x' || substr(md5('42:f:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS cf,
+        |    CAST(CAST('0x' || substr(md5('42:a:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS ca,
+        |    CAST(CAST('0x' || substr(md5('42:b:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS cb
+        |  FROM t0),
+        |s AS (SELECT doc_id, ts, n, (cf % 2 = 0 AND n >= 2) AS applied,
+        |    LEAST(ca % (n + 1), cb % (n + 1)) AS u,
+        |    GREATEST(ca % (n + 1), cb % (n + 1)) AS v FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN applied THEN array_to_string(
+        |      ['<pre>'] || ts[1:u] || ['<suf>'] || ts[v+1:n] || ['<mid>'] || ts[u+1:v], ' ')
+        |    ELSE array_to_string(ts, ' ') END AS fim_text,
+        |  CAST(CASE WHEN applied THEN u ELSE n END AS BIGINT) AS n_prefix,
+        |  CAST(CASE WHEN applied THEN v - u ELSE 0 END AS BIGINT) AS n_middle,
+        |  CAST(CASE WHEN applied THEN n - v ELSE 0 END AS BIGINT) AS n_suffix,
+        |  applied AS fim_applied
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }
