@@ -235,4 +235,30 @@ class CurationPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("FIM split equals a sequential coin-replay reference on random docs") {
+    val seed0 = 11L
+    for (seed <- 1L to 5L) {
+      val corpus = sample(corpusGen(10), seed * 13)
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      val got = Fim.split(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", seed = seed0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      corpus.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length
+        def coin(salt: String): Long = java.lang.Long.parseLong(
+          md5hex(s"$seed0:$salt:$id").take(4), 16)
+        val want =
+          if (coin("f") % 2 == 0 && n >= 2) {
+            val (a, b) = (coin("a") % (n + 1), coin("b") % (n + 1))
+            val (u, v) = (math.min(a, b).toInt, math.max(a, b).toInt)
+            (Seq("<pre>") ++ toks.slice(0, u) ++ Seq("<suf>") ++
+              toks.slice(v, n) ++ Seq("<mid>") ++ toks.slice(u, v))
+              .mkString(" ")
+          } else toks.mkString(" ")
+        assert(got(id) === want, s"seed=$seed doc=$id")
+      }
+    }
+  }
 }
