@@ -51,6 +51,29 @@ class ShardsSpec extends SparkSpec {
     assert(sizes.min > 350 && sizes.max < 650, sizes.toSeq)
   }
 
+  test("file order survives a shard splitting into multiple files") {
+    val dir = java.nio.file.Files.createTempDirectory("shardsplit").toString
+    val base = corpus(400)
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 20L)
+    try Shards.write(base, "doc_id", numShards = 4, path = dir, seed = 5L)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    val files = new java.io.File(s"$dir/shard=2").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "shard must have split for this test to bite")
+    val want = Shards.assign(base, "doc_id", 4, seed = 5L)
+      .where(col("shard") === 2).orderBy("pos")
+      .select("doc_id").as[Long].collect().toSeq
+    // read files in NAME order (part-...c000 < c001 < ...), concatenating
+    val got = files.sortBy(_.getName).flatMap(f =>
+      spark.read.parquet(f.getPath).select("doc_id").as[Long].collect()).toSeq
+    assert(got === want,
+      "order must survive the writer rolling to a new file")
+  }
+
   test("write emits hive shard dirs whose file order IS the shuffle order") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val base = corpus(400)
