@@ -2271,54 +2271,25 @@ object SparkEntry {
     // one-shot SQL-minhash oracle, so any loss or duplication in the
     // append/replay/compact chain shifts the pair set and fails; the
     // rollback path (v0 + its appends) must answer identically to v1 ---
-    "q124_bands_lifecycle" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = cachedIndexDir(s, dir, "documents", "bands_lifecycle")
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
-            .map(_._1) != Seq(0L, 1L)) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
-          operators.MinHashIndex.write(
-            docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
-            "doc_id", "text", p))
-        val day1 = docs.where(col("doc_id") % 5 === 3)
-        operators.MinHashIndex.append(day1, "doc_id", "text", v0, batchId = 1)
-        operators.MinHashIndex.append(day1, "doc_id", "text", v0, batchId = 1)
-        operators.MinHashIndex.append(docs.where(col("doc_id") % 5 === 4),
-          "doc_id", "text", v0, batchId = 2)
-        pipeline.IndexVersions.compactLatest(s, root)(
-          operators.MinHashIndex.compactTo(s, _, _))
-      }
-      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
-        throw new IllegalStateException(s"no sealed version under $root"))
-      val versionOk = latest == s"$root/v1" &&
-        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
-          .map(_._1) == Seq(0L, 1L)
-      val batch = docs.where(col("doc_id") % 5 === 0)
-      def cands(p: String) =
-        operators.MinHashIndex.candidates(
-          operators.MinHashIndex.open(s, p), batch, "doc_id", "text")
-          .orderBy("kind", "id_a", "id_b")
-      val viaLatest = cands(latest)
-      // bounded collect: candidate pairs at gate scale (q77's output size)
-      val pathsEqual = cands(s"$root/v0").collect().toSeq ==
-        viaLatest.collect().toSeq
-      viaLatest.withColumn("version_ok", lit(versionOk))
-        .withColumn("paths_equal", lit(pathsEqual))
-    }),
+    "q124_bands_lifecycle" -> ((s, dir) =>
+      docStoreLifecycleGate(s, dir, "bands_lifecycle",
+        (d, p) => operators.MinHashIndex.write(d, "doc_id", "text", p),
+        (d, p, b) => operators.MinHashIndex.append(d, "doc_id", "text", p, b),
+        operators.MinHashIndex.compactTo,
+        (p, b) => operators.MinHashIndex.candidates(
+          operators.MinHashIndex.open(s, p), b, "doc_id", "text"))),
 
     // --- one-pass filter-threshold sweep: the survival curve (docs and
     // tokens kept) over 19 candidate quality cutoffs from ONE corpus
     // scan — the threshold-picking ablation that naively costs K full
-    // reads. Metric is pre-rounded so the grid comparison can never flip
-    // on a last-ulp cross-engine difference; grid thresholds are DERIVED
+    // reads. The metric reaches the grid comparison pre-rounded
+    // (qualityScore's final round(_, 6)) so it can never flip on a
+    // last-ulp cross-engine difference; grid thresholds are DERIVED
     // (i * 0.05 in both engines' IEEE doubles), not parallel literal
     // lists that could drift ---
     "q125_filter_sweep" -> ((s, dir) => {
       quality.FilterSweep.sweep(t(s, dir, "documents"),
-        round(qualityScore(col("text")), 6),
+        qualityScore(col("text")),
         size(tokens(col("text"))),
         (1 to 19).map(i => (i, i * 0.05)))
     }),
@@ -2404,8 +2375,9 @@ object SparkEntry {
     // hash-exact, so a row lost or duplicated at any seam fails ---
     "q130_delivery_manifest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val kept = docs
-        .where(round(qualityScore(col("text")), 6) >= 0.45)
+      // qualityScore is born rounded to 6 decimals — the boundary
+      // comparison is already cross-engine exact
+      val kept = docs.where(qualityScore(col("text")) >= 0.45)
       val deduped = TextDedup.exact(kept, "doc_id", "text")
       operators.Shards.assign(deduped, "doc_id", numShards = 8, seed = 7L)
         .groupBy("shard")
@@ -2435,42 +2407,13 @@ object SparkEntry {
     // replayed whole, compact to sealed v1, answer batch-vs-store overlap
     // through the version resolver — hash-exact vs the one-shot SQL
     // fingerprint chain, rollback-path equality included ---
-    "q132_winnow_lifecycle" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = cachedIndexDir(s, dir, "documents", "winnow_lifecycle")
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
-            .map(_._1) != Seq(0L, 1L)) {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val v0 = pipeline.IndexVersions.publish(s, root)(p =>
-          operators.Winnow.write(
-            docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
-            "doc_id", "text", p))
-        val day1 = docs.where(col("doc_id") % 5 === 3)
-        operators.Winnow.append(day1, "doc_id", "text", v0, batchId = 1)
-        operators.Winnow.append(day1, "doc_id", "text", v0, batchId = 1)
-        operators.Winnow.append(docs.where(col("doc_id") % 5 === 4),
-          "doc_id", "text", v0, batchId = 2)
-        pipeline.IndexVersions.compactLatest(s, root)(
-          operators.Winnow.compactTo(s, _, _))
-      }
-      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
-        throw new IllegalStateException(s"no sealed version under $root"))
-      val versionOk = latest == s"$root/v1" &&
-        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
-          .map(_._1) == Seq(0L, 1L)
-      val batch = docs.where(col("doc_id") % 5 === 0)
-      def cands(p: String) =
-        operators.Winnow.overlapAgainst(
-          operators.Winnow.open(s, p), batch, "doc_id", "text")
-          .orderBy("kind", "id_a", "id_b")
-      val viaLatest = cands(latest)
-      val pathsEqual = cands(s"$root/v0").collect().toSeq ==
-        viaLatest.collect().toSeq
-      viaLatest.withColumn("version_ok", lit(versionOk))
-        .withColumn("paths_equal", lit(pathsEqual))
-    }),
+    "q132_winnow_lifecycle" -> ((s, dir) =>
+      docStoreLifecycleGate(s, dir, "winnow_lifecycle",
+        (d, p) => operators.Winnow.write(d, "doc_id", "text", p),
+        (d, p, b) => operators.Winnow.append(d, "doc_id", "text", p, b),
+        operators.Winnow.compactTo,
+        (p, b) => operators.Winnow.overlapAgainst(
+          operators.Winnow.open(s, p), b, "doc_id", "text"))),
 
     // --- fill-in-the-middle sample prep (Bavarian 2022; q127's coin
     // discipline for the decoder-only infilling objective): a hashed half
@@ -2488,6 +2431,51 @@ object SparkEntry {
     * lengths, and mtimes, so regenerated testdata can never be served by a
     * stale index — the lookup simply misses and the entry rebuilds.
     */
+  /** The shared store-lifecycle gate skeleton (q124 bands / q132 winnow):
+    * publish a base version on `doc_id % 5 IN (1, 2)`, append `% 5 = 3`
+    * TWICE (the orchestrator-retry replay dynamic overwrite must absorb),
+    * append `% 5 = 4`, compact to a sealed v1, then answer the
+    * `% 5 = 0` batch through the version resolver — with rollback-path
+    * (v0 + appends vs compacted v1) equality. Parameterized by the
+    * store's build/append/compact/query closures so the two gates cannot
+    * drift as the lifecycle contract evolves.
+    */
+  private def docStoreLifecycleGate(s: SparkSession, dir: String,
+      name: String,
+      build: (DataFrame, String) => Unit,
+      append: (DataFrame, String, Long) => Unit,
+      compact: (SparkSession, String, String) => Unit,
+      query: (String, DataFrame) => DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = cachedIndexDir(s, dir, "documents", name)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) != Seq(0L, 1L)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val v0 = pipeline.IndexVersions.publish(s, root)(p =>
+        build(docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2), p))
+      val day1 = docs.where(col("doc_id") % 5 === 3)
+      append(day1, v0, 1L)
+      append(day1, v0, 1L)
+      append(docs.where(col("doc_id") % 5 === 4), v0, 2L)
+      pipeline.IndexVersions.compactLatest(s, root)(compact(s, _, _))
+    }
+    val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no sealed version under $root"))
+    val versionOk = latest == s"$root/v1" &&
+      pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+        .map(_._1) == Seq(0L, 1L)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    def cands(p: String) = query(p, batch).orderBy("kind", "id_a", "id_b")
+    val viaLatest = cands(latest)
+    // bounded collect: candidate pairs at gate scale
+    val pathsEqual = cands(s"$root/v0").collect().toSeq ==
+      viaLatest.collect().toSeq
+    viaLatest.withColumn("version_ok", lit(versionOk))
+      .withColumn("paths_equal", lit(pathsEqual))
+  }
+
   private def cachedIndexDir(s: SparkSession, dir: String, table: String,
                              name: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
@@ -4373,14 +4361,15 @@ object SparkEntry {
          |FROM ($base) t ORDER BY kind, id_a, id_b""".stripMargin
     },
 
-    // q133: the apply/boundary coins replayed; DuckDB list slicing is
-    // 1-based inclusive, matching Spark's slice(start, length) windows
+    // q133: the apply/boundary coins replayed (60-bit, like the engine);
+    // DuckDB list slicing is 1-based inclusive, matching Spark's
+    // slice(start, length) windows
     "q133_fim_split" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
         |c AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
-        |    CAST(CAST('0x' || substr(md5('42:f:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS cf,
-        |    CAST(CAST('0x' || substr(md5('42:a:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS ca,
-        |    CAST(CAST('0x' || substr(md5('42:b:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) AS cb
+        |    CAST('0x' || substr(md5('42:f:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS cf,
+        |    CAST('0x' || substr(md5('42:a:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ca,
+        |    CAST('0x' || substr(md5('42:b:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS cb
         |  FROM t0),
         |s AS (SELECT doc_id, ts, n, (cf % 2 = 0 AND n >= 2) AS applied,
         |    LEAST(ca % (n + 1), cb % (n + 1)) AS u,

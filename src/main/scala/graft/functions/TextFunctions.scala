@@ -15,6 +15,23 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
+  /** Deterministic md5 coin over `(seed, salt, key)`: the first `widthHex`
+    * hex chars of `md5("{seed}:{salt}:{key}")` as a non-negative long —
+    * the hashed-randomness primitive behind reproducible sample prep
+    * (span corruption, FIM) and shard assignment. 4 hex chars (16 bits)
+    * suffice for small-modulus draws (bias ~2^-16); use 15 (60 bits)
+    * whenever the modulus scales with data, e.g. positions or document
+    * lengths. The exact string/width is replayed by the SQL oracles —
+    * change both sides together.
+    */
+  def hashCoin(seed: Long, salt: String, key: Column,
+               widthHex: Int = 4): Column = {
+    require(widthHex >= 1 && widthHex <= 15, s"widthHex in [1,15]: $widthHex")
+    conv(substring(
+      md5(concat(lit(s"$seed:$salt:"), key.cast("string")).cast("binary")),
+      1, widthHex), 16, 10).cast("long")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles as space-joined strings; empty array when the

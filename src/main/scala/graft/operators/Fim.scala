@@ -23,9 +23,10 @@ object Fim {
   def split(docs: DataFrame, idCol: String, textCol: String,
             seed: Long = 42L): DataFrame = {
     val id = col(idCol)
-    def coin(salt: String) = conv(substring(
-      md5(concat(lit(s"$seed:$salt:"), id.cast("string")).cast("binary")),
-      1, 4), 16, 10).cast("long")
+    // 60-bit coins: the boundary draws are mod (n+1), and a narrow coin
+    // would hard-truncate boundaries and bias the low positions for long
+    // docs — the width must dwarf every realistic document length
+    def coin(salt: String) = hashCoin(seed, salt, id, widthHex = 15)
     val toks = tokens(col(textCol))
     val n = size(toks).cast("long")
     val applied = (coin("f") % 2 === 0) && n >= 2L

@@ -101,13 +101,7 @@ object Knn {
       posexplode(array((0 until nBands).map(b =>
         shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band_idx", "band")))
-    // window-count cap on the shared exchange (one shuffle; the
-    // signature/normalize pass is not recomputed for the count side —
-    // see Winnow.overlap for the shape's measurement)
-    val bounded = banded
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql
-        .expressions.Window.partitionBy("band_idx", "band")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val bounded = Caps.capGroupSize(banded, maxBucketSize, "band_idx", "band")
     val a = bounded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bounded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("v").as("v_b"))
     // threshold BEFORE the pair-dedup: the filter drops ~all banded

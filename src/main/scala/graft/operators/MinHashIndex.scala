@@ -176,14 +176,7 @@ object MinHashIndex {
     val all = nb.unionByName(
       index.buckets.select(col("id"), col("band"), col("bucket"))
         .withColumn("is_new", lit(false)))
-    // window-count cap on the shared (band, bucket) exchange — one
-    // shuffle instead of groupBy + semi-join's two, and the four
-    // downstream consumers hang off one reusable exchange (same
-    // row-count semantics; see Winnow.overlap for the measurement)
-    val bounded = all
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val bounded = Caps.capGroupSize(all, maxBucketSize, "band", "bucket")
     val n = bounded.where(col("is_new"))
       .select(col("band"), col("bucket"), col("id").as("id_a"))
     val o = bounded.where(!col("is_new"))

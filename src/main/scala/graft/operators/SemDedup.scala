@@ -38,12 +38,7 @@ object SemDedup {
     graft.GraftFunctions.register(assigned.sparkSession)
     val n = assigned.select(col("id"), col("cell"),
       normalizeFast(col("emb")).as("nvec"))
-    // window-count cap on the shared cell exchange (one shuffle; the
-    // normalize pass is not recomputed for the count side)
-    val bounded = n
-      .withColumn("__n", count(lit(1)).over(org.apache.spark.sql
-        .expressions.Window.partitionBy("cell")))
-      .where(col("__n") <= maxClusterSize).drop("__n")
+    val bounded = Caps.capGroupSize(n, maxClusterSize, "cell")
     val a = bounded.select(col("cell"), col("id").as("id_a"), col("nvec").as("va"))
     val b = bounded.select(col("cell"), col("id").as("id_b"), col("nvec").as("vb"))
     a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * rate is `(maxSpan+1)/(2*startPeriod)` — the T5 defaults (15%, mean
   * span 3) correspond to `startPeriod=20, maxSpan=5` at ~15%.
   *
+  * SENTINEL BUDGET: span ids are unbounded here, but T5-family vocabs
+  * ship exactly 100 `<extra_id_k>` sentinels — a document past roughly
+  * `startPeriod * 100` tokens (~2000 at the defaults) overflows that
+  * budget. Apply this operator AFTER chunking to the training sequence
+  * length (the pipeline order q68 → here), exactly as the original
+  * preprocesses fixed-length inputs; consumers can also filter on the
+  * emitted `n_spans` column.
+  *
   * Scale shape: narrow per-token projections plus per-document windows
   * (partitioned by doc id — parallel across docs, no global window), then
   * one groupBy(doc) reassembly. Token rows shuffle once, carrying
@@ -34,10 +42,10 @@ object SpanCorrupt {
               maxSpan: Int = 5): DataFrame = {
     require(startPeriod > 0 && maxSpan > 0, "startPeriod, maxSpan > 0")
     val id = col(idCol)
-    def coin(salt: String) = conv(substring(
-      md5(concat(lit(s"$seed:$salt:"), id.cast("string"), lit(":"),
-        col("pos").cast("string")).cast("binary")), 1, 4), 16, 10)
-      .cast("long")
+    // 16-bit coins are enough here: the moduli are the small constants
+    // startPeriod / maxSpan, where the bias is ~2^-16
+    def coin(salt: String) = hashCoin(seed, salt,
+      concat(id.cast("string"), lit(":"), col("pos").cast("string")))
     val tok = docs.select(id,
       posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
     val w = Window.partitionBy(idCol).orderBy("pos")

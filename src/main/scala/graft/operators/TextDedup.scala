@@ -67,15 +67,7 @@ object TextDedup {
       .where(col("sig").isNotNull)
     val buckets = sig.select(col("id"),
       posexplode(lshBuckets(col("sig"), rowsPerBand)).as(Seq("band", "bucket")))
-    // window-count cap: the window's exchange on (band, bucket) is the
-    // shared subtree both self-join sides reference — exchange reuse
-    // computes the signature pass once and the join reuses the
-    // partitioning (one shuffle instead of the groupBy+semi-join's two;
-    // same row-count semantics — see Winnow.overlap for the measurement)
-    val bounded = buckets
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val bounded = Caps.capGroupSize(buckets, maxBucketSize, "band", "bucket")
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -143,11 +135,7 @@ object TextDedup {
       .where(size(col("set")) > 0)
     val postings = sets.select(col("id"), size(col("set")).as("sz"),
       explode(col("set")).as("shingle"))
-    // window-count cap on the shared shingle exchange (one shuffle;
-    // the shingle-set pass is not recomputed for the count side)
-    val bounded = postings
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("__n") <= maxPostings).drop("__n")
+    val bounded = Caps.capGroupSize(postings, maxPostings, "shingle")
     val a = bounded.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = bounded.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
@@ -236,11 +224,7 @@ object TextDedup {
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
-    // window-count cap on the shared chunk exchange (one shuffle)
-    val bounded = chunks
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val bounded = Caps.capGroupSize(chunks, maxBucketSize, "chunk_idx", "chunk")
     val a = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk"))

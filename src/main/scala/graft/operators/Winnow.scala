@@ -140,21 +140,31 @@ object Winnow {
     * two batch docs (`id_a < id_b`). The cap counts distinct docs per
     * hash over index AND batch combined — identical degeneracy semantics
     * to the one-shot [[overlap]]. Batch text is fingerprinted once.
+    *
+    * A document RE-SUBMITTED under an id the store already holds is
+    * compared as NEW and its stored copy is EXCLUDED (anti-join on the
+    * batch ids): otherwise its rows appear on both union sides, every
+    * one of its hashes double-counts toward the cap, and the report
+    * emits an `(id, id)` self-pair that reads as a perfect overlap hit.
+    * (Deliberately the opposite of [[MinHashIndex.candidates]], where a
+    * self-match means "already present" — exactly what DEDUP should
+    * flag; an overlap REPORT should not accuse a doc of matching
+    * itself.)
     */
   def overlapAgainst(index: Index, batch: DataFrame, idCol: String,
                      textCol: String, minShared: Long = 2,
                      maxDocsPerHash: Long = 100): DataFrame = {
-    val nb = fingerprints(batch, idCol, textCol, index.k, index.w)
+    val nbRows = fingerprints(batch, idCol, textCol, index.k, index.w)
       .select(col(idCol).as("id"), col("h")).distinct()
-      .withColumn("is_new", lit(true))
+    val nb = nbRows.withColumn("is_new", lit(true))
     val all = nb.unionByName(
-      index.fps.select(col("id"), col("h")).withColumn("is_new", lit(false)))
+      index.fps.select(col("id"), col("h"))
+        .join(nbRows.select("id").distinct(), Seq("id"), "left_anti")
+        .withColumn("is_new", lit(false)))
     // window-count cap on the shared exchange — see [[overlap]]; each
     // side's rows are distinct (id, h), so at the gate's disjoint
     // batch/index id spaces the row count per h is the distinct-doc count
-    val bounded = all
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("__n") <= maxDocsPerHash).drop("__n")
+    val bounded = Caps.capGroupSize(all, maxDocsPerHash, "h")
     val n = bounded.where(col("is_new")).select(col("h"), col("id").as("id_a"))
     val o = bounded.where(!col("is_new")).select(col("h"), col("id").as("id_b"))
     val newOld = n.join(o, Seq("h"))
@@ -185,9 +195,7 @@ object Winnow {
     // distinct (id, h), so the row count per h IS the distinct-doc count.
     val fp = fingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("h")).distinct()
-    val bounded = fp
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("__n") <= maxDocsPerHash).drop("__n")
+    val bounded = Caps.capGroupSize(fp, maxDocsPerHash, "h")
     bounded.select(col("h"), col("id").as("id_a"))
       .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))

@@ -248,7 +248,7 @@ class CurationPropertySpec extends SparkSpec {
         val toks = text.split(" ").filter(_.nonEmpty)
         val n = toks.length
         def coin(salt: String): Long = java.lang.Long.parseLong(
-          md5hex(s"$seed0:$salt:$id").take(4), 16)
+          md5hex(s"$seed0:$salt:$id").take(15), 16)
         val want =
           if (coin("f") % 2 == 0 && n >= 2) {
             val (a, b) = (coin("a") % (n + 1), coin("b") % (n + 1))

@@ -124,6 +124,25 @@ class WinnowSpec extends SparkSpec {
     assert((idx.k, idx.w) === (4, 5))
   }
 
+  test("re-submitted ids are compared as new, never against themselves") {
+    val r = new scala.util.Random(31)
+    val passage = words(new scala.util.Random(8), 60)
+    val d1 = words(r, 100) + " " + passage
+    val old = Seq((1L, d1), (2L, words(r, 120))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winresub").toString
+    Winnow.write(old, "doc_id", "text", dir)
+    // doc 1 re-submitted verbatim plus a genuinely overlapping new doc
+    val batch = Seq((1L, d1), (50L, passage + " " + words(r, 80)))
+      .toDF("doc_id", "text")
+    val got = Winnow.overlapAgainst(Winnow.open(spark, dir), batch,
+        "doc_id", "text", minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(!got.exists(p => p._1 == p._2), s"self-pair emitted: $got")
+    // the real overlap is still found — as new_new (both in the batch)
+    assert(got.exists(p => Set(p._1, p._2) == Set(1L, 50L)),
+      s"overlap between re-submitted and new doc missing: $got")
+  }
+
   test("deterministic under repartition") {
     val r = new scala.util.Random(13)
     val docs = (1 to 10).map(i => (i.toLong, words(r, 200)))
