@@ -4176,13 +4176,13 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM idx GROUP BY g // 128 ORDER BY seq_id""".stripMargin,
 
-    // q123: shard = first 4 hex chars of the salted md5 mod 8, rank = row
-    // order of an independently salted md5 within the shard — both pure
-    // functions of (seed, doc_id), so the oracle reproduces the
-    // permutation exactly
+    // q123: shard = first 8 hex chars (32 bits — wide enough for 100k-
+    // shard counts) of the salted md5 mod 8, rank = row order of an
+    // independently salted md5 within the shard — both pure functions of
+    // (seed, doc_id), so the oracle reproduces the permutation exactly
     "q123_shard_shuffle" ->
       """WITH k AS (SELECT doc_id,
-        |    CAST(CAST('0x' || substr(md5('42:shard:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('42:shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
         |    md5('42:ord:' || CAST(doc_id AS VARCHAR)) AS ord
         |  FROM documents)
         |SELECT doc_id, CAST(shard AS INT) AS shard,
@@ -4191,7 +4191,10 @@ object SparkEntry {
 
     // q124: the store lifecycle must answer exactly what the one-shot
     // minhash computation answers — q77's band-slice-equality oracle with
-    // the version/rollback booleans appended
+    // the version/rollback booleans appended. The engine's maxBucketSize
+    // = 1000 degeneracy cap is a no-op at oracle scale (no (band, bucket)
+    // group approaches it at sf0.01 — q85 states the same assumption), so
+    // the oracle omits it
     "q124_bands_lifecycle" -> {
       val sig = graft.expressions.OracleHashSql.minhashSig(3, 16)
       s"""WITH sig AS (SELECT * FROM ($sig) tt),
@@ -4317,7 +4320,7 @@ object SparkEntry {
         |dd AS (SELECT doc_id, nt FROM kept
         |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
         |sh AS (SELECT doc_id, nt,
-        |    CAST(CAST('0x' || substr(md5('7:shard:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('7:shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
         |    md5('7:ord:' || CAST(doc_id AS VARCHAR)) AS ord
         |  FROM dd),
         |rk AS (SELECT doc_id, nt, CAST(shard AS INT) AS shard,

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
 object Caps {
   def capGroupSize(df: DataFrame, max: Long, keys: String*): DataFrame = {
     require(keys.nonEmpty, "capGroupSize needs at least one key")
+    require(!df.columns.contains("__n"),
+      "input already has a __n column — capGroupSize would clobber it " +
+      "(and count against the wrong frame); rename it first")
     df.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .where(col("__n") <= max).drop("__n")

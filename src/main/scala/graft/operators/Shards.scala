@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * (`src/glue/jobs/compare_parquet_datasets.py` sorts sampled rows by a
   * stable key) made global.
   *
-  * Scale shape: one shuffle keyed by the 4-byte shard id places rows; each
+  * Scale shape: one shuffle keyed by the shard id places rows; each
   * shard sorts locally by its 16-byte order key (Spark's external sort —
   * spills, never OOMs). No global sort, no driver state, no skew: md5
   * spreads any id distribution uniformly, so shards are balanced to
@@ -36,10 +36,18 @@ object Shards {
   def assign(df: DataFrame, idCol: String, numShards: Int,
              seed: Long = 42L): DataFrame = {
     require(numShards > 0, s"numShards > 0: $numShards")
+    val taken = Seq("shard", "ord", "pos").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has column(s) ${taken.mkString(", ")} — assign would " +
+      "silently overwrite them; rename or drop before sharding")
     val idStr = col(idCol).cast("string")
     val shardKey = md5(concat(lit(s"$seed:shard:"), idStr).cast("binary"))
     val ordKey = md5(concat(lit(s"$seed:ord:"), idStr).cast("binary"))
-    val shard = (conv(substring(shardKey, 1, 4), 16, 10).cast("long")
+    // 32-bit shard key (8 hex chars): a 16-bit key wraps its modulo at
+    // real shard counts — at 100 TB and 1-4 GB/shard, numShards is
+    // 25k-100k, where 65,536 preimages would give low shard ids twice
+    // the mass and ids past 2^16 none at all
+    val shard = (conv(substring(shardKey, 1, 8), 16, 10).cast("long")
       % numShards).cast("int")
     df.withColumn("shard", shard)
       .withColumn("ord", ordKey)
@@ -60,7 +68,12 @@ object Shards {
             seed: Long = 42L): Unit = {
     assign(df, idCol, numShards, seed)
       .drop("pos") // rank is implied by file order; avoid the rank window
-      .repartition(numShards, col("shard"))
+      // range, not hash, partitioning on the shard id: hashing numShards
+      // distinct values into numShards partitions co-locates some shards
+      // (2x straggler tasks) and leaves others empty; range boundaries put
+      // ~one shard per task (correctness is independent of task placement
+      // — partitionBy splits the directories either way)
+      .repartitionByRange(numShards, col("shard"))
       // shard leads the sort so the writer sees its required
       // partition-column ordering and keeps ours — otherwise
       // FileFormatWriter inserts its own (unstable) sort on `shard` and

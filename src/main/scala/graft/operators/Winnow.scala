@@ -158,7 +158,10 @@ object Winnow {
       .select(col(idCol).as("id"), col("h")).distinct()
     val nb = nbRows.withColumn("is_new", lit(true))
     val all = nb.unionByName(
-      index.fps.select(col("id"), col("h"))
+      // distinct: store rows are (id, h)-unique per batch, but a doc
+      // re-ingested under a second batch_id (before compactTo) holds
+      // duplicate rows — a raw count would inflate n_shared and the cap
+      index.fps.select(col("id"), col("h")).distinct()
         .join(nbRows.select("id").distinct(), Seq("id"), "left_anti")
         .withColumn("is_new", lit(false)))
     // window-count cap on the shared exchange — see [[overlap]]; each

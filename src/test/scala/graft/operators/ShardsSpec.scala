@@ -51,6 +51,29 @@ class ShardsSpec extends SparkSpec {
     assert(sizes.min > 350 && sizes.max < 650, sizes.toSeq)
   }
 
+  test("balanced at realistic shard counts (32-bit key, numShards = 1e5)") {
+    // the regression this pins: a 16-bit shard key mod 100k can only hit
+    // shards 0..65535 (and doubles the mass of low ids); the 32-bit key
+    // must occupy far more than 2^16 shards and keep per-shard counts at
+    // Poisson(lambda = 2) scale
+    val a = Shards.assign(corpus(200000), "doc_id", numShards = 100000,
+        seed = 42L)
+      .groupBy("shard").count().collect()
+    val occupied = a.length.toLong
+    assert(occupied > 70000L,
+      s"only $occupied of 100000 shards occupied — shard key too narrow")
+    assert(a.map(_.getLong(1)).max <= 15L,
+      "a shard far above the Poisson(2) tail — shard key biased")
+  }
+
+  test("assign refuses inputs that already carry shard/ord/pos") {
+    val clash = corpus(10).withColumn("pos", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Shards.assign(clash, "doc_id", 4)
+    }
+    assert(e.getMessage.contains("pos"))
+  }
+
   test("file order survives a shard splitting into multiple files") {
     val dir = java.nio.file.Files.createTempDirectory("shardsplit").toString
     val base = corpus(400)
