@@ -2423,6 +2423,59 @@ object SparkEntry {
     "q133_fim_split" -> ((s, dir) => {
       operators.Fim.split(t(s, dir, "documents"), "doc_id", "text",
         seed = 42L).orderBy("doc_id")
+    }),
+
+    // --- payload-partitioned index LAYOUT invariance: the same filtered
+    // query against a store written with partitionPayload = label (whole
+    // label directories prune at file-listing time) and against the
+    // default row-level layout must answer identically — a directory
+    // layout is an optimization, never a semantics change. Both layouts
+    // run through Ivf.query; the cross-layout equality rides as a gated
+    // boolean and the answer itself is hash-exact vs q99's exhaustive-
+    // probe brute-force oracle ---
+    "q134_partitioned_layout" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def ensure(path: String, lifted: Seq[String]): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/layout/_SUCCESS")))
+          Ivf.write(Ivf.build(emb, nCells = 16, trainSample = 10000,
+            payload = Seq("label")), path, lifted)
+      }
+      val plain = cachedIndexDir(s, dir, "embeddings", "ivf16lbl")
+      ensure(plain, Nil)
+      val lifted = cachedIndexDir(s, dir, "embeddings", "ivf16lblpart")
+      ensure(lifted, Seq("label"))
+      def run(path: String) = Ivf.query(Ivf.open(s, path),
+          emb.where(col("vec_id") < 8), k = 5, nProbe = 16,
+          filter = Some(col("label") < 3))
+        .select("q_id", "n_id", "rank", "sim").orderBy("q_id", "rank")
+      val viaLifted = run(lifted)
+      // bounded collect: 8 queries x k = 5 rows per layout
+      val invariant = viaLifted.collect().toSeq == run(plain).collect().toSeq
+      viaLifted.withColumn("layout_invariant", lit(invariant))
+    }),
+
+    // --- FIM with the PSM/SPM mode mixture (Bavarian 2022 trains on
+    // both rearrangements, not PSM alone): a third md5 coin picks
+    // suffix-first SPM for half the applied docs; same zero-shuffle
+    // per-row projections, hash-exact on the assembled string and the
+    // mode column ---
+    "q135_fim_spm" -> ((s, dir) => {
+      operators.Fim.splitMixed(t(s, dir, "documents"), "doc_id", "text",
+        seed = 42L).orderBy("doc_id")
+    }),
+
+    // --- span-level winnow overlap (where MOSS reports go after q129's
+    // pair counts): matched fingerprint positions merged into maximal
+    // runs per pair AND per side — maxGap = w is the theorem-backed
+    // merge radius (inside a shared region every w-gram window's min is
+    // selected in both docs, so genuine runs can't split). Hash-exact
+    // via the q129 SQL fingerprint chain extended with positions ---
+    "q136_winnow_spans" -> ((s, dir) => {
+      operators.Winnow.overlapSpans(t(s, dir, "documents"), "doc_id",
+          "text", k = 4, w = 5, minShared = 2, maxDocsPerHash = 100)
+        .orderBy("id_a", "id_b", "doc", "span_start")
     })
   )
 
@@ -4385,6 +4438,56 @@ object SparkEntry {
         |  CAST(CASE WHEN applied THEN v - u ELSE 0 END AS BIGINT) AS n_middle,
         |  CAST(CASE WHEN applied THEN n - v ELSE 0 END AS BIGINT) AS n_suffix,
         |  applied AS fim_applied
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q134: q99's filtered exact top-k (exhaustive probe) — the layout-
+    // lifted store must reproduce it bit-for-bit, and the cross-layout
+    // equality boolean must come back true
+    "q134_partitioned_layout" ->
+      """WITH q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings WHERE label < 3),
+        |s AS (SELECT q_id, n_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY sim DESC, n_id ASC) AS rank FROM s)
+        |SELECT q_id, n_id, CAST(rank AS INT) AS rank, sim,
+        |  true AS layout_invariant
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // q135: q133's coin replay plus the mode coin — SPM rearranges
+    // suffix-first; segment counts are mode-independent
+    "q135_fim_spm" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+        |    CAST('0x' || substr(md5('42:f:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS cf,
+        |    CAST('0x' || substr(md5('42:a:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ca,
+        |    CAST('0x' || substr(md5('42:b:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS cb,
+        |    CAST('0x' || substr(md5('42:m:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS cm
+        |  FROM t0),
+        |s AS (SELECT doc_id, ts, n, (cf % 2 = 0 AND n >= 2) AS applied,
+        |    LEAST(ca % (n + 1), cb % (n + 1)) AS u,
+        |    GREATEST(ca % (n + 1), cb % (n + 1)) AS v,
+        |    (cm % 2 = 0) AS spm FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN NOT applied THEN array_to_string(ts, ' ')
+        |    WHEN spm THEN array_to_string(
+        |      ['<suf>'] || ts[v+1:n] || ['<pre>'] || ts[1:u] || ['<mid>'] || ts[u+1:v], ' ')
+        |    ELSE array_to_string(
+        |      ['<pre>'] || ts[1:u] || ['<suf>'] || ts[v+1:n] || ['<mid>'] || ts[u+1:v], ' ')
+        |  END AS fim_text,
+        |  CAST(CASE WHEN applied THEN u ELSE n END AS BIGINT) AS n_prefix,
+        |  CAST(CASE WHEN applied THEN v - u ELSE 0 END AS BIGINT) AS n_middle,
+        |  CAST(CASE WHEN applied THEN n - v ELSE 0 END AS BIGINT) AS n_suffix,
+        |  applied AS fim_applied,
+        |  CASE WHEN NOT applied THEN 'none' WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q136: the q129 fingerprint chain with positions, islands merged at
+    // the maxGap + k step radius
+    "q136_winnow_spans" -> graft.expressions.OracleHashSql
+      .winnowSpans(k = 4, w = 5, minShared = 2, maxDocsPerHash = 100,
+        maxGap = 5)
   )
 }

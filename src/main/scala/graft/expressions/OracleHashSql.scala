@@ -195,9 +195,42 @@ object OracleHashSql {
        |FROM (SELECT * FROM no UNION ALL SELECT * FROM nn)
        |WHERE n_shared >= $minShared ORDER BY kind, id_a, id_b""".stripMargin
 
+  /** Oracle for [[graft.operators.Winnow.overlapSpans]]: pairs from the
+    * capped fingerprint self-join as in [[winnowOverlap]], then each
+    * side's matched positions (via the position-bearing `fpp` CTE) merged
+    * into maximal runs — new run iff the position step exceeds
+    * `maxGap + k` — with span bounds `[min pos, max pos + k - 1]`.
+    */
+  def winnowSpans(k: Int, w: Int, minShared: Long, maxDocsPerHash: Long,
+                  maxGap: Int): String =
+    s"""${winnowFpCtes(k, w, maxDocsPerHash)},
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minShared),
+       |ph AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h
+       |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       JOIN pr ON pr.id_a = a.doc_id AND pr.id_b = b.doc_id),
+       |mt AS (SELECT DISTINCT id_a, id_b, id_a AS doc, p.fpos AS pos
+       |       FROM ph JOIN fpp p ON p.doc_id = ph.id_a AND p.h = ph.h
+       |       UNION
+       |       SELECT DISTINCT id_a, id_b, id_b AS doc, p.fpos AS pos
+       |       FROM ph JOIN fpp p ON p.doc_id = ph.id_b AND p.h = ph.h),
+       |rn AS (SELECT *, CASE WHEN COALESCE(pos - lag(pos) OVER
+       |         (PARTITION BY id_a, id_b, doc ORDER BY pos),
+       |         ${maxGap + k + 1}) > ${maxGap + k}
+       |         THEN 1 ELSE 0 END AS nw FROM mt),
+       |ri AS (SELECT *, SUM(nw) OVER (PARTITION BY id_a, id_b, doc
+       |         ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM rn)
+       |SELECT id_a, id_b, doc, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_fp
+       |FROM ri GROUP BY id_a, id_b, doc, run
+       |ORDER BY id_a, id_b, doc, span_start""".stripMargin
+
   /** The shared fingerprint chain: token hashes → per-window FNV fold →
     * mix64 → winnow selection → degeneracy cap, ending in CTE
-    * `fp(doc_id, h)`.
+    * `fp(doc_id, h)` (and its position-bearing sibling
+    * `fpp(doc_id, h, fpos)`).
     */
   private def winnowFpCtes(k: Int, w: Int, maxDocsPerHash: Long): String = {
     val fnvp = "1099511628211" // 0x100000001B3, the gram-fold FNV prime
@@ -222,9 +255,12 @@ object OracleHashSql {
        |  CAST(v // 16777216 AS BIGINT) * 1048576 + (1048576 - pos) AS v FROM w4),
        |mn AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
        |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mv FROM venc),
-       |sel AS (SELECT DISTINCT doc_id, mv // 1048576 AS h FROM mn WHERE pos >= $w),
+       |selp AS (SELECT DISTINCT doc_id, mv // 1048576 AS h,
+       |         1048576 - mv % 1048576 AS fpos FROM mn WHERE pos >= $w),
+       |sel AS (SELECT DISTINCT doc_id, h FROM selp),
        |cap AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= $maxDocsPerHash),
-       |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h))""".stripMargin
+       |fp AS (SELECT doc_id, h FROM sel JOIN cap USING (h)),
+       |fpp AS (SELECT doc_id, h, fpos FROM selp JOIN cap USING (h))""".stripMargin
   }
 
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority

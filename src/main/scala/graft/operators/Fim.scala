@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * Applied to a hashed half of documents (the paper's 50% FIM rate);
   * the rest pass through in natural order, flagged.
   *
+  * [[splitMixed]] adds the paper's SPM variant — suffix first, then
+  * prefix, then middle (`<suf> S <pre> P <mid> M` in this string-level
+  * analogue) — drawn 50/50 among applied documents by one extra mode
+  * coin, the joint PSM+SPM training mixture the paper recommends over
+  * either mode alone.
+  *
   * Like [[SpanCorrupt]], every random draw is an md5 coin over
   * `(seed, doc)` — reproducible on any layout/retry, SQL-replayable to
   * the byte. Scale shape: pure per-row projections on the token array —
@@ -20,8 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Fim {
 
+  /** PSM-only split: `(id, fim_text, n_prefix, n_middle, n_suffix,
+    * fim_applied)`.
+    */
   def split(docs: DataFrame, idCol: String, textCol: String,
-            seed: Long = 42L): DataFrame = {
+            seed: Long = 42L): DataFrame =
+    assemble(docs, idCol, textCol, seed, withMode = false)
+
+  /** PSM/SPM mixture: [[split]]'s columns plus `fim_mode` ∈
+    * (`psm`, `spm`, `none`) — applied documents draw the mode from an
+    * independent coin, pass-throughs report `none`.
+    */
+  def splitMixed(docs: DataFrame, idCol: String, textCol: String,
+                 seed: Long = 42L): DataFrame =
+    assemble(docs, idCol, textCol, seed, withMode = true)
+
+  private def assemble(docs: DataFrame, idCol: String, textCol: String,
+                       seed: Long, withMode: Boolean): DataFrame = {
     val id = col(idCol)
     // 60-bit coins: the boundary draws are mod (n+1), and a narrow coin
     // would hard-truncate boundaries and bias the low positions for long
@@ -43,12 +64,24 @@ object Fim {
     val psm = array_join(flatten(array(
       array(lit("<pre>")), pre, array(lit("<suf>")), suf,
       array(lit("<mid>")), mid)), " ")
-    docs.select(id,
-      when(applied, psm).otherwise(array_join(toks, " ")).as("fim_text"),
+    val spm = array_join(flatten(array(
+      array(lit("<suf>")), suf, array(lit("<pre>")), pre,
+      array(lit("<mid>")), mid)), " ")
+    val mode =
+      if (!withMode) lit("psm")
+      else when(!applied, lit("none"))
+        .otherwise(when(coin("m") % 2 === 0, lit("spm")).otherwise(lit("psm")))
+    val rearranged = if (!withMode) psm
+      else when(mode === "spm", spm).otherwise(psm)
+    val base = Seq(
+      id,
+      when(applied, rearranged).otherwise(array_join(toks, " ")).as("fim_text"),
       when(applied, size(pre)).otherwise(n.cast("int")).cast("long")
         .as("n_prefix"),
       when(applied, size(mid)).otherwise(0).cast("long").as("n_middle"),
       when(applied, size(suf)).otherwise(0).cast("long").as("n_suffix"),
       applied.as("fim_applied"))
+    docs.select(
+      (if (withMode) base :+ mode.as("fim_mode") else base): _*)
   }
 }

@@ -36,6 +36,12 @@ object Winnow {
   /** Selected fingerprints `(id, pos, h)` — `pos` is the 1-based gram
     * position, `h` the 40-bit gram hash. Documents with fewer than
     * `k + w - 1` tokens (no full window) produce no rows.
+    *
+    * Position budget: grams past position 2²⁰ are dropped (the tie-break
+    * encoding reserves 20 bits for the position), so a >1M-token document
+    * loses fingerprint coverage for its tail. The bound is OBSERVABLE via
+    * [[truncationReport]] — run it alongside any corpus where megatoken
+    * documents (books, concatenated code files) are plausible.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 5): DataFrame = {
@@ -60,6 +66,22 @@ object Winnow {
       .select(col(idCol),
         (lit(PosBudget) - pmod(col("__v"), lit(PosBudget))).as("pos"),
         shiftright(col("__v"), 20).as("h")) // exact; Column./ is double
+  }
+
+  /** Which documents exceed the 2²⁰-gram position budget (and so carry
+    * un-fingerprinted tails): `(id, n_grams, truncated)`. Token-count
+    * arithmetic only — no gram pass — so it is free to run as the
+    * pre-flight audit next to [[fingerprints]]/[[write]]; route flagged
+    * documents through [[graft.operators.SubstringDedup]]-style chunking
+    * (or split them upstream) before trusting their overlap reports.
+    */
+  def truncationReport(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    docs.select(col(idCol).as("id"),
+        greatest(size(graft.functions.TextFunctions.tokens(col(textCol)))
+          - (k - 1), lit(0)).cast("long").as("n_grams"))
+      .withColumn("truncated", col("n_grams") > PosBudget - 1)
   }
 
   // ------------------------------------------------------------------
@@ -204,5 +226,62 @@ object Winnow {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Span-level overlap report — MOSS's actual deliverable, "WHERE do
+    * these two documents overlap", not just "that they do": for every
+    * pair passing `minShared`, the maximal matched token runs in EACH
+    * document. `(id_a, id_b, doc, span_start, span_end, n_fp)` — `doc`
+    * is one of the pair's ids, the span bounds are 1-based token
+    * positions (a fingerprint at gram position p covers tokens
+    * p .. p+k-1), `n_fp` the matched fingerprints merged into the run.
+    *
+    * Merge rule: consecutive matched positions join one run when they
+    * are at most `maxGap + k` apart (gap between covered intervals
+    * ≤ `maxGap`). The default `maxGap = w` is the theorem-backed choice:
+    * inside a truly shared region every w-gram window's minimum is
+    * selected in BOTH documents, so consecutive matched positions there
+    * are ≤ w apart and a genuine shared run can never split.
+    *
+    * Scale shape: everything after [[fingerprints]] is fingerprint- and
+    * pair-sized — the capped exchange on `h` feeds the pair join exactly
+    * as in [[overlap]], and the position join back keys on `(doc, h)`
+    * rows that never carry text.
+    */
+  def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 5, minShared: Long = 2,
+                   maxDocsPerHash: Long = 100,
+                   maxGap: Option[Int] = None): DataFrame = {
+    val gap = maxGap.getOrElse(w)
+    require(gap >= 0, s"maxGap >= 0: $gap")
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+    val fp = fps.select(col(idCol).as("id"), col("h")).distinct()
+    val bounded = Caps.capGroupSize(fp, maxDocsPerHash, "h")
+    val pairHash = bounded.select(col("h"), col("id").as("id_a"))
+      .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+    val pairs = pairHash.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared).select("id_a", "id_b")
+    val hits = pairHash.join(pairs, Seq("id_a", "id_b"), "left_semi")
+    val pos = fps.select(col(idCol).as("__doc"), col("pos"), col("h"))
+    // matched positions per (pair, side); distinct — one position can
+    // match through several hashes and one hash at several positions
+    def side(idSide: String) = hits
+      .join(pos.withColumnRenamed("__doc", idSide), Seq(idSide, "h"))
+      .select(col("id_a"), col("id_b"), col(idSide).as("doc"), col("pos"))
+    val matched = side("id_a").unionByName(side("id_b")).distinct()
+    val win = Window.partitionBy("id_a", "id_b", "doc").orderBy("pos")
+    matched
+      .withColumn("__new",
+        when(coalesce(col("pos") - lag("pos", 1).over(win),
+          lit(Long.MaxValue)) > gap + k, 1).otherwise(0))
+      .withColumn("__run", sum("__new").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id_a", "id_b", "doc", "__run")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_fp"))
+      .select("id_a", "id_b", "doc", "span_start", "span_end", "n_fp")
   }
 }

@@ -41,6 +41,45 @@ class FimSpec extends SparkSpec {
     assert(run(5L, docs) !== run(6L, docs))
   }
 
+  test("splitMixed: SPM rearrangement also tiles; both modes occur ~50/50") {
+    val many = (1L to 200L).map(i =>
+      (i, (1 to 30).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Fim.splitMixed(many, "doc_id", "text").collect()
+    val byMode = rows.groupBy(_.getString(6)).view.mapValues(_.length).toMap
+    // ~100 applied docs split by an independent fair coin: both modes
+    // present, neither below a quarter of the applied mass
+    assert(byMode.keySet === Set("psm", "spm", "none"), byMode)
+    val applied = byMode("psm") + byMode("spm")
+    assert(byMode("psm") > applied / 4 && byMode("spm") > applied / 4, byMode)
+    rows.foreach { r =>
+      val orig = (1 to 30).map(j => s"t${r.getLong(0)}_$j").mkString(" ")
+      r.getString(6) match {
+        case "psm" =>
+          val m = "<pre> ?(.*?) ?<suf> ?(.*?) ?<mid> ?(.*)".r
+          val m(p, s, mi) = r.getString(1)
+          assert(Seq(p, mi, s).filter(_.nonEmpty).mkString(" ") === orig)
+        case "spm" =>
+          val m = "<suf> ?(.*?) ?<pre> ?(.*?) ?<mid> ?(.*)".r
+          val m(s, p, mi) = r.getString(1)
+          assert(Seq(p, mi, s).filter(_.nonEmpty).mkString(" ") === orig,
+            s"doc ${r.getLong(0)}: P+M+S must tile the document")
+        case "none" =>
+          assert(r.getString(1) === orig)
+          assert(!r.getBoolean(5))
+      }
+    }
+    // the non-mode columns agree with split(): the mode coin only
+    // reorders segments, never moves the boundaries
+    val plain = Fim.split(many, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    rows.foreach { r =>
+      assert(plain(r.getLong(0)) ===
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    }
+  }
+
   test("single-token and empty docs pass through unapplied") {
     val edge = Seq((100L, "solo"), (101L, "")).toDF("doc_id", "text")
     Fim.split(edge, "doc_id", "text").collect().foreach { r =>

@@ -86,6 +86,70 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("overlapSpans localizes the planted passage on both sides") {
+    val r = new scala.util.Random(11)
+    val passage = words(new scala.util.Random(5), 60)
+    // doc 1 carries the passage at tokens 101-160, doc 2 at tokens 1-60
+    val docs = Seq(
+      (1L, words(r, 100) + " " + passage),
+      (2L, passage + " " + words(r, 150)),
+      (3L, words(r, 200))
+    ).toDF("doc_id", "text")
+    val spans = Winnow.overlapSpans(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    assert(spans.forall(s => (s._1, s._2) == ((1L, 2L))),
+      s"only the plagiarized pair may report spans: $spans")
+    // the theorem pins the bounds: first/last w-gram window fully inside
+    // the shared run has its min selected in BOTH docs, so the span
+    // starts within w grams of the run start and ends within w of its end
+    val s1 = spans.filter(_._3 == 1L); val s2 = spans.filter(_._3 == 2L)
+    assert(s1.size == 1 && s2.size == 1,
+      s"a genuine shared run must not split (gap <= w < maxGap + k): $spans")
+    assert(s1.head._4 >= 101L && s1.head._4 <= 105L, s1.toSeq)
+    assert(s1.head._5 >= 156L && s1.head._5 <= 160L, s1.toSeq)
+    assert(s2.head._4 >= 1L && s2.head._4 <= 5L, s2.toSeq)
+    assert(s2.head._5 >= 56L && s2.head._5 <= 60L, s2.toSeq)
+  }
+
+  test("overlapSpans merges nearby hits and splits distant ones") {
+    val r = new scala.util.Random(17)
+    val runA = words(new scala.util.Random(21), 30)
+    val runB = words(new scala.util.Random(22), 30)
+    // two shared runs separated by 120 unrelated tokens on each side —
+    // far beyond maxGap + k, so each pair side must report TWO spans
+    val docs = Seq(
+      (1L, runA + " " + words(r, 120) + " " + runB),
+      (2L, runA + " " + words(r, 120) + " " + runB)
+    ).toDF("doc_id", "text")
+    val spans = Winnow.overlapSpans(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 2)
+      .where(col("doc") === 1L).orderBy("span_start").collect()
+    assert(spans.length === 2, spans.toSeq)
+    assert(spans(0).getLong(4) <= 30L, "first span must end inside run A")
+    assert(spans(1).getLong(3) >= 151L, "second span must start inside run B")
+  }
+
+  test("truncationReport flags docs past the 2^20-gram position budget") {
+    val big = (1 to (1 << 20) + 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, words(new scala.util.Random(3), 500)))
+      .toDF("doc_id", "text")
+    val rep = Winnow.truncationReport(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep(1L)._2, s"megatoken doc must be flagged: $rep")
+    assert(rep(1L)._1 === ((1L << 20) + 100L - 3L))
+    assert(!rep(2L)._2)
+    // and fingerprints really does stop at the budget — the tail is
+    // dropped, not wrapped into colliding positions
+    val mx = Winnow.fingerprints(docs.where(col("doc_id") === 1L),
+        "doc_id", "text").agg(max("pos"), count(lit(1))).head()
+    assert(mx.getLong(0) <= (1L << 20) - 1L)
+    assert(mx.getLong(1) > 0L)
+  }
+
   test("store: write/append/replay/compact answers like the one-shot path") {
     val r = new scala.util.Random(23)
     val passage = words(new scala.util.Random(41), 60)
