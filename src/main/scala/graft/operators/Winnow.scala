@@ -244,9 +244,14 @@ object Winnow {
     * are ≤ w apart and a genuine shared run can never split.
     *
     * Scale shape: everything after [[fingerprints]] is fingerprint- and
-    * pair-sized — the capped exchange on `h` feeds the pair join exactly
-    * as in [[overlap]], and the position join back keys on `(doc, h)`
-    * rows that never carry text.
+    * pair-sized, and the gram-hash pass runs ONCE: positions ride the
+    * capped exchange as per-(doc, hash) arrays (a groupBy in place of
+    * [[overlap]]'s distinct — same exchange, rows stay (id, h)-unique so
+    * the window count per h is still the distinct-doc count), so both
+    * self-join sides and the position explode reuse the one subtree
+    * instead of re-fingerprinting the corpus per plan position (the
+    * note-57 lesson). Array sizes are within-doc — bounded by the gram
+    * budget, and in practice by q59-style repetition filtering upstream.
     */
   def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 5, minShared: Long = 2,
@@ -254,23 +259,36 @@ object Winnow {
                    maxGap: Option[Int] = None): DataFrame = {
     val gap = maxGap.getOrElse(w)
     require(gap >= 0, s"maxGap >= 0: $gap")
-    val fps = fingerprints(docs, idCol, textCol, k, w)
-    val fp = fps.select(col(idCol).as("id"), col("h")).distinct()
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol).as("id"), col("h"))
+      .agg(collect_list(col("pos")).as("ps"))
     val bounded = Caps.capGroupSize(fp, maxDocsPerHash, "h")
-    val pairHash = bounded.select(col("h"), col("id").as("id_a"))
-      .join(bounded.select(col("h"), col("id").as("id_b")), Seq("h"))
+    val pairHash = bounded
+      .select(col("h"), col("id").as("id_a"), col("ps").as("ps_a"))
+      .join(bounded.select(col("h"), col("id").as("id_b"),
+        col("ps").as("ps_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
-    val pairs = pairHash.groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared).select("id_a", "id_b")
-    val hits = pairHash.join(pairs, Seq("id_a", "id_b"), "left_semi")
-    val pos = fps.select(col(idCol).as("__doc"), col("pos"), col("h"))
-    // matched positions per (pair, side); distinct — one position can
-    // match through several hashes and one hash at several positions
-    def side(idSide: String) = hits
-      .join(pos.withColumnRenamed("__doc", idSide), Seq(idSide, "h"))
-      .select(col("id_a"), col("id_b"), col(idSide).as("doc"), col("pos"))
-    val matched = side("id_a").unionByName(side("id_b")).distinct()
+    // the minShared gate is a window count riding the pair exchange (the
+    // note-57 shape one level up): a semi-join against a separately
+    // aggregated pair frame re-plans the whole fingerprint subtree under
+    // DIVERGENT column pruning (the count branch drops the position
+    // arrays), which defeats exchange reuse — measured 8 gram passes vs
+    // this plan's 1+reuse
+    val gated = pairHash.withColumn("__ns",
+        count(lit(1)).over(Window.partitionBy("id_a", "id_b")))
+      .where(col("__ns") >= minShared)
+    // matched positions per (pair, side), both sides exploded in ONE
+    // pass; distinct — one position can match through several hashes and
+    // one hash at several positions
+    val matched = gated.select(col("id_a"), col("id_b"),
+        explode(concat(
+          transform(col("ps_a"),
+            p => struct(col("id_a").as("doc"), p.as("pos"))),
+          transform(col("ps_b"),
+            p => struct(col("id_b").as("doc"), p.as("pos"))))).as("e"))
+      .select(col("id_a"), col("id_b"),
+        col("e.doc").as("doc"), col("e.pos").as("pos"))
+      .distinct()
     val win = Window.partitionBy("id_a", "id_b", "doc").orderBy("pos")
     matched
       .withColumn("__new",
