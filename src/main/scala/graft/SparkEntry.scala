@@ -2476,6 +2476,25 @@ object SparkEntry {
       operators.Winnow.overlapSpans(t(s, dir, "documents"), "doc_id",
           "text", k = 4, w = 5, minShared = 2, maxDocsPerHash = 100)
         .orderBy("id_a", "id_b", "doc", "span_start")
+    }),
+
+    // --- incremental span-level overlap against the persisted winnow
+    // store (q136's report at q132's granularity — the decontamination
+    // deliverable "cut THESE regions of the incoming doc"): the store
+    // carries only (id, h), so new_old pairs localize on the batch side,
+    // new_new pairs on both; cap counts batch+store docs together.
+    // Hash-exact vs the one-shot SQL chain split batch-vs-rest ---
+    "q137_winnow_spans_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = cachedIndexDir(s, dir, "documents", "winnow_spans_store")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/params/_SUCCESS")))
+        operators.Winnow.write(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", path)
+      operators.Winnow.overlapSpansAgainst(operators.Winnow.open(s, path),
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("kind", "id_a", "id_b", "doc", "span_start")
     })
   )
 
@@ -4488,6 +4507,12 @@ object SparkEntry {
     // the maxGap + k step radius
     "q136_winnow_spans" -> graft.expressions.OracleHashSql
       .winnowSpans(k = 4, w = 5, minShared = 2, maxDocsPerHash = 100,
-        maxGap = 5)
+        maxGap = 5),
+
+    // q137: the incremental split of the same chain — batch-side spans
+    // for new_old (the store holds no positions), both sides for new_new
+    "q137_winnow_spans_incr" -> graft.expressions.OracleHashSql
+      .winnowSpansIncremental(k = 4, w = 5, minShared = 2,
+        maxDocsPerHash = 100, maxGap = 5)
   )
 }

@@ -227,6 +227,47 @@ object OracleHashSql {
        |FROM ri GROUP BY id_a, id_b, doc, run
        |ORDER BY id_a, id_b, doc, span_start""".stripMargin
 
+  /** Oracle for [[graft.operators.Winnow.overlapSpansAgainst]] with the
+    * q77 split convention (batch = `doc_id % 5 = 0`, store = the rest):
+    * pair kinds as in [[winnowIncremental]], spans merged as in
+    * [[winnowSpans]] — on the batch side only for `new_old` pairs (the
+    * store carries no positions), on both sides for `new_new`.
+    */
+  def winnowSpansIncremental(k: Int, w: Int, minShared: Long,
+                             maxDocsPerHash: Long, maxGap: Int): String =
+    s"""${winnowFpCtes(k, w, maxDocsPerHash)},
+       |nf AS (SELECT doc_id, h FROM fp WHERE doc_id % 5 = 0),
+       |obf AS (SELECT doc_id, h FROM fp WHERE doc_id % 5 <> 0),
+       |phNO AS (SELECT nf.doc_id AS id_a, obf.doc_id AS id_b, nf.h
+       |        FROM nf JOIN obf ON nf.h = obf.h),
+       |phNN AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h
+       |        FROM nf a JOIN nf b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |prNO AS (SELECT id_a, id_b FROM phNO GROUP BY 1, 2 HAVING COUNT(*) >= $minShared),
+       |prNN AS (SELECT id_a, id_b FROM phNN GROUP BY 1, 2 HAVING COUNT(*) >= $minShared),
+       |mt AS (
+       |  SELECT DISTINCT ph.id_a, ph.id_b, 'new_old' AS kind, ph.id_a AS doc, p.fpos AS pos
+       |  FROM phNO ph JOIN prNO pr ON pr.id_a = ph.id_a AND pr.id_b = ph.id_b
+       |  JOIN fpp p ON p.doc_id = ph.id_a AND p.h = ph.h
+       |  UNION
+       |  SELECT DISTINCT ph.id_a, ph.id_b, 'new_new' AS kind, ph.id_a AS doc, p.fpos AS pos
+       |  FROM phNN ph JOIN prNN pr ON pr.id_a = ph.id_a AND pr.id_b = ph.id_b
+       |  JOIN fpp p ON p.doc_id = ph.id_a AND p.h = ph.h
+       |  UNION
+       |  SELECT DISTINCT ph.id_a, ph.id_b, 'new_new' AS kind, ph.id_b AS doc, p.fpos AS pos
+       |  FROM phNN ph JOIN prNN pr ON pr.id_a = ph.id_a AND pr.id_b = ph.id_b
+       |  JOIN fpp p ON p.doc_id = ph.id_b AND p.h = ph.h),
+       |rn AS (SELECT *, CASE WHEN COALESCE(pos - lag(pos) OVER
+       |         (PARTITION BY id_a, id_b, kind, doc ORDER BY pos),
+       |         ${maxGap + k + 1}) > ${maxGap + k}
+       |         THEN 1 ELSE 0 END AS nw FROM mt),
+       |ri AS (SELECT *, SUM(nw) OVER (PARTITION BY id_a, id_b, kind, doc
+       |         ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM rn)
+       |SELECT id_a, id_b, kind, doc, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_fp
+       |FROM ri GROUP BY id_a, id_b, kind, doc, run
+       |ORDER BY kind, id_a, id_b, doc, span_start""".stripMargin
+
   /** The shared fingerprint chain: token hashes → per-window FNV fold →
     * mix64 → winnow selection → degeneracy cap, ending in CTE
     * `fp(doc_id, h)` (and its position-bearing sibling

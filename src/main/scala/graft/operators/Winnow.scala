@@ -228,6 +228,76 @@ object Winnow {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[overlapSpans]] against a persisted store — incremental span-level
+    * triage: for each batch-vs-store (`new_old`) and batch-vs-batch
+    * (`new_new`) pair passing `minShared`, the maximal matched runs in
+    * the BATCH document(s). `(id_a, id_b, kind, doc, span_start,
+    * span_end, n_fp)` — the store keeps only `(id, h)` rows (no
+    * positions, deliberately: they would triple the store for a report
+    * the ingest side can always localize), so `new_old` pairs report the
+    * new document's spans — exactly the decontamination deliverable
+    * ("cut THESE regions of the incoming doc"), while `new_new` pairs
+    * report both sides like [[overlapSpans]]. Re-submitted ids follow
+    * [[overlapAgainst]]'s exclusion rule; the degeneracy cap counts
+    * batch and store documents together, identically.
+    */
+  def overlapSpansAgainst(index: Index, batch: DataFrame, idCol: String,
+                          textCol: String, minShared: Long = 2,
+                          maxDocsPerHash: Long = 100,
+                          maxGap: Option[Int] = None): DataFrame = {
+    val gap = maxGap.getOrElse(index.w)
+    require(gap >= 0, s"maxGap >= 0: $gap")
+    val nbP = fingerprints(batch, idCol, textCol, index.k, index.w)
+      .groupBy(col(idCol).as("id"), col("h"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val nb = nbP.withColumn("is_new", lit(true))
+    val ob = index.fps.select(col("id"), col("h")).distinct()
+      .join(nbP.select("id").distinct(), Seq("id"), "left_anti")
+      .withColumn("ps", array().cast("array<long>"))
+      .withColumn("is_new", lit(false))
+    val bounded = Caps.capGroupSize(
+      nb.unionByName(ob.select("id", "h", "ps", "is_new")),
+      maxDocsPerHash, "h")
+    val n = bounded.where(col("is_new"))
+      .select(col("h"), col("id").as("id_a"), col("ps").as("ps_a"))
+    val o = bounded.where(!col("is_new"))
+      .select(col("h"), col("id").as("id_b"), col("ps").as("ps_b"))
+    val pairHash = n.join(o, Seq("h")).withColumn("kind", lit("new_old"))
+      .unionByName(
+        n.join(n.select(col("h"), col("id_a").as("id_b"),
+          col("ps_a").as("ps_b")), Seq("h"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("kind", lit("new_new")))
+    // window-gated minShared + single-pass both-side explode — the same
+    // reuse-preserving shape as [[overlapSpans]] (ps_b is empty for
+    // store rows, so new_old pairs contribute batch positions only)
+    val gated = pairHash.withColumn("__ns",
+        count(lit(1)).over(Window.partitionBy("id_a", "id_b", "kind")))
+      .where(col("__ns") >= minShared)
+    val matched = gated.select(col("id_a"), col("id_b"), col("kind"),
+        explode(concat(
+          transform(col("ps_a"),
+            p => struct(col("id_a").as("doc"), p.as("pos"))),
+          transform(col("ps_b"),
+            p => struct(col("id_b").as("doc"), p.as("pos"))))).as("e"))
+      .select(col("id_a"), col("id_b"), col("kind"),
+        col("e.doc").as("doc"), col("e.pos").as("pos"))
+      .distinct()
+    val win = Window.partitionBy("id_a", "id_b", "kind", "doc").orderBy("pos")
+    matched
+      .withColumn("__new",
+        when(coalesce(col("pos") - lag("pos", 1).over(win),
+          lit(Long.MaxValue)) > gap + index.k, 1).otherwise(0))
+      .withColumn("__run", sum("__new").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id_a", "id_b", "kind", "doc", "__run")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (index.k - 1)).as("span_end"),
+        count(lit(1)).as("n_fp"))
+      .select("id_a", "id_b", "kind", "doc", "span_start", "span_end",
+        "n_fp")
+  }
+
   /** Span-level overlap report — MOSS's actual deliverable, "WHERE do
     * these two documents overlap", not just "that they do": for every
     * pair passing `minShared`, the maximal matched token runs in EACH

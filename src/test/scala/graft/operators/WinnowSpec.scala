@@ -132,6 +132,40 @@ class WinnowSpec extends SparkSpec {
     assert(spans(1).getLong(3) >= 151L, "second span must start inside run B")
   }
 
+  test("overlapSpansAgainst localizes on the batch side only") {
+    val r = new scala.util.Random(43)
+    val passage = words(new scala.util.Random(9), 60)
+    val old = Seq(
+      (1L, words(r, 80) + " " + passage),
+      (2L, words(r, 120))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winspans").toString
+    Winnow.write(old, "doc_id", "text", dir)
+    // two batch docs share the passage with each other AND with store
+    // doc 1; batch doc 100 carries it at tokens 51-110
+    val batch = Seq(
+      (100L, words(r, 50) + " " + passage),
+      (101L, passage + " " + words(r, 90))
+    ).toDF("doc_id", "text")
+    val spans = Winnow.overlapSpansAgainst(Winnow.open(spark, dir), batch,
+        "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    // every reported doc is a batch doc — the store side has no positions
+    assert(spans.forall(s => s._4 >= 100L), spans)
+    // new_old: batch 100 vs store 1, span inside the planted region
+    val no100 = spans.filter(s => s._1 == 100L && s._2 == 1L &&
+      s._3 == "new_old")
+    assert(no100.size == 1, spans)
+    assert(no100.head._5 >= 51L && no100.head._5 <= 55L, no100)
+    assert(no100.head._6 >= 106L && no100.head._6 <= 110L, no100)
+    // new_new: pair (100, 101) reports BOTH batch sides
+    val nn = spans.filter(_._3 == "new_new")
+    assert(nn.map(_._4).toSet === Set(100L, 101L), spans)
+    // nothing pairs with the passage-free docs
+    assert(!spans.exists(s => s._2 == 2L || s._1 == 101L && s._2 == 2L))
+  }
+
   test("truncationReport flags docs past the 2^20-gram position budget") {
     val big = (1 to (1 << 20) + 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, big), (2L, words(new scala.util.Random(3), 500)))
