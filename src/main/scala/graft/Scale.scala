@@ -589,6 +589,11 @@ object ScaleWin {
         ScaleConsume(Winnow.fingerprints(d, "doc_id", "text")))
       run(s"win_overlap_${tag}_r$round")(
         ScaleConsume(Winnow.overlap(d, "doc_id", "text")))
+      // r14: the span report must stay fingerprint-sized too — the
+      // position explode happens AFTER the minShared gate, so only
+      // passing pairs pay it
+      run(s"win_spans_${tag}_r$round")(
+        ScaleConsume(Winnow.overlapSpans(d, "doc_id", "text")))
     }
     spark.stop()
   }
