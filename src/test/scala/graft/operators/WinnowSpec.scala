@@ -166,6 +166,48 @@ class WinnowSpec extends SparkSpec {
     assert(!spans.exists(s => s._2 == 2L || s._1 == 101L && s._2 == 2L))
   }
 
+  test("overlapSpansAgainst equals the one-shot report, reoriented (fuzz)") {
+    // incremental-vs-one-shot equivalence on a random corpus: splitting
+    // the docs into store + batch must reproduce overlapSpans(all) for
+    // every pair touching the batch — new_new rows verbatim, new_old
+    // rows restricted to the batch side and reoriented batch-first
+    val r = new scala.util.Random(777)
+    val passages = (0 until 4).map(i => words(new scala.util.Random(100 + i), 50))
+    val docs = (1L to 24L).map { id =>
+      val base = words(r, 60 + r.nextInt(120))
+      val text = if (r.nextDouble() < 0.6) {
+        val toks = base.split(" ")
+        val cut = r.nextInt(toks.length)
+        (toks.take(cut) :+ passages(r.nextInt(passages.length)))
+          .++(toks.drop(cut)).mkString(" ")
+      } else base
+      (id, text)
+    }
+    val all = docs.toDF("doc_id", "text")
+    val isNew = (id: Long) => id % 3 == 0
+    val dir = java.nio.file.Files.createTempDirectory("winfuzz").toString
+    Winnow.write(all.where(col("doc_id") % 3 =!= 0), "doc_id", "text", dir)
+    val inc = Winnow.overlapSpansAgainst(Winnow.open(spark, dir),
+        all.where(col("doc_id") % 3 === 0), "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toSet
+    val expected = Winnow.overlapSpans(all, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+      .flatMap { case (a, b, doc, s0, e0, n) =>
+        (isNew(a), isNew(b)) match {
+          case (true, true) => Some((a, b, "new_new", doc, s0, e0, n))
+          case (true, false) if doc == a => Some((a, b, "new_old", doc, s0, e0, n))
+          case (false, true) if doc == b => Some((b, a, "new_old", doc, s0, e0, n))
+          case _ => None
+        }
+      }.toSet
+    assert(expected.nonEmpty, "fuzz corpus produced no overlapping pairs")
+    assert(expected.exists(_._3 == "new_old") &&
+      expected.exists(_._3 == "new_new"), expected)
+    assert(inc === expected)
+  }
+
   test("truncationReport flags docs past the 2^20-gram position budget") {
     val big = (1 to (1 << 20) + 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, big), (2L, words(new scala.util.Random(3), 500)))
