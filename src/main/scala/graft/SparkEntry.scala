@@ -2451,9 +2451,14 @@ object SparkEntry {
           filter = Some(col("label") < 3))
         .select("q_id", "n_id", "rank", "sim").orderBy("q_id", "rank")
       val viaLifted = run(lifted)
-      // bounded collect: 8 queries x k = 5 rows per layout
-      val invariant = viaLifted.collect().toSeq == run(plain).collect().toSeq
-      viaLifted.withColumn("layout_invariant", lit(invariant))
+      // bounded collect: 8 queries x k = 5 rows per layout; the result
+      // frame is rebuilt from the collected rows so the lifted query
+      // path executes once, not once per downstream consumer
+      val liftedRows = viaLifted.collect()
+      val invariant = liftedRows.toSeq == run(plain).collect().toSeq
+      s.createDataFrame(java.util.Arrays.asList(liftedRows: _*),
+          viaLifted.schema)
+        .withColumn("layout_invariant", lit(invariant))
     }),
 
     // --- FIM with the PSM/SPM mode mixture (Bavarian 2022 trains on

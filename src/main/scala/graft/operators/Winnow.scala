@@ -182,9 +182,15 @@ object Winnow {
     val all = nb.unionByName(
       // distinct: store rows are (id, h)-unique per batch, but a doc
       // re-ingested under a second batch_id (before compactTo) holds
-      // duplicate rows — a raw count would inflate n_shared and the cap
+      // duplicate rows — a raw count would inflate n_shared and the cap.
+      // The exclusion set is the SUBMITTED ids, not the fingerprinted
+      // ones: a re-submitted doc now shorter than k+w-1 tokens emits no
+      // fingerprints, but its stored copy must still leave the store
+      // side (and deriving from `batch` spares a second gram-hash pass
+      // the divergently-pruned nbRows reference would force)
       index.fps.select(col("id"), col("h")).distinct()
-        .join(nbRows.select("id").distinct(), Seq("id"), "left_anti")
+        .join(batch.select(col(idCol).as("id")).distinct(),
+          Seq("id"), "left_anti")
         .withColumn("is_new", lit(false)))
     // window-count cap on the shared exchange — see [[overlap]]; each
     // side's rows are distinct (id, h), so at the gate's disjoint
@@ -251,8 +257,10 @@ object Winnow {
       .groupBy(col(idCol).as("id"), col("h"))
       .agg(collect_list(col("pos")).as("ps"))
     val nb = nbP.withColumn("is_new", lit(true))
+    // exclusion by SUBMITTED ids, as in [[overlapAgainst]]
     val ob = index.fps.select(col("id"), col("h")).distinct()
-      .join(nbP.select("id").distinct(), Seq("id"), "left_anti")
+      .join(batch.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_anti")
       .withColumn("ps", array().cast("array<long>"))
       .withColumn("is_new", lit(false))
     val bounded = Caps.capGroupSize(
@@ -262,40 +270,53 @@ object Winnow {
       .select(col("h"), col("id").as("id_a"), col("ps").as("ps_a"))
     val o = bounded.where(!col("is_new"))
       .select(col("h"), col("id").as("id_b"), col("ps").as("ps_b"))
+    // ps_b is empty for store rows, so new_old pairs contribute batch
+    // positions only
     val pairHash = n.join(o, Seq("h")).withColumn("kind", lit("new_old"))
       .unionByName(
         n.join(n.select(col("h"), col("id_a").as("id_b"),
           col("ps_a").as("ps_b")), Seq("h"))
           .where(col("id_a") < col("id_b"))
           .withColumn("kind", lit("new_new")))
-    // window-gated minShared + single-pass both-side explode — the same
-    // reuse-preserving shape as [[overlapSpans]] (ps_b is empty for
-    // store rows, so new_old pairs contribute batch positions only)
+    spanReport(pairHash, Seq("id_a", "id_b", "kind"), minShared, gap,
+      index.k)
+  }
+
+  /** Shared tail of the span reports: window-gated `minShared` on the
+    * pair frame (`partCols` + `ps_a`/`ps_b` position arrays keyed by
+    * `id_a`/`id_b`), single-pass both-side explode, lag/running-sum
+    * island merge at radius `gap + k`, span aggregation. See
+    * [[overlapSpans]] for why the gate is a window count and the merge
+    * radius is theorem-backed.
+    */
+  private def spanReport(pairHash: DataFrame, partCols: Seq[String],
+                         minShared: Long, gap: Int, k: Int): DataFrame = {
     val gated = pairHash.withColumn("__ns",
-        count(lit(1)).over(Window.partitionBy("id_a", "id_b", "kind")))
+        count(lit(1)).over(Window.partitionBy(partCols.map(col): _*)))
       .where(col("__ns") >= minShared)
-    val matched = gated.select(col("id_a"), col("id_b"), col("kind"),
+    val matched = gated.select(partCols.map(col) :+
         explode(concat(
           transform(col("ps_a"),
             p => struct(col("id_a").as("doc"), p.as("pos"))),
           transform(col("ps_b"),
-            p => struct(col("id_b").as("doc"), p.as("pos"))))).as("e"))
-      .select(col("id_a"), col("id_b"), col("kind"),
-        col("e.doc").as("doc"), col("e.pos").as("pos"))
+            p => struct(col("id_b").as("doc"), p.as("pos"))))).as("e"): _*)
+      .select(partCols.map(col) :+ col("e.doc").as("doc") :+
+        col("e.pos").as("pos"): _*)
       .distinct()
-    val win = Window.partitionBy("id_a", "id_b", "kind", "doc").orderBy("pos")
+    val win = Window.partitionBy((partCols :+ "doc").map(col): _*)
+      .orderBy("pos")
     matched
       .withColumn("__new",
         when(coalesce(col("pos") - lag("pos", 1).over(win),
-          lit(Long.MaxValue)) > gap + index.k, 1).otherwise(0))
+          lit(Long.MaxValue)) > gap + k, 1).otherwise(0))
       .withColumn("__run", sum("__new").over(
         win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("id_a", "id_b", "kind", "doc", "__run")
+      .groupBy((partCols ++ Seq("doc", "__run")).map(col): _*)
       .agg(min("pos").as("span_start"),
-        (max("pos") + (index.k - 1)).as("span_end"),
+        (max("pos") + (k - 1)).as("span_end"),
         count(lit(1)).as("n_fp"))
-      .select("id_a", "id_b", "kind", "doc", "span_start", "span_end",
-        "n_fp")
+      .select((partCols ++ Seq("doc", "span_start", "span_end",
+        "n_fp")).map(col): _*)
   }
 
   /** Span-level overlap report — MOSS's actual deliverable, "WHERE do
@@ -338,38 +359,14 @@ object Winnow {
       .join(bounded.select(col("h"), col("id").as("id_b"),
         col("ps").as("ps_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
-    // the minShared gate is a window count riding the pair exchange (the
-    // note-57 shape one level up): a semi-join against a separately
-    // aggregated pair frame re-plans the whole fingerprint subtree under
-    // DIVERGENT column pruning (the count branch drops the position
-    // arrays), which defeats exchange reuse — measured 8 gram passes vs
-    // this plan's 1+reuse
-    val gated = pairHash.withColumn("__ns",
-        count(lit(1)).over(Window.partitionBy("id_a", "id_b")))
-      .where(col("__ns") >= minShared)
-    // matched positions per (pair, side), both sides exploded in ONE
-    // pass; distinct — one position can match through several hashes and
-    // one hash at several positions
-    val matched = gated.select(col("id_a"), col("id_b"),
-        explode(concat(
-          transform(col("ps_a"),
-            p => struct(col("id_a").as("doc"), p.as("pos"))),
-          transform(col("ps_b"),
-            p => struct(col("id_b").as("doc"), p.as("pos"))))).as("e"))
-      .select(col("id_a"), col("id_b"),
-        col("e.doc").as("doc"), col("e.pos").as("pos"))
-      .distinct()
-    val win = Window.partitionBy("id_a", "id_b", "doc").orderBy("pos")
-    matched
-      .withColumn("__new",
-        when(coalesce(col("pos") - lag("pos", 1).over(win),
-          lit(Long.MaxValue)) > gap + k, 1).otherwise(0))
-      .withColumn("__run", sum("__new").over(
-        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("id_a", "id_b", "doc", "__run")
-      .agg(min("pos").as("span_start"),
-        (max("pos") + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_fp"))
-      .select("id_a", "id_b", "doc", "span_start", "span_end", "n_fp")
+    // the minShared gate inside [[spanReport]] is a window count riding
+    // the pair exchange (the note-57 shape one level up): a semi-join
+    // against a separately aggregated pair frame re-plans the whole
+    // fingerprint subtree under DIVERGENT column pruning (the count
+    // branch drops the position arrays), which defeats exchange reuse —
+    // measured 8 gram passes vs this plan's 1+reuse. Matched positions
+    // are distinct'd per (pair, side) — one position can match through
+    // several hashes and one hash at several positions.
+    spanReport(pairHash, Seq("id_a", "id_b"), minShared, gap, k)
   }
 }

@@ -283,6 +283,33 @@ class WinnowSpec extends SparkSpec {
       s"overlap between re-submitted and new doc missing: $got")
   }
 
+  test("re-submission shorter than a gram still evicts the stored copy") {
+    // a doc redacted below k+w-1 tokens emits NO fingerprints — the
+    // exclusion must key on submitted ids, not fingerprinted ids, or the
+    // stale stored fingerprints keep accusing other batch docs
+    val r = new scala.util.Random(77)
+    val passage = words(new scala.util.Random(5), 60)
+    val old = Seq((1L, words(r, 50) + " " + passage), (2L, words(r, 90)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winshort").toString
+    Winnow.write(old, "doc_id", "text", dir)
+    // doc 1 redacted to 3 tokens; doc 60 shares the passage with doc 1's
+    // STALE stored copy only
+    val batch = Seq((1L, "a b c"), (60L, passage + " " + words(r, 40)))
+      .toDF("doc_id", "text")
+    val idx = Winnow.open(spark, dir)
+    val pairs = Winnow.overlapAgainst(idx, batch, "doc_id", "text",
+        minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(!pairs.contains((60L, 1L)),
+      s"stale store copy of the redacted doc still reported: $pairs")
+    val spans = Winnow.overlapSpansAgainst(idx, batch, "doc_id", "text",
+        minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(!spans.contains((60L, 1L)),
+      s"stale store copy in the span report: $spans")
+  }
+
   test("deterministic under repartition") {
     val r = new scala.util.Random(13)
     val docs = (1 to 10).map(i => (i.toLong, words(r, 200)))
