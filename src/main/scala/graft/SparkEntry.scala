@@ -4040,7 +4040,8 @@ object SparkEntry {
     // WITH dup spans rebuild from the surviving tokens (possibly empty),
     // docs without keep their original text byte-for-byte
     "q112_substring_removal" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts,
+        |              regexp_extract_all(text, '\S+') AS tr FROM documents),
         |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
         |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
         |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
@@ -4049,7 +4050,7 @@ object SparkEntry {
         |has AS (SELECT DISTINCT doc_id FROM dw),
         |covpos AS (SELECT DISTINCT doc_id, p FROM dw,
         |           UNNEST(generate_series(i, i + 7)) AS v(p)),
-        |pos AS (SELECT tok.doc_id, u.i AS p, ts[u.i] AS tk
+        |pos AS (SELECT tok.doc_id, u.i AS p, tr[u.i] AS tk
         |        FROM tok JOIN has USING (doc_id),
         |             UNNEST(generate_series(1, len(ts))) AS u(i)),
         |kept AS (SELECT pos.doc_id, string_agg(tk, ' ' ORDER BY p) AS txt
@@ -4184,7 +4185,8 @@ object SparkEntry {
 
     // q117: q112's cleaned-text reconstruction restricted to the increment
     "q117_incremental_clean" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts,
+        |              regexp_extract_all(text, '\S+') AS tr FROM documents),
         |w AS (SELECT doc_id, i, ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
         |        ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
         |      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS u(i) WHERE len(ts) >= 8),
@@ -4193,7 +4195,7 @@ object SparkEntry {
         |has AS (SELECT DISTINCT doc_id FROM dw),
         |covpos AS (SELECT DISTINCT doc_id, p FROM dw,
         |           UNNEST(generate_series(i, i + 7)) AS v(p)),
-        |pos AS (SELECT tok.doc_id, u.i AS p, ts[u.i] AS tk
+        |pos AS (SELECT tok.doc_id, u.i AS p, tr[u.i] AS tk
         |        FROM tok JOIN has USING (doc_id),
         |             UNNEST(generate_series(1, len(ts))) AS u(i)),
         |kept AS (SELECT pos.doc_id, string_agg(tk, ' ' ORDER BY p) AS txt

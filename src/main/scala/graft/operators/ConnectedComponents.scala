@@ -35,8 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @return (id, component) — component = min vertex id reachable.
-    *         Vertices absent from `edges` keep their own id.
+  /** @return (id, component) — component = min vertex id reachable, one
+    *         row per `vertices` row. Vertices absent from `edges` keep
+    *         their own id. Edge endpoints absent from `vertices` still
+    *         conduct connectivity (and count as reachable ids for the
+    *         label) but emit no output row.
     */
   def components(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                  idCol: String, aCol: String, bCol: String,
@@ -85,9 +88,22 @@ object ConnectedComponents {
     val (sym, symDirs) = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    // edge endpoints ABSENT from `vertices` must still conduct: without
+    // them, components connected only through an absent intermediate
+    // silently never merge (the left join from labels drops the
+    // intermediate's neighborMin row). They propagate with in_v = false
+    // and are filtered from the result, so the one-row-per-vertex output
+    // contract holds — but their ids count as reachable, so an absent id
+    // can be the component label (min REACHABLE id, as documented)
+    val vIds = vertices.select(col(idCol).as("id"))
+    val absent = edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id"))).distinct()
+      .join(vIds, Seq("id"), "left_anti")
     var (labels, labelDirs) = materialize(
-      vertices.select(col(idCol).as("id"), col(idCol).as("lbl"),
-        lit(true).as("changed")))
+      vIds.withColumn("in_v", lit(true))
+        .unionByName(absent.withColumn("in_v", lit(false)))
+        .select(col("id"), col("id").as("lbl"), lit(true).as("changed"),
+          col("in_v")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -99,7 +115,7 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("lbl"))
         .groupBy("id").agg(min("lbl").as("nmin"))
       val stepped = labels.drop("changed").join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("old"),
+        .select(col("id"), col("in_v"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // pointer jump: my new label is a vertex id — adopt THAT vertex's
       // label too (always <= mine). Reach doubles per round, so a chain of
@@ -109,13 +125,13 @@ object ConnectedComponents {
         else {
           val byId = stepped.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
           stepped.join(byId, stepped("lbl") === byId("j_id"), "left")
-            .select(stepped("id"), col("old"),
+            .select(stepped("id"), stepped("in_v"), col("old"),
               least(stepped("lbl"), coalesce(col("j_lbl"), stepped("lbl"))).as("lbl"))
         }
       // carry a changed flag so convergence is a scan of the materialized
       // round, not another join against the previous labels
       val (next, nextDirs) = materialize(jumped.select(col("id"), col("lbl"),
-        (col("lbl") < col("old")).as("changed")))
+        (col("lbl") < col("old")).as("changed"), col("in_v")))
       converged = next.where(col("changed")).limit(1).isEmpty
       labels.unpersist()
       // next is durably materialized from its own files — the previous
@@ -132,7 +148,8 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it)")
-    val result = labels.select(col("id").as(idCol), col("lbl").as("component"))
+    val result = labels.where(col("in_v"))
+      .select(col("id").as(idCol), col("lbl").as("component"))
     runDir match {
       case Some(d) =>
         // hand the caller a result backed by ONE well-known path instead of

@@ -368,7 +368,12 @@ object SubstringDedup {
     // non-empty by the merge invariant (a new island starts only past
     // prevEnd + 1); the boundary gaps collapse to length 0 via greatest.
     df.join(islands, Seq(idCol), "left")
-      .withColumn("__toks", tokens(col(textCol)))
+      // rebuild from CASE-PRESERVING tokens: `tokens` lowercases for
+      // locale-free gram matching, but reassembly must not destroy the
+      // surviving text's case (lowercasing never creates or removes
+      // whitespace, so positions align with the match-side tokens)
+      .withColumn("__toks",
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
       .withColumn(textCol,
         when(col("__ivs").isNull, col(textCol)).otherwise(concat_ws(" ",
           flatten(zip_with(

@@ -40,4 +40,30 @@ object Upsert {
     val dedupedUpdates = DedupLatest(updates, keys, Seq(col(orderingCol).desc))
     apply(existing, dedupedUpdates, keys, deletes)
   }
+
+  /** Latest-wins merge of a CDC change batch that MIXES inserts and
+    * tombstones (`deleteCol` boolean marks a tombstone): the per-key winner
+    * is chosen by `orderingCol` across ALL change rows, so a delete followed
+    * by a re-insert within one micro-batch keeps the key — applying
+    * tombstones unconditionally would make the snapshot depend on where the
+    * micro-batch boundary fell in the change log. A winning tombstone only
+    * deletes an existing row whose `orderingCol` is <= its own, so a stale
+    * or replayed tombstone can never destroy a newer row. `existing` must
+    * carry `orderingCol` (snapshots written by this merge do).
+    */
+  def applyChanges(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+                   orderingCol: String, deleteCol: String): DataFrame = {
+    require(keys.nonEmpty, "upsert requires key columns")
+    val winners = DedupLatest(changes, keys, Seq(col(orderingCol).desc))
+    val isDel = coalesce(col(deleteCol), lit(false))
+    val upserts = winners.where(!isDel).drop(deleteCol)
+    val tombs = winners.where(isDel)
+      .select(keys.map(col) :+ col(orderingCol).as("__del_ord"): _*)
+    val kept = existing.join(upserts.select(keys.map(col): _*), keys, "left_anti")
+    val merged = kept.unionByName(upserts.select(existing.columns.map(col): _*))
+    merged.join(tombs,
+      keys.map(k => merged(k) === tombs(k)).reduce(_ && _) &&
+        merged(orderingCol) <= tombs("__del_ord"),
+      "left_anti")
+  }
 }

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.StructType
 
 /** Streaming corpus ingestion with INCREMENTAL near-duplicate rejection —
   * the streaming face of [[MinHashIndex]]: every micro-batch is checked
-  * against the band index of everything admitted so far, duplicates are
-  * dropped, survivors are published and their band rows join the index.
-  * The standing corpus text is never re-read; per batch the work is
+  * against the band index of everything admitted so far, band collisions
+  * are VERIFIED with exact Jaccard (candidates are not verdicts — the
+  * one-shot [[graft.operators.TextDedup.minHashNearDup]] contract),
+  * verified duplicates are dropped, survivors are published and their
+  * band rows join the index. The standing corpus text is re-read only
+  * for docs appearing in some candidate pair; per batch the work is
   * O(batch + colliding bucket rows), which is what keeps a 100 TB corpus
   * ingestible at stream latency.
   *
@@ -36,7 +39,7 @@ object DedupStream {
           indexDir: String, outDir: String, checkpointDir: String,
           idCol: String, textCol: String, shingleN: Int = 3,
           numHashes: Int = 16, rowsPerBand: Int = 4,
-          maxBucketSize: Int = 1000): StreamingQuery = {
+          maxBucketSize: Int = 1000, threshold: Double = 0.8): StreamingQuery = {
     val stream = spark.readStream.schema(schema).json(changesDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -47,7 +50,7 @@ object DedupStream {
         val appendId = StreamBinding.resolveAppendId(batch.sparkSession,
           checkpointDir, indexDir, s"$indexDir/buckets", batchId)
         processBatch(batch, appendId, indexDir, outDir, idCol, textCol,
-          shingleN, numHashes, rowsPerBand, maxBucketSize)
+          shingleN, numHashes, rowsPerBand, maxBucketSize, threshold)
         StreamBinding.recordWritten(batch.sparkSession, indexDir, appendId)
       }
       .trigger(Trigger.AvailableNow())
@@ -64,15 +67,40 @@ object DedupStream {
   def processBatch(batch: DataFrame, batchId: Long, indexDir: String,
                    outDir: String, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 16,
-                   rowsPerBand: Int = 4, maxBucketSize: Int = 1000): Unit = {
+                   rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
+                   threshold: Double = 0.8): Unit = {
     val s = batch.sparkSession
     val index = openOrEmpty(s, indexDir, batch, batchId, idCol,
       shingleN, numHashes, rowsPerBand)
+    // pair-sized by the bucket cap — materialized so verification, the
+    // drop list, and BOTH write actions run the index scan exactly once
     val cands = MinHashIndex.candidates(index, batch, idCol, textCol,
-      maxBucketSize)
-    val dropIds = cands.where(col("kind") === "new_old").select(col("id_a"))
-      .unionByName(cands.where(col("kind") === "new_new").select(col("id_b").as("id_a")))
+      maxBucketSize).localCheckpoint(true)
+    // LSH candidacy is a CANDIDATE, not a verdict: at the default 4x4
+    // banding a pair with true Jaccard 0.5 — not a near-duplicate —
+    // collides in some band with probability ~23%, and permanently
+    // rejecting on raw collision loses unique docs at a rate that grows
+    // with the standing corpus. Verify with exact Jaccard like the
+    // one-shot path ([[graft.operators.TextDedup.minHashNearDup]]); the
+    // old side's text comes from the admitted store pruned to candidate
+    // ids, so the batch stays O(batch + colliding rows)
+    val docsPath = new org.apache.hadoop.fs.Path(s"$outDir/docs")
+    val fsOut = docsPath.getFileSystem(s.sessionState.newHadoopConf())
+    val oldDocs =
+      if (fsOut.exists(docsPath))
+        s.read.parquet(docsPath.toString)
+          // retry: the prior attempt's own docs are not prior corpus
+          .where(col("batch_id") =!= lit(batchId))
+          .select(col(idCol), col(textCol))
+      else batch.select(col(idCol), col(textCol)).limit(0)
+    val verified = graft.operators.TextDedup.jaccardVerify(cands,
+        batch.select(col(idCol), col(textCol)).unionByName(oldDocs),
+        idCol, textCol, shingleN, threshold, pruneToCandidates = true)
+      .join(cands, Seq("id_a", "id_b")) // recover the pair kind
+    val dropIds = verified.where(col("kind") === "new_old").select(col("id_a"))
+      .unionByName(verified.where(col("kind") === "new_new").select(col("id_b").as("id_a")))
       .distinct().withColumnRenamed("id_a", idCol)
+      .localCheckpoint(true)
     val admitted = batch.join(dropIds, Seq(idCol), "left_anti")
     admitted.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

@@ -27,7 +27,8 @@ object SketchStream {
     */
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           snapshotDir: String, checkpointDir: String,
-          groupCols: Seq[String], valueCol: String, k: Int = 200): StreamingQuery = {
+          groupCols: Seq[String], valueCol: String, k: Int = 200,
+          retainVersions: Int = 3): StreamingQuery = {
     GraftFunctions.register(spark)
     val stream = spark.readStream.schema(schema).json(changesDir)
     val q = stream.writeStream
@@ -51,6 +52,12 @@ object SketchStream {
           .agg(call_function("graft_kll_merge", col("sk")).as("sk"),
             sum(col("n")).as("n"))
         merged.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+        // retention: without it a long-running stream leaves every
+        // superseded snapshot on disk — O(batches x snapshot) storage.
+        // keep >= 2 so a retried batch still finds its merge base below
+        // its own id
+        graft.pipeline.Snapshots.prune(spark, snapshotDir,
+          math.max(retainVersions, 2))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -69,9 +76,16 @@ object SketchStream {
   def quantiles(snapshot: DataFrame, groupCols: Seq[String],
                 probs: Seq[Double]): DataFrame = {
     GraftFunctions.register(snapshot.sparkSession)
+    // percent-rounded names must stay distinct — p=0.995 and p=1.0 would
+    // both render "p100" and the duplicate column breaks any select/write
+    // downstream with an ambiguity error far from the cause
+    val names = probs.map(p => s"p${(p * 100).round}")
+    require(names.distinct.size == names.size,
+      s"quantile probs ${probs.mkString(", ")} collide after percent " +
+      s"rounding (${names.mkString(", ")}); space probs at least 0.01 apart")
     snapshot.select(groupCols.map(col) ++ Seq(col("n")) ++
-      probs.map(p => call_function("graft_kll_value", col("sk"), lit(p))
-        .as(s"p${(p * 100).round}")): _*)
+      probs.zip(names).map { case (p, n) =>
+        call_function("graft_kll_value", col("sk"), lit(p)).as(n) }: _*)
   }
 
   private def currentBefore(spark: SparkSession, snapshotDir: String,

@@ -63,20 +63,34 @@ object StreamBinding {
   private val TokenFile = "graft_stream_token"
 
   /** Distinct `batch_id` values present in a store's partitioned dataset
-    * dir — covers both the retrieval indexes' two-level layout
-    * (`batch_id=*` nested under an outer partition) and [[DedupStream]]'s
-    * one-level `batch_id=*` layout. One file listing, no data read.
-    * Missing dir ⇒ empty (a store that has never been written).
+    * dir, at ANY partition depth: `batch_id=N` directly ([[DedupStream]]),
+    * under one outer partition (the retrieval indexes' `cell=K` /
+    * `bucket=K` layouts), or under several (a payload-partitioned
+    * [[graft.operators.Ivf]] store nests batch_id under payload dirs and
+    * cell dirs — a fixed-depth glob here would report an EMPTY id set for
+    * such a store and let the very overwrite this binding exists to
+    * prevent through). The walk visits partition directories only
+    * (skipping underscore/dot-prefixed metadata and stopping at each
+    * `batch_id=N`), never data files. Missing dir ⇒ empty (a store that
+    * has never been written).
     */
   def existingBatchIds(spark: SparkSession, dataDir: String): Set[Long] = {
     val p = new Path(dataDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Set.empty
-    else (fs.globStatus(new Path(p, "batch_id=*")) ++
-          fs.globStatus(new Path(p, "*/batch_id=*")))
-      .toSet[org.apache.hadoop.fs.FileStatus]
-      .map(_.getPath.getName.stripPrefix("batch_id="))
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (!fs.exists(p)) return Set.empty
+    val out = scala.collection.mutable.Set[Long]()
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith(".")) {
+          if (name.startsWith("batch_id="))
+            scala.util.Try(name.stripPrefix("batch_id=").toLong)
+              .foreach(out += _)
+          else walk(st.getPath)
+        }
+      }
+    walk(p)
+    out.toSet
   }
 
   /** Resolve the append id for streaming micro-batch `streamBatchId`,

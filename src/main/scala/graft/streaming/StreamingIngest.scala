@@ -39,7 +39,15 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-    val q = (if (partitionCols.forall(out.columns.contains))
+    // a requested partition column the transform dropped (or a typo) must
+    // fail loudly — silently landing the dataset unpartitioned makes every
+    // downstream partition-pruned reader full-scan with no signal
+    val missing = partitionCols.filterNot(out.columns.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} absent from the " +
+      s"transformed stream (columns: ${out.columns.mkString(", ")}); " +
+      "pass partitionCols = Seq.empty to write unpartitioned")
+    val q = (if (partitionCols.nonEmpty)
       writer.partitionBy(partitionCols: _*) else writer).start()
     q.awaitTermination()
     q

@@ -34,29 +34,35 @@ object UpsertStream {
 
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           snapshotDir: String, checkpointDir: String,
-          keys: Seq[String], orderingCol: String): StreamingQuery = {
+          keys: Seq[String], orderingCol: String,
+          retainVersions: Int = 3): StreamingQuery = {
     val stream = spark.readStream.schema(schema).json(changesDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) guardLineage(spark, snapshotDir, checkpointDir)
         val hasDeleteCol = batch.columns.contains(DeleteCol)
-        val upserts =
-          (if (hasDeleteCol) batch.where(!coalesce(col(DeleteCol), lit(false)))
-          else batch).drop(DeleteCol)
-        val deletes =
-          if (hasDeleteCol) Some(batch.where(col(DeleteCol) === true).select(keys.map(col): _*))
-          else None
         // merge from the latest version BELOW this batch id: a retried batch
         // whose output completed but whose checkpoint commit didn't must not
         // read the very directory it is about to overwrite
         val existing = currentBefore(spark, snapshotDir, maxExclusive = Some(batchId))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            upserts.schema))
-        val merged = Upsert.latestWins(existing, upserts, keys, orderingCol, deletes)
+            batch.drop(DeleteCol).schema))
+        // tombstones participate in latest-wins ordering (Upsert.applyChanges):
+        // a delete + later re-insert in ONE micro-batch keeps the key, and a
+        // stale/replayed tombstone never deletes a newer existing row — the
+        // snapshot no longer depends on where micro-batch boundaries fall
+        val merged =
+          if (hasDeleteCol)
+            Upsert.applyChanges(existing, batch, keys, orderingCol, DeleteCol)
+          else Upsert.latestWins(existing, batch, keys, orderingCol, None)
         // same-version overwrite keeps the batch idempotent under retry
         merged.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+        // retention: keep >= 2 complete versions so a retried batch still
+        // finds its merge base; everything older is superseded storage
+        graft.pipeline.Snapshots.prune(spark, snapshotDir,
+          math.max(retainVersions, 2))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -15,6 +15,18 @@ class ConnectedComponentsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("edge endpoints absent from vertices still conduct connectivity") {
+    // 2 and 4 are connected only THROUGH absent vertex 1: dropping its
+    // propagation row would leave them in separate components
+    val vertices = Seq(2L, 4L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (1L, 4L)).toDF("a", "b")
+    val out = ConnectedComponents.components(spark, vertices, edges, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // min REACHABLE id labels the component even when absent from vertices;
+    // absent ids emit no output row of their own
+    assert(out === Map(2L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("pointer jumping converges a chain in ~log2(diameter) rounds") {
     val n = 64L
     val vertices = (1L to n).toDF("id")

@@ -95,4 +95,39 @@ class DedupStreamSpec extends SparkSpec {
       .collect().toSet
     assert(after == Set(1L, 2L, 11L), s"cross-batch dedup broken: $after")
   }
+
+  test("a colliding candidate below the Jaccard threshold is admitted") {
+    val root = Files.createTempDirectory("dedupverify").toString
+    val idx = s"$root/index"; val out = s"$root/out"
+    // shared 8-token prefix, distinct tails: Jaccard ≈ 6/22 ≈ 0.27 — far
+    // below the 0.8 threshold, but at 16 single-row bands the pair
+    // collides with ~99% probability (asserted as a precondition below:
+    // without a collision this test would pass vacuously)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val t1 = shared + " iota kappa lambda mu nu xi omicron pi"
+    val t2 = shared + " rho sigma tau upsilon phi chi psi omega"
+    val b0 = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(org.apache.spark.sql.Row(1L, t1))), schema)
+    DedupStream.processBatch(b0, 0L, idx, out, "doc_id", "text",
+      rowsPerBand = 1)
+    val b1 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(2L, t2), // candidate, NOT a near-dup
+      org.apache.spark.sql.Row(3L, t1)  // exact dup of admitted doc 1
+    )), schema)
+    val index = graft.operators.MinHashIndex.Index(
+      spark.read.parquet(s"$idx/buckets"), 3, 16, 1)
+    val candPairs = graft.operators.MinHashIndex
+      .candidates(index, b1, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candPairs.contains((2L, 1L)),
+      s"precondition: (2,1) must band-collide, got $candPairs")
+    DedupStream.processBatch(b1, 1L, idx, out, "doc_id", "text",
+      rowsPerBand = 1)
+    val after = DedupStream.admitted(spark, out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(after == Set(1L, 2L),
+      s"verification must admit the J<0.8 candidate and drop the exact dup: $after")
+  }
 }

@@ -205,6 +205,24 @@ class IndexIngestSpec extends SparkSpec {
       "foreign batch must survive the refused stream batch")
   }
 
+  test("existingBatchIds sees batch_id at any partition depth (payload layout)") {
+    val root = Files.createTempDirectory("idxdepth").toString
+    val idx = s"$root/ivfp"
+    val base = (for (axis <- Seq(0, 3, 6); i <- 0 until 20)
+      yield ((axis * 100 + i).toLong, v(axis, i), (i % 2).toString))
+      .toDF("vec_id", "embedding", "lang")
+    // payload-partitioned store: cells nest lang=*/cell=*/batch_id=* —
+    // a fixed-depth glob would report NO batch ids here and let a fresh
+    // stream overwrite batch 1
+    Ivf.write(Ivf.build(base, nCells = 3, payload = Seq("lang")), idx,
+      partitionPayload = Seq("lang"))
+    val manual = (for (axis <- Seq(0, 3, 6); i <- 20 until 25)
+      yield ((1000 + axis * 100 + i).toLong, v(axis, i), "0"))
+      .toDF("vec_id", "embedding", "lang")
+    Ivf.append(manual, idx, 4L, "vec_id", "embedding")
+    assert(StreamBinding.existingBatchIds(spark, s"$idx/cells") === Set(0L, 4L))
+  }
+
   test("crash between append and bookkeeping: replay reads as our own batch") {
     val root = Files.createTempDirectory("idxcrash").toString
     val idx = s"$root/ivf"; val ckpt = s"$root/ckpt"

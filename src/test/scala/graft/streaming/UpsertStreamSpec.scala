@@ -61,6 +61,46 @@ class UpsertStreamSpec extends SparkSpec {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("checkpoint"))))
   }
 
+  test("tombstones participate in latest-wins ordering") {
+    val tmp = Files.createTempDirectory("graft_uptomb_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    def write(name: String, lines: String*): Unit =
+      Files.writeString(new File(in, name).toPath, lines.mkString("\n"))
+    val snap = s"$tmp/snap"
+
+    // ONE micro-batch holding delete(seq 1) then re-insert(seq 2) for k=1:
+    // the change-log winner is the insert, so the key must survive — the
+    // same two changes split across batches (delete first) also keep it,
+    // so the snapshot no longer depends on batch boundaries
+    write("b0.ndjson",
+      """{"k":1,"seq":1,"__deleted":true}""",
+      """{"k":1,"v":"reborn","seq":2}""",
+      """{"k":2,"v":"b","seq":5}""")
+    UpsertStream.run(spark, in.getAbsolutePath, schema, snap, s"$tmp/ckpt",
+      keys = Seq("k"), orderingCol = "seq")
+    val cur = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur === Map(1L -> "reborn", 2L -> "b"),
+      s"in-batch delete-then-insert must keep the key: $cur")
+
+    // a STALE tombstone (seq 3 < existing seq 5) arriving later must not
+    // destroy the newer row; a genuinely newer one (seq 9) must
+    write("b1.ndjson", """{"k":2,"seq":3,"__deleted":true}""")
+    UpsertStream.run(spark, in.getAbsolutePath, schema, snap, s"$tmp/ckpt",
+      keys = Seq("k"), orderingCol = "seq")
+    val cur2 = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur2 === Map(1L -> "reborn", 2L -> "b"),
+      s"stale tombstone deleted a newer row: $cur2")
+
+    write("b2.ndjson", """{"k":2,"seq":9,"__deleted":true}""")
+    UpsertStream.run(spark, in.getAbsolutePath, schema, snap, s"$tmp/ckpt",
+      keys = Seq("k"), orderingCol = "seq")
+    val cur3 = UpsertStream.current(spark, snap).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(cur3 === Map(1L -> "reborn"), s"fresh tombstone must delete: $cur3")
+  }
+
   test("snapshot versions resolve through the Hadoop FileSystem API") {
     // a version dir written through the Hadoop FS (no java.io.File involved)
     val tmp = Files.createTempDirectory("graft_upfs_").toFile
