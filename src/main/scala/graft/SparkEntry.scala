@@ -736,7 +736,11 @@ object SparkEntry {
     }),
 
     "q27_embed_neardup" -> ((s, dir) => {
-      Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3)
+      // 16/4 pinned to the SQL oracle's replayed banding (the library
+      // default is 64/8 — see Knn.cosineNearDup's capacity note; at the
+      // gate's 4k vectors the narrow banding is exercised safely)
+      Knn.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.3,
+          nBits = 16, bandBits = 4)
         .orderBy("id_a", "id_b")
     }),
 

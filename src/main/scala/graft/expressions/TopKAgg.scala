@@ -79,10 +79,24 @@ case class TopKMinAgg(child: Expression, kExpr: Expression,
     }
   }
 
+  // a struct whose FIRST field (the primary sort key by the documented
+  // struct(-score, id) convention) is null is a null sort key and is
+  // ignored like a null value: struct ordering sorts nulls FIRST, so one
+  // null-scored row (a zero vector's null cosine, a null PQ code's null
+  // ADC distance) would otherwise sit at the heap top as "smallest",
+  // never be evicted, and rank ahead of every real match
+  private def nullSortKey(v: Any): Boolean = v match {
+    case r: InternalRow => child.dataType match {
+      case s: StructType => s.nonEmpty && r.isNullAt(0)
+      case _ => false
+    }
+    case _ => false
+  }
+
   override def update(heap: mutable.PriorityQueue[Any],
                       input: InternalRow): mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
-    if (v != null) insert(heap, v, owned = false)
+    if (v != null && !nullSortKey(v)) insert(heap, v, owned = false)
     heap
   }
 

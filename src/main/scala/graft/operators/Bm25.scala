@@ -49,6 +49,7 @@ object Bm25 {
                          buckets: Int = postingsBuckets)
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Index = {
+    graft.GraftFunctions.register(docs.sparkSession)
     val toks = tokenize(docs, idCol, textCol)
     val postings = toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
@@ -191,6 +192,7 @@ object Bm25 {
     // the STORE's bucket count, not the compiled default — appending with
     // a different modulus would scatter a term across two bucket dirs and
     // break the reader's partition prune
+    graft.GraftFunctions.register(docs.sparkSession)
     val buckets = storedBuckets(docs.sparkSession, path)
     val toks = tokenize(docs, idCol, textCol)
     toks.groupBy("term", "doc_id")
@@ -264,8 +266,11 @@ object Bm25 {
           .isin(buckets.map(java.lang.Long.valueOf): _*))
       } else index.postings
     val pruned = store.join(broadcast(qDistinct), Seq("term"))
-    val withDf = pruned.join(
-      pruned.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    // df as a window count riding one exchange on term (the note-57 cap
+    // shape): a groupBy + self-join would scan the bucket-pruned store
+    // twice — two parquet reads of the postings slice per query call
+    val withDf = pruned.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val candidates = allowedDocs.map { a =>
       withDf.join(a.select(col(a.columns.head).as("doc_id")),
         Seq("doc_id"), "left_semi")

@@ -107,8 +107,13 @@ object Ivf {
     val p = new org.apache.hadoop.fs.Path(s"$path/layout")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) {
-      val rows = spark.read.parquet(s"$path/layout").collect()
-      if (rows.nonEmpty && rows.head.schema.fieldNames.contains("lifted")) {
+      val manifest = spark.read.parquet(s"$path/layout")
+      val rows = manifest.collect()
+      // format detection by SCHEMA, not by first row: the most common
+      // store (no payload columns) writes a 0-row r12 manifest, and
+      // classifying it pre-r12 would pay the full cells listing on every
+      // append — the exact cost the manifest exists to avoid
+      if (manifest.schema.fieldNames.contains("lifted")) {
         val sorted = rows.sortBy(_.getAs[Int]("pos"))
         return Layout(
           sorted.filter(_.getAs[Boolean]("lifted"))
@@ -338,6 +343,15 @@ object Ivf {
     * driver math via [[Lloyd]] — no distributed KMeans job round-trips)
     * + in-plan argmin cell assignment for every corpus vector (one narrow
     * pass, centroids ride as plan literals).
+    *
+    * Metric contract: cells partition RAW L2 space — training, assignment,
+    * appends, and both query paths' probes all use raw vectors
+    * consistently — while [[query]] RANKS by cosine. For a unit-norm
+    * corpus the two agree exactly; for a corpus with varying norms the
+    * cells additionally separate by magnitude, which costs recall at
+    * small `nProbe` (direction-mates at different norms land in different
+    * cells). Pre-normalize such a corpus before `build`/`append` when
+    * cosine is the retrieval metric.
     */
   def build(corpus: DataFrame, nCells: Int, id: String = "vec_id",
             vec: String = "embedding", trainSample: Int = 100000,
@@ -410,7 +424,12 @@ object Ivf {
             excludeSelf: Boolean = true, pruneCells: Boolean = true,
             filter: Option[Column] = None): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
-    val probes = probeCells(index, q, nProbe)
+    // queries x nProbe rows — materialized under pruneCells because TWO
+    // consumers follow (the eager cell collect and the candidate join);
+    // left lazy, the whole probe subplan (and the caller's derived
+    // queries lineage under it) would execute twice per call
+    val probes0 = probeCells(index, q, nProbe)
+    val probes = if (pruneCells) probes0.localCheckpoint(true) else probes0
     val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable

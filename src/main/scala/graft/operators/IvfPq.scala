@@ -153,10 +153,21 @@ object IvfPq {
             excludeSelf: Boolean = true, shortlist: Int = 50,
             pruneCells: Boolean = true, filter: Option[Column] = None): DataFrame = {
     graft.GraftFunctions.register(index.coded.sparkSession)
-    val q = queries.select(col(qId).as("q_id"),
-      normalizeFast(col(qVec)).as("q_emb"))
-    val probes = Ivf.probeCells(index.ivf, q, nProbe)
+    // probe in RAW space — the IVF centroids are trained and the corpus
+    // assigned on raw vectors ([[Ivf.build]]), and [[Ivf.query]] probes
+    // raw; probing with the normalized query against raw-space centroids
+    // would rank cells by centroid magnitude for any non-unit-norm corpus
+    // and silently collapse recall. The normalized form takes over only
+    // for ADC (the codebooks are trained on normalized vectors) and the
+    // cosine rerank.
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
+    val probes0 = Ivf.probeCells(index.ivf, q, nProbe)
+      .withColumn("q_emb", normalizeFast(col("q_emb")))
       .withColumn("tbl", Pq.adcTable(col("q_emb"), index.cb))
+    // materialized under pruneCells — the eager cell collect and the ADC
+    // join would otherwise each run the probe subplan (and recompute
+    // every query's ADC table); see Ivf.query
+    val probes = if (pruneCells) probes0.localCheckpoint(true) else probes0
     val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable

@@ -55,7 +55,7 @@ object Knn {
     * baseline).
     */
   def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
-          nBits: Int = 16, bandBits: Int = 4,
+          nBits: Int = 64, bandBits: Int = 8,
           qId: String = "vec_id", cId: String = "vec_id",
           qVec: String = "embedding", cVec: String = "embedding",
           excludeSelf: Boolean = true): DataFrame = {
@@ -90,11 +90,23 @@ object Knn {
 
   /** Cosine near-duplicate pairs over the corpus itself: LSH-bucket the
     * corpus, pair within buckets, keep pairs with similarity >= threshold.
+    *
+    * Band width sets the bucket CAPACITY, and capacity is what makes this
+    * sublinear: each band has `2^bandBits` bucket values, so the expected
+    * bucket holds `n / 2^bandBits` rows and the within-bucket pairing is
+    * quadratic in that. The 64/8 default (8 bands x 256 buckets) keeps
+    * ~93% recall at sim 0.9 while pruning ~255/256 of the corpus per
+    * band; a 4-bit band (16 buckets) stops pruning past ~10^5 rows —
+    * every bucket then exceeds `maxBucketSize` and the degeneracy cap,
+    * which exists to drop a FEW pathological buckets, would silently
+    * empty the result. Widen `bandBits` (and `nBits` with it) before
+    * raising `maxBucketSize`.
     */
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     id: String = "vec_id", vec: String = "embedding",
-                    nBits: Int = 16, bandBits: Int = 4,
+                    nBits: Int = 64, bandBits: Int = 8,
                     maxBucketSize: Int = 10000): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     val nBands = nBits / bandBits
     val sig = hyperplaneLshFast(col(vec), nBits)
     val banded = corpus.select(col(id).as("id"), normalizeFast(col(vec)).as("v"),

@@ -42,6 +42,7 @@ object Pq {
             vec: String = "embedding", dim: Int = 64,
             trainSample: Int = 100000, seed: Long = 42L): Codebooks = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    graft.GraftFunctions.register(corpus.sparkSession)
     val sub = dim / m
     val sample = Ivf.boundedSample(
         corpus.select(transform(normalizeFast(col(vec)), _.cast("double")).as("v")),

@@ -53,4 +53,19 @@ class TopKPropertySpec extends SparkSpec {
     assert(out(1) === Seq(3.0))
     assert(out(2) === Seq.empty)
   }
+
+  test("a struct with a null primary sort key is ignored, not ranked first") {
+    // struct ordering sorts nulls FIRST: without the null-sort-key skip, a
+    // null-scored row (a zero vector's null cosine) tops every ANN heap
+    GraftFunctions.register(spark)
+    val df = Seq((1, Some(5.0), 10L), (1, None, 11L), (1, Some(3.0), 12L),
+        (1, None, 13L))
+      .toDF("g", "v", "id")
+    val out = df.groupBy("g")
+      .agg(call_function("graft_kmin", struct($"v", $"id"), lit(3)).as("tk"))
+      .select(posexplode($"tk").as(Seq("pos", "e")))
+      .select($"e.id").as[Long].collect().toSeq
+    assert(out === Seq(12L, 10L),
+      s"null-keyed rows must be ignored like null values, got ids $out")
+  }
 }

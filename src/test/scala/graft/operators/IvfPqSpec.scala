@@ -30,6 +30,28 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("non-unit-norm corpus: probe runs in the centroids' raw space") {
+    // scale each cluster to a very different magnitude (1x..64x): the IVF
+    // cells are trained and assigned on RAW vectors, so probing with the
+    // normalized query against them would rank cells by centroid norm and
+    // probe the wrong cells for every large-norm query — recall collapses
+    val scaled = corpus.withColumn("embedding",
+      transform(col("embedding"),
+        x => x * pow(lit(4.0), col("vec_id") / 100).cast("float")))
+    val idx = IvfPq.build(scaled, nCells = 4, m = 8, kc = 16, trainSample = 200)
+    val probes = scaled.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    // nProbe=2 absorbs k-means splitting a cluster across two cells; the
+    // normalized-probe bug ranks every query's cells by centroid norm and
+    // reaches only the smallest-norm cells — recall ~0.5 here, ~0.25 at 1
+    val got = IvfPq.query(idx, probes, k = 5, nProbe = 2, shortlist = 25)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = Knn.bruteForce(probes, scaled, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"raw-space probe must find each query's own cluster " +
+      s"cells at nProbe=2 on a norm-varying corpus; recall $recall")
+  }
+
   test("payload filter: persisted coded store answers filtered brute force") {
     val labeled = corpus.withColumn("label",
       (col("vec_id") % 2).cast("int"))
