@@ -195,7 +195,12 @@ object Bpe {
           pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt)
       if (pc.isEmpty) done = true
       else {
-        val ((a, b), c) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 byte order — the collation the distributed
+        // route's orderBy(asc("a"), asc("b")) uses; the JVM's UTF-16
+        // ordering disagrees for U+E000+ vs supplementary-plane symbols
+        val ((a, b), c) = pc.minBy { case ((a2, b2), c2) => (-c2, a2, b2) }(
+          Ordering.Tuple3(Ordering.Long, graft.util.Utf8Order,
+            graft.util.Utf8Order))
         if (c < minCount) done = true
         else {
           merges += Merge(rankOffset + merges.length, a, b, c)
@@ -250,7 +255,18 @@ object Bpe {
     * segmentations can never diverge.
     */
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms = (word.map(_.toString) :+ EndOfWord).toVector
+    // split by CODE POINT, matching [[baseSymbols]] (Spark substr is
+    // code-point addressed): a per-code-UNIT split would break every
+    // supplementary-plane character (emoji, rare CJK) into lone
+    // surrogates the merge table never saw at train time
+    val cps = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      cps += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    var syms = cps.result() :+ EndOfWord
     merges.foreach { m => syms = fuse(syms, m.a, m.b) }
     syms
   }

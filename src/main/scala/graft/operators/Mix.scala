@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic: same `orderCol` order → same kept set. Order by an id
   * for take-first semantics, a quality score for best-first curation, or
-  * an md5 of the id for an unbiased random-looking quota.
+  * a numeric hash coin of the id ([[graft.functions.TextFunctions.hashCoin]])
+  * for an unbiased random-looking quota — the order key must be NUMERIC
+  * (the range-slice boundaries come from percentile_approx, which rejects
+  * strings), so a raw md5 hex string will not analyze.
   *
   * Scale shape: the running sum is [[Pack.runningTokens]] — range-sliced
   * parallel prefix sums, never one unsplittable task per stratum; the
@@ -102,7 +105,10 @@ object Mix {
       .withColumn("__ne",
         when(col("__budget").isNull || col("__tot") <= 0, lit(1L))
           .otherwise(least(lit(maxEpochs), greatest(
-            ceil(col("__budget").cast("double") / col("__tot")).cast("long"),
+            // integer DIV ceil, matching audit(): double ceil rounds
+            // wrong past 2^53 and the delivered epochs would disagree
+            // with the audited epochs
+            expr("(__budget + __tot - 1) DIV __tot"),
             lit(1L)))))
       .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
       .where(col("__budget").isNull ||

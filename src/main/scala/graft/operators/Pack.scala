@@ -120,8 +120,21 @@ object Pack {
     else {
       val probs = array((1 until subStrata).map(i =>
         lit(i.toDouble / subStrata)): _*)
-      val bounds = df.groupBy(col(strataCol))
+      // boundaries MATERIALIZED to a local relation (the
+      // Bm25.localQueryTerms shape): percentile_approx is an approximate
+      // aggregate, and runningTokens references the sliced frame from TWO
+      // consumers (local cums and slice offsets) — left lazy, the
+      // correctness of the stitch would silently ride on exchange reuse
+      // computing the SAME boundaries for both; any split is correct, but
+      // only if both sides see the same one. Strata-sized by contract.
+      val boundsDf = df.groupBy(col(strataCol))
         .agg(percentile_approx(col(orderCol), probs, lit(10000)).as("__bnds"))
+      val rows = boundsDf.limit(100001).collect()
+      require(rows.length <= 100000,
+        s"$strataCol has over 100k strata — runningTokens' slice-boundary " +
+          "table must stay broadcastable; use a coarser stratum")
+      val bounds = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), boundsDf.schema)
       df.join(broadcast(bounds), Seq(strataCol))
         .withColumn("__sub",
           size(filter(col("__bnds"), b => b < col(orderCol))))

@@ -48,7 +48,10 @@ object TokenPack {
     val maxLen = math.max(bounds.getInt(0), 1).toLong
     val (minId, maxId) = (bounds.getLong(1), bounds.getLong(2))
     require(minId >= 0, s"$idCol must be non-negative for order encoding: $minId")
-    require(maxId <= Long.MaxValue / maxLen,
+    // the encoding's max value is maxId * maxLen + (maxLen - 1) — guard
+    // the FULL expression, not just the product, or the boundary id's
+    // last tokens wrap negative and sort first
+    require(maxId <= (Long.MaxValue - (maxLen - 1)) / maxLen,
       s"$idCol * max pieces overflows the order encoding " +
         s"($maxId * $maxLen); re-key the corpus with denser ids")
     val stream = docs

@@ -62,23 +62,50 @@ object Unigram {
   // Shared model math (one code path for local and distributed routes)
   // ---------------------------------------------------------------------
 
-  /** All substrings of `word` up to [[MaxPieceLen]] chars (with
+  /** Code-point symbols of `word` — the unit of substring enumeration,
+    * piece length, and Viterbi lattice positions. Code UNITS would emit
+    * lone-surrogate pieces, which cannot round-trip through Spark's UTF-8
+    * string storage: the distributed route would silently fold both
+    * halves of every supplementary-plane character (emoji, rare CJK)
+    * into one replacement char and the routes would diverge. Same
+    * convention as [[Bpe.baseSymbols]]/[[Bpe.encodeWord]].
+    */
+  private def cpSyms(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** A "single character" for inventory purposes = one code point. */
+  private def isSingleCp(p: String): Boolean =
+    p.nonEmpty && p.codePointCount(0, p.length) == 1
+
+  /** All substrings of `word` up to [[MaxPieceLen]] code points (with
     * multiplicity — seeding weights a substring by how often it occurs).
     */
-  private def substrings(word: String): Seq[String] =
+  private def substrings(word: String): Seq[String] = {
+    val cps = cpSyms(word)
     for {
-      i <- 0 until word.length
-      l <- 1 to math.min(MaxPieceLen, word.length - i)
-    } yield word.substring(i, i + l)
+      i <- 0 until cps.length
+      l <- 1 to math.min(MaxPieceLen, cps.length - i)
+    } yield cps.slice(i, i + l).mkString
+  }
 
-  /** Max-likelihood segmentation of `word` under `logP` — lattice Viterbi:
-    * `best(i)` = best score of `word[0..i)`; at each end position try every
-    * piece length longest-first, so an exact score tie keeps the LONGER
-    * final piece (the deterministic tie-break).
+  /** Max-likelihood segmentation of `word` under `logP` — lattice Viterbi
+    * over code-point positions: `best(i)` = best score of the first `i`
+    * code points; at each end position try every piece length
+    * longest-first, so an exact score tie keeps the LONGER final piece
+    * (the deterministic tie-break).
     */
   def viterbi(word: String, logP: collection.Map[String, Double]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
-    val n = word.length
+    val cps = cpSyms(word)
+    val n = cps.length
     val best = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = Array.fill(n + 1)(0)
     best(0) = 0.0
@@ -88,7 +115,8 @@ object Unigram {
       while (l >= 1) {
         val start = i - l
         if (best(start) > Double.NegativeInfinity) {
-          val piece = word.substring(start, i)
+          val piece =
+            if (l == 1) cps(start) else cps.slice(start, i).mkString
           val lp =
             if (l == 1) logP.getOrElse(piece, UnkLogProb)
             else logP.getOrElse(piece, Double.NegativeInfinity)
@@ -111,7 +139,9 @@ object Unigram {
     var pos = 0
     val lens = rev.reverse
     while (idx < lens.length) {
-      out += word.substring(pos, pos + lens(idx)); pos += lens(idx); idx += 1
+      out += (if (lens(idx) == 1) cps(pos)
+        else cps.slice(pos, pos + lens(idx)).mkString)
+      pos += lens(idx); idx += 1
     }
     out.result()
   }
@@ -134,8 +164,11 @@ object Unigram {
     val freq = scala.collection.mutable.HashMap.empty[String, Double]
     for ((w, c) <- wc; s <- substrings(w))
       freq.update(s, freq.getOrElse(s, 0.0) + c.toDouble)
-    val (chars, multi) = freq.toSeq.partition(_._1.length == 1)
-    val kept = multi.sortBy { case (p, f) => (-f, p) }
+    val (chars, multi) = freq.toSeq.partition(p => isSingleCp(p._1))
+    // UTF-8 byte order on the piece tie, matching seedDist's
+    // orderBy(asc("piece")) binary collation
+    val kept = multi.sortBy { case (p, f) => (-f, p) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, graft.util.Utf8Order))
       .take(math.max(maxSeedSize - chars.size, 0))
     normalize(chars ++ kept)
   }
@@ -151,7 +184,7 @@ object Unigram {
     val counts = scala.collection.mutable.HashMap.empty[String, Double]
     for ((w, c) <- wc; p <- viterbi(w, logP))
       counts.update(p, counts.getOrElse(p, 0.0) + c.toDouble)
-    val chars = pieces.iterator.map(_.piece).filter(_.length == 1)
+    val chars = pieces.iterator.map(_.piece).filter(isSingleCp)
     for (ch <- chars if !counts.contains(ch)) counts.update(ch, 0.5)
     normalize(counts.toSeq)
   }
@@ -160,7 +193,7 @@ object Unigram {
     * multi-char pieces first (`(-logProb, piece)` order), then renormalize.
     */
   private def pruneLocal(pieces: Seq[Piece], vocabSize: Int): Seq[Piece] = {
-    val (chars, multi) = pieces.partition(_.piece.length == 1)
+    val (chars, multi) = pieces.partition(p => isSingleCp(p.piece))
     val kept = multi.sortBy(p => (-p.logProb, p.piece))
       .take(math.max(vocabSize - chars.size, 0))
     normalize((chars ++ kept).map(p => p.piece -> math.exp(p.logProb)))
@@ -203,16 +236,21 @@ object Unigram {
   private def seedDist(wcDf: DataFrame, maxSeedSize: Int): Seq[Piece] = {
     val spark = wcDf.sparkSession
     import spark.implicits._
+    // the single-char flag is computed on the ENUMERATION side with the
+    // same isSingleCp rule seedLocal uses — Spark's length() also counts
+    // code points, but carrying the flag keeps the classification
+    // decision in exactly one place for both routes
     val freq = wcDf.as[(String, Long)]
-      .flatMap { case (w, c) => substrings(w).map(_ -> c.toDouble) }
-      .toDF("piece", "f")
-      .groupBy("piece").agg(sum("f").as("f"))
-    val chars = freq.where(length(col("piece")) === 1)
-      .as[(String, Double)].collect()
-    val multi = freq.where(length(col("piece")) > 1)
+      .flatMap { case (w, c) =>
+        substrings(w).map(s => (s, c.toDouble, isSingleCp(s))) }
+      .toDF("piece", "f", "single")
+      .groupBy("piece").agg(sum("f").as("f"), first("single").as("single"))
+    val chars = freq.where(col("single"))
+      .select("piece", "f").as[(String, Double)].collect()
+    val multi = freq.where(!col("single"))
       .orderBy(desc("f"), asc("piece"))
       .limit(math.max(maxSeedSize - chars.length, 0))
-      .as[(String, Double)].collect()
+      .select("piece", "f").as[(String, Double)].collect()
     normalize((chars ++ multi).toSeq)
   }
 
@@ -227,7 +265,7 @@ object Unigram {
       .as[(String, Double)].collect()
     val have = counts.map(_._1).toSet
     val floor = pieces.iterator.map(_.piece)
-      .filter(p => p.length == 1 && !have.contains(p)).map(_ -> 0.5)
+      .filter(p => isSingleCp(p) && !have.contains(p)).map(_ -> 0.5)
     normalize(counts.toSeq ++ floor)
   }
 

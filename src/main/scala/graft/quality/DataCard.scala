@@ -31,9 +31,14 @@ object DataCard {
   def build(docs: DataFrame, strataCol: String, textCol: String,
             charsCol: String, exactPercentiles: Boolean = false): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
+    // coalesce before fingerprinting: md5(null) is null and the inner
+    // join on fp would silently drop every null-text row from ALL the
+    // card's stats — null and empty text count as the same (empty)
+    // document, which is the honest reading for a stats card
     val d = docs.select(col(strataCol).as("stratum"),
-      size(shinglesAllFast(col(textCol), 1)).as("n_tok"), col(charsCol).as("n_chars"),
-      md5(col(textCol).cast("binary")).as("fp"))
+      size(shinglesAllFast(coalesce(col(textCol), lit("")), 1)).as("n_tok"),
+      col(charsCol).as("n_chars"),
+      md5(coalesce(col(textCol), lit("")).cast("binary")).as("fp"))
     val fc = d.groupBy("fp").agg(count(lit(1)).as("nfp"))
     def quantileOf(c: String, prob: Double): Column =
       if (exactPercentiles) expr(s"percentile($c, $prob)")

@@ -104,9 +104,15 @@ object Ensemble {
     val blend = signals.map { case (s, w) =>
       // midrank: (#{t <= v} + #{t < v}) / 2 — a single fold accumulating
       // both counts (2 per strictly-below threshold, 1 per equal)
+      // NaN counts as above every threshold — Spark's sort order places
+      // NaN greater than all doubles, so the exact percentileBlend ranks
+      // a NaN signal at the top; folding it to 0 here would rank the
+      // same document at opposite extremes on the two paths. (Nulls
+      // score 0 on both: percent_rank sorts nulls first.)
       val frac = aggregate(col(s"__th_$s"), lit(0),
         (acc: Column, t: Column) => acc +
-          when(col(s) > t, 2).when(col(s) === t, 1).otherwise(0))
+          when(isnan(col(s).cast("double")) || col(s) > t, 2)
+            .when(col(s) === t, 1).otherwise(0))
         .cast("double") / lit(2.0 * nProbes)
       frac * lit(w)
     }.reduce(_ + _) / lit(wTot)

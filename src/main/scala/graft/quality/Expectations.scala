@@ -160,17 +160,26 @@ object Expectations {
     * driver collect.
     */
   def betweenReport(df: DataFrame, rules: Seq[Between]): DataFrame = {
-    val aggs = rules.map(b =>
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (rules.isEmpty)
+      // run() tolerates an empty rule list; the report must too
+      return Seq.empty[(String, Double, Double, Long, Boolean)]
+        .toDF("column_name", "lo", "hi", "unexpected_count", "passed")
+    // index-suffixed aliases: two Between rules on the SAME column are
+    // legal in run(), and bare column-name aliases would make the stack
+    // references ambiguous
+    val aggs = rules.zipWithIndex.map { case (b, i) =>
       sum(when(col(b.column).isNotNull &&
         (col(b.column) < lit(b.lo) || col(b.column) > lit(b.hi)), 1L)
-        .otherwise(0L)).as(b.column))
+        .otherwise(0L)).as(s"__r$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot to (column, unexpected_count, passed); infinite bounds (from
     // one-sided GE rules) have no bare SQL literal — cast from string
     def dlit(x: Double): String =
       if (x.isInfinite || x.isNaN) s"CAST('$x' AS DOUBLE)" else s"${x}D"
-    val stacked = rules.map(b =>
-      s"'${b.column}', ${dlit(b.lo)}, ${dlit(b.hi)}, `${b.column}`").mkString(", ")
+    val stacked = rules.zipWithIndex.map { case (b, i) =>
+      s"'${b.column}', ${dlit(b.lo)}, ${dlit(b.hi)}, `__r$i`" }.mkString(", ")
     wide.selectExpr(
       s"stack(${rules.size}, $stacked) as (column_name, lo, hi, unexpected_count)")
       .withColumn("passed", col("unexpected_count") === 0L)

@@ -117,6 +117,30 @@ class BpeSpec extends SparkSpec {
     assert(l2 === d2)
   }
 
+  test("supplementary-plane characters: one symbol at train AND encode time") {
+    // baseSymbols splits by Spark substr = code points; encodeWord must
+    // match — a code-UNIT split would hand the merge replay lone
+    // surrogates the training pass never saw
+    val emoji = "👍" // U+1F44D thumbs-up
+    assert(Bpe.encodeWord(s"$emoji x", Nil) ===
+      Seq(emoji, " ", "x", "</w>"), "code-point split broke")
+    val docs = Seq((1L, s"$emoji$emoji ab $emoji$emoji ab"),
+      (2L, s"ab $emoji$emoji")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 6, minCount = 1L)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .select(explode(col("pieces")).as("p"))
+      .as[String].collect().toSet
+    assert(!enc.exists(p => p.exists(c => Character.isSurrogate(c) &&
+        p.codePointCount(0, p.length) == p.length)),
+      s"lone surrogate pieces emitted: $enc")
+    // and the emoji pair merge actually learned and applied
+    assert(enc.exists(_.contains(emoji)), enc)
+    // route parity holds on the emoji corpus too
+    val dist = Bpe.train(docs, "text", numMerges = 6, minCount = 1L,
+      localVocabLimit = 0L)
+    assert(merges === dist)
+  }
+
   test("extend continues training exactly: extend(train(k), m) == train(k+m)") {
     val full = Bpe.train(corpus, "text", numMerges = 14, minCount = 1L)
     assert(full.length === 14)

@@ -96,6 +96,20 @@ class MixSpec extends SparkSpec {
     assert(web.forall(_._3 == 0L))
   }
 
+  test("upsampleTokens epoch count is exact integer ceil past 2^53") {
+    // budget = 3*2^52 + 1 over supply 2^52: double division reads exactly
+    // 3.0 (the +1 is below the ulp at 3), so double ceil loses the 4th
+    // epoch the audit's DIV ceil promises — and the admission predicate
+    // (exact long arithmetic) confirms epoch 3 starts under budget
+    val big = 1L << 52
+    val one = Seq((1L, "s", big)).toDF("doc_id", "source", "n_tok")
+    val budgets = Seq(("s", 3L * big + 1L)).toDF("source", "budget")
+    val epochs = Mix.upsampleTokens(one, "source", "doc_id", "n_tok", budgets)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(epochs === Seq(0L, 1L, 2L, 3L),
+      s"double-ceil epoch count disagrees with the audit: $epochs")
+  }
+
   test("upsampleTokens: fitting budgets reduce to capTokens; absent strata kept once") {
     val budgets = Seq(("web", 1050L)).toDF("source", "budget")
     val up = Mix.upsampleTokens(corpus, "source", "doc_id", "n_tok", budgets)

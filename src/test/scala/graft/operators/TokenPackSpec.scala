@@ -30,6 +30,18 @@ class TokenPackSpec extends SparkSpec {
     assert(TokenPack.sequences(none, "doc_id", "pieces", seqLen = 2).isEmpty)
   }
 
+  test("order-encoding guard refuses the exact overflow boundary") {
+    // maxId * maxLen passes a product-only guard with equality, but the
+    // last token's +pos still wraps past Long.MaxValue and would sort
+    // FIRST — the guard must bound the full maxId*maxLen + (maxLen-1)
+    val boundaryId = Long.MaxValue / 3
+    val docs = Seq((boundaryId, Seq("a", "b", "c"))).toDF("doc_id", "pieces")
+    val e = intercept[IllegalArgumentException] {
+      TokenPack.sequences(docs, "doc_id", "pieces", seqLen = 2)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
   test("agrees with a sequential reference on random corpora") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

@@ -56,6 +56,18 @@ class UnigramSpec extends SparkSpec {
     assert(viaLocal === viaDist)
   }
 
+  test("route parity holds with supplementary-plane characters") {
+    // an emoji substring is ONE Spark code point but TWO Java code units:
+    // seedDist must classify "single chars" by the Java rule seedLocal
+    // uses, or the seed sets (not just order) diverge between routes
+    val docs = Seq((1L, "👍ab 👍ab cd👍 ab"), (2L, "cd👍 👍ab ef"))
+      .toDF("doc_id", "text")
+    val viaLocal = Unigram.train(docs, "text", vocabSize = 25)
+    val viaDist = Unigram.train(docs, "text", vocabSize = 25,
+      localVocabLimit = 0L)
+    assert(viaLocal === viaDist)
+  }
+
   test("encode segments in token order; whole-corpus roundtrip holds") {
     val pieces = Unigram.train(corpus, "text", vocabSize = 40)
     val logP = pieces.map(p => p.piece -> p.logProb).toMap

@@ -72,4 +72,19 @@ class EnsembleSpec extends SparkSpec {
     val topA = approx.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
     assert((topE & topA).size >= 8, s"top-decile overlap ${(topE & topA).size}")
   }
+
+  test("NaN signals rank at the top on BOTH paths, not opposite extremes") {
+    // a 0/0 signal (repetition fraction of an empty doc) is NaN; Spark
+    // sorts NaN above every double, so percent_rank puts it at ~1.0 — the
+    // approx fold must agree, not score it 0
+    val withNan = ((0 until 20).map(i => (i.toLong, i.toDouble)) :+
+      (99L, Double.NaN)).toDF("id", "s1")
+    val exact = Ensemble.percentileBlend(withNan, Seq("s1" -> 1.0), tieCol = "id")
+      .select("id", "blended").as[(Long, Double)].collect().toMap
+    val approx = Ensemble.approxBlend(withNan, Seq("s1" -> 1.0), nProbes = 50)
+      .select("id", "blended").as[(Long, Double)].collect().toMap
+    assert(exact(99L) === 1.0, s"exact path must rank NaN top: ${exact(99L)}")
+    assert(approx(99L) >= 0.95,
+      s"approx path must rank NaN at the top like the exact: ${approx(99L)}")
+  }
 }

@@ -169,4 +169,27 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(p90A - p90E) <= 20.0, s"p90 $s: kll=$p90A exact=$p90E")
     }
   }
+
+  test("DataCard counts null-text docs instead of silently dropping them") {
+    // md5(null) is null and a non-null-safe join would drop the row from
+    // every stat; null coalesces to the empty document
+    val docs = Seq((1L, "en", "some words here", 15),
+      (2L, "en", null.asInstanceOf[String], 0),
+      (3L, "en", null.asInstanceOf[String], 0)).toDF("doc_id", "lang", "text", "n_chars")
+    val card = DataCard.build(docs, "lang", "text", "n_chars").collect().head
+    assert(card.getAs[Long]("n_docs") === 3L,
+      s"null-text docs dropped from the card: $card")
+    // the two null docs fingerprint identically → both are dup_docs
+    assert(card.getAs[Long]("dup_docs") === 2L, card)
+  }
+
+  test("betweenReport: two rules on one column; empty rule list") {
+    val df = Seq((50, "a"), (250, "b")).toDF("hr", "k")
+    val rep = Expectations.betweenReport(df, Seq(
+        Expectations.Between("hr", 30, 200), Expectations.Between("hr", 60, 300)))
+      .select("column_name", "lo", "unexpected_count")
+      .as[(String, Double, Long)].collect().toSet
+    assert(rep === Set(("hr", 30.0, 1L), ("hr", 60.0, 1L)), rep)
+    assert(Expectations.betweenReport(df, Nil).count() === 0L)
+  }
 }
