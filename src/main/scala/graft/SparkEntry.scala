@@ -3046,7 +3046,7 @@ object SparkEntry {
 
     "q18_fingerprint" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))) AS fp,
         |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -3227,15 +3227,17 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q71_segment_dedup" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts,
+        |              regexp_extract_all(text, '\S+') AS tr FROM documents),
         |seg AS (SELECT doc_id, CAST((i - 1) // 3 AS INT) AS seg_idx,
-        |               list_aggregate(ts[i : i + 2], 'string_agg', ' ') AS seg
+        |               list_aggregate(ts[i : i + 2], 'string_agg', ' ') AS seg,
+        |               list_aggregate(tr[i : i + 2], 'string_agg', ' ') AS segr
         |        FROM tok, UNNEST(generate_series(1, len(ts), 3)) AS u(i)
         |        WHERE len(ts) >= 1),
-        |r AS (SELECT doc_id, seg_idx, seg, row_number() OVER (
+        |r AS (SELECT doc_id, seg_idx, segr, row_number() OVER (
         |        PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM seg)
         |SELECT doc_id, COUNT(*) AS n_kept,
-        |  string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+        |  string_agg(segr, ' ' ORDER BY seg_idx) AS kept_text
         |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q72: the oracle regenerates each synthetic BMP's pixel grid from the

@@ -53,6 +53,14 @@ case class PqEncode(left: Expression, right: Expression)
     }
     val m = centers.length
     val sub = if (m > 0) centers(0)(0).length else 0
+    // dimension mismatch fails LOUDLY: a longer vector would silently
+    // encode from a prefix with the wrong subspace layout (wrong ANN
+    // results), a shorter one would crash with a bare index error
+    if (x.length != m * sub)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dim ${x.length} != codebook dim ${m * sub} " +
+          s"(m=$m x sub=$sub) — the codebook was trained on different " +
+          "embeddings")
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {

@@ -40,6 +40,11 @@ case class SearchSortedBucket(left: Expression, right: Expression)
 
   override protected def nullSafeEval(x: Any, bounds: Any): Any = {
     val v = x.asInstanceOf[Double]
+    // NaN takes the TOP bucket, where Spark's sort order places it
+    // (greater than every double) — falling through the <= comparisons
+    // would land it in bucket 0, co-locating NaN rows with the smallest
+    // values in quantile layouts
+    if (java.lang.Double.isNaN(v)) return boundaries.length
     // count of boundaries <= v: binarySearch gives insertion point; step
     // over equal runs so ties land in the upper bucket consistently
     var lo = 0

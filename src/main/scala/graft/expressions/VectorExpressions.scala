@@ -130,6 +130,10 @@ case class HyperplaneLsh(first: Expression, second: Expression, third: Expressio
   override def nullSafeEval(a: Any, nBitsA: Any, seedA: Any): Any = {
     val x = VecOps.toDoubles(a.asInstanceOf[ArrayData], VecOps.elemType(first.dataType))
     val nBits = nBitsA.asInstanceOf[Int]
+    // the signature packs into one long: past 64, (1L << b) wraps and
+    // bit b silently aliases bit b-64 — degraded buckets with no error
+    require(nBits >= 1 && nBits <= 64,
+      s"$prettyName: nBits must be in [1, 64], got $nBits")
     val seed = seedA.asInstanceOf[Int].toLong
     var out = 0L
     var b = 0

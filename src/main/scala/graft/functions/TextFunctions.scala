@@ -126,10 +126,15 @@ object TextFunctions {
 
   /** Rolling-hash document fingerprint over normalized text: lowercase,
     * collapse non-alphanumerics to single spaces, md5. Equal fingerprints ⇔
-    * equal normalized content.
+    * equal normalized content. Alphanumeric means UNICODE letters/digits
+    * (`\p{L}\p{N}`) — an ASCII-only class would strip every character of
+    * a Chinese/Cyrillic/Arabic document, fingerprint all of them as the
+    * empty string, and a dedup keyed on this would silently delete every
+    * non-Latin doc but one. (Replayed by the q18 oracle — RE2's
+    * `[^\p{L}\p{N}]` agrees with Java's on this class.)
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+    md5(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")))
 
   // --- language id (n-gram/stopword heuristic) -----------------------------
 

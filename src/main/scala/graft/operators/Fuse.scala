@@ -36,8 +36,7 @@ object Fuse {
     graft.GraftFunctions.register(runs.head.sparkSession)
     val tagged = runs.zipWithIndex.map { case (r, i) =>
       r.select(col(qCol).as("q"), col(idCol).as("item"),
-        round(lit(1.0) / (lit(c) + col(rankCol).cast("long")), 9).as("contrib"),
-        lit(i).as("run"))
+        round(lit(1.0) / (lit(c) + col(rankCol).cast("long")), 9).as("contrib"))
     }.reduce(_ unionByName _)
     // fixed-point exact sum of the 9-decimal reciprocals (see Bm25.score):
     // order-independent long addition, no per-group list state
@@ -90,8 +89,7 @@ object Fuse {
         .select(col("q"), col("item"),
           round(lit(w) * when(col("mx") === col("mn"), lit(1.0))
             .otherwise(round((col("s") - col("mn")) / (col("mx") - col("mn")), 6)),
-            6).as("contrib"),
-          lit(i).as("run"))
+            6).as("contrib"))
     }.reduce(_ unionByName _)
     val scored = tagged.groupBy("q", "item")
       .agg(round(sum(round(col("contrib") * 1e6, 0).cast("long"))

@@ -62,10 +62,13 @@ object Importance {
       .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
       .select(col("b"), round(log(
+        // totals coalesce to 0 (sum over an empty frame is null): an
+        // EMPTY target then reads as the uniform model (alpha mass only)
+        // instead of null-poisoning every document's weight
         ((coalesce(col("t_n"), lit(0L)) + lit(alpha)) /
-          (col("t_tot") + lit(alpha * buckets))) /
+          (coalesce(col("t_tot"), lit(0L)) + lit(alpha * buckets))) /
         ((coalesce(col("r_n"), lit(0L)) + lit(alpha)) /
-          (col("r_tot") + lit(alpha * buckets)))), 6).as("lr"))
+          (coalesce(col("r_tot"), lit(0L)) + lit(alpha * buckets)))), 6).as("lr"))
     // fixed-point exact sum of the 6-decimal contributions (see
     // Bm25.score): order-independent long addition handles the negative
     // log-ratios exactly too

@@ -194,23 +194,29 @@ object TextDedup {
     */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
                     segN: Int = 8): DataFrame = {
+    // match on LOWERCASED segments, reassemble from CASE-PRESERVING ones
+    // (same positions — lowercasing never moves whitespace): rebuilding
+    // from the match-side tokens would silently case-fold every surviving
+    // document, cf. SubstringDedup.cutSpans
     val segs = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__ts"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__tr"))
       .where(size(col("__ts")) > 0)
       .select(col("__id"),
         posexplode(sequence(lit(0), size(col("__ts")) - 1, lit(segN)))
           .as(Seq("__seg_idx", "__start")),
-        col("__ts"))
+        col("__ts"), col("__tr"))
       .select(col("__id"), col("__seg_idx"),
-        array_join(slice(col("__ts"), col("__start") + 1, lit(segN)), " ").as("__seg"))
+        array_join(slice(col("__ts"), col("__start") + 1, lit(segN)), " ").as("__seg"),
+        array_join(slice(col("__tr"), col("__start") + 1, lit(segN)), " ").as("__seg_raw"))
     val firstSeen = Window.partitionBy(md5(col("__seg")))
       .orderBy(col("__id"), col("__seg_idx"))
     segs.withColumn("__rn", row_number().over(firstSeen))
       .where(col("__rn") === 1)
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("__seg_idx"), col("__seg")))),
-          x => x.getField("__seg")), " ").as("kept_text"))
+        array_join(transform(array_sort(collect_list(struct(col("__seg_idx"), col("__seg_raw")))),
+          x => x.getField("__seg_raw")), " ").as("kept_text"))
       .select(col("__id").as(idCol), col("n_kept"), col("kept_text"))
   }
 

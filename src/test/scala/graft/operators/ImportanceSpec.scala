@@ -86,6 +86,17 @@ class ImportanceSpec extends SparkSpec {
     assert(got(1L) > got(3L), "target doc itself scores high")
   }
 
+  test("an empty target yields finite uniform-model weights, not nulls") {
+    // sum over an empty frame is null; un-coalesced totals would
+    // null-poison every document's weight and downstream keep/drop
+    // selections would decide on null semantics instead of failing
+    val got = Importance.weights(docs, docs.where(col("grp") === "nope"),
+        "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got.nonEmpty && got.values.forall(w => !w.isNaN && !w.isInfinite),
+      s"empty target must read as the uniform model: $got")
+  }
+
   test("bucket tables broadcast; only (doc,bucket) rows shuffle") {
     val plan = Importance.weights(docs, docs.where(col("grp") === "t"),
         "doc_id", "text")

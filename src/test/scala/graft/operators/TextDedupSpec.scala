@@ -129,6 +129,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, "p q r s t")))
   }
 
+  test("normalized fingerprint distinguishes non-Latin documents") {
+    // an ASCII-only [^a-z0-9] class strips every character of these docs,
+    // fingerprints all of them as md5("") and a dedup would keep ONE
+    val docs = Seq((1L, "你好 世界"), (2L, "机器 学习"), (3L, "Привет мир"),
+      (4L, "你好 世界")).toDF("doc_id", "text")
+    val kept = TextDedup.exact(docs, "doc_id", "text", normalized = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L),
+      s"distinct non-Latin docs collapsed by the fingerprint: $kept")
+  }
+
+  test("segment dedup preserves the surviving text's case") {
+    val docs = Seq(
+      (1L, "The President said NATO will act"),
+      (2L, "the president said nato plans differ")).toDF("doc_id", "text")
+    val out = TextDedup.dedupSegments(docs, "doc_id", "text", segN = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // doc 2's first segment dups doc 1's (case-insensitive match) and is
+    // cut; the KEPT text must carry each doc's original case — before the
+    // fix doc 1 came back fully lowercased
+    assert(out.toSeq === Seq((1L, 2L, "The President said NATO will act"),
+      (2L, 1L, "nato plans differ")), out.toSeq)
+  }
+
   test("tuneBands picks the factorization whose S-curve inflection is nearest") {
     // 16 hashes: inflections (b,r) -> (1/b)^(1/r): (16,1)=.0625, (8,2)=.354,
     // (4,4)=.707, (2,8)=.917, (1,16)=1.0
