@@ -42,9 +42,15 @@ object ExportReader {
 
   private def baseName(n: String): String = n.substring(n.lastIndexOf('/') + 1)
 
-  /** Extract selected members to a temp dir; returns member → local path. */
+  /** Extract selected members to a temp dir; returns member → local path.
+    * The dir and files register deleteOnExit as a JVM-lifetime backstop;
+    * long-lived sessions ingesting many archives should pass a
+    * `stagingDir` to [[readExport]] (shared-FS staging they own) or use
+    * [[readExportsDistributed]], which never extracts at all.
+    */
   def extract(zipPath: String, members: Seq[Member]): Map[String, String] = {
     val dir = Files.createTempDirectory("graft_export_").toFile
+    dir.deleteOnExit() // registered FIRST: deleteOnExit runs in reverse order
     val zf = new ZipFile(zipPath)
     try {
       members.map { m =>
@@ -54,10 +60,40 @@ object ExportReader {
         require(out.getCanonicalPath.startsWith(dir.getCanonicalPath + File.separator),
           s"zip entry escapes extraction dir: ${m.name}")
         Files.createDirectories(out.getParentFile.toPath)
+        var p = out.getParentFile
+        while (p != null && !p.getCanonicalPath.equals(dir.getCanonicalPath)) {
+          p.deleteOnExit(); p = p.getParentFile
+        }
+        out.deleteOnExit()
         val in = zf.getInputStream(zf.getEntry(m.name))
         val os = new FileOutputStream(out)
         try in.transferTo(os) finally { os.close(); in.close() }
         m.name -> out.getAbsolutePath
+      }.toMap
+    } finally zf.close()
+  }
+
+  /** [[extract]] through the Hadoop FileSystem to a caller-owned staging
+    * dir (HDFS/s3a/...) — the CLUSTER-safe path: driver-local temp files
+    * are invisible to executors on a multi-node deployment, so
+    * [[readExport]] must stage somewhere every node can read. The caller
+    * owns the staging lifetime (delete after the frames are consumed).
+    */
+  def extractTo(spark: SparkSession, zipPath: String, members: Seq[Member],
+                stagingDir: String): Map[String, String] = {
+    val base = new org.apache.hadoop.fs.Path(stagingDir,
+      "graft_export_" + java.util.UUID.randomUUID().toString.take(8))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val zf = new ZipFile(zipPath)
+    try {
+      members.map { m =>
+        require(!m.name.split('/').contains(".."),
+          s"zip entry escapes staging dir: ${m.name}")
+        val out = new org.apache.hadoop.fs.Path(base, m.name)
+        val in = zf.getInputStream(zf.getEntry(m.name))
+        val os = fs.create(out, true)
+        try in.transferTo(os) finally { os.close(); in.close() }
+        m.name -> out.toString
       }.toMap
     } finally zf.close()
   }
@@ -68,9 +104,19 @@ object ExportReader {
     * semantics: missing fields → null, mistyped → null via PERMISSIVE read).
     */
   def readExport(spark: SparkSession, zipPath: String, cohort: String,
-                 schemaFor: String => Option[StructType]): Map[String, DataFrame] = {
+                 schemaFor: String => Option[StructType],
+                 stagingDir: Option[String] = None): Map[String, DataFrame] = {
+    // driver-local extraction is only readable by executors in LOCAL mode;
+    // on a cluster the member paths must land on a shared filesystem
+    require(stagingDir.isDefined || spark.sparkContext.isLocal,
+      "readExport on a multi-node cluster needs a shared-FS stagingDir " +
+        "(driver-local temp files are invisible to executors) — pass " +
+        "stagingDir, or use readExportsDistributed for the no-extract path")
     val members = listMembers(zipPath).filter(_.metadata.isDefined)
-    val paths = extract(zipPath, members)
+    val paths = stagingDir match {
+      case Some(d) => extractTo(spark, zipPath, members, d)
+      case None => extract(zipPath, members)
+    }
     members.groupBy(_.metadata.get.routedType).flatMap { case (routedType, ms) =>
       schemaFor(routedType).map { schema =>
         val dfs = ms.map { m =>
@@ -106,11 +152,18 @@ object ExportReader {
   def parseMembers(lines: DataFrame, routedType: String, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{from_json, regexp_extract, not}
     val base = regexp_extract(col("member"), "([^/]+)$", 1)
+    // EXACTLY Transforms.fileRe's shape (one optional letter-initial
+    // subtype segment, date or date-range, .json) — a looser pattern here
+    // would route members the driver path's parseFileName rejects, and
+    // the two ingest paths would silently produce different datasets
+    // from the same archive
+    val seg = "(_[A-Za-z][A-Za-z0-9]*)?"
+    val dates = "_\\d{8}(-\\d{8})?\\.json$"
     val cond = if (routedType.endsWith("_Deleted")) {
       val t = routedType.stripSuffix("_Deleted")
-      base.rlike(s"^${t}(_[A-Za-z0-9]+)*_Deleted_\\d{8}")
+      base.rlike(s"^${t}${seg}_Deleted$dates")
     } else {
-      base.rlike(s"^${routedType}(_[A-Za-z0-9]+)*_\\d{8}") &&
+      base.rlike(s"^${routedType}${seg}$dates") &&
         not(base.contains("_Deleted_"))
     }
     lines.where(cond)

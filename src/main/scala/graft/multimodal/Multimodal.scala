@@ -170,8 +170,15 @@ object Multimodal {
     media.filter(_.modality == "video").flatMap { m =>
       val n = math.max(1, (m.durationMs / everyMs).toInt)
       (0 until n).map { f =>
-        val sliceStart = if (m.content.isEmpty) 0 else (f * m.content.length / n)
-        val slice = m.content.drop(sliceStart)
+        // bounded slice [start, nextStart): drop() copies the whole
+        // remaining payload per frame — O(frames x payload) allocation,
+        // ~180 GB transient for a 100 MB hour-long video — and frames
+        // would overlap instead of partitioning the stream
+        val len = m.content.length
+        val sliceStart = if (len == 0) 0 else (f.toLong * len / n).toInt
+        val sliceEnd = if (len == 0) 0 else ((f + 1L) * len / n).toInt
+        val slice = java.util.Arrays.copyOfRange(m.content, sliceStart,
+          math.max(sliceStart, sliceEnd))
         (m.media_id, f, f * everyMs, decodeStub(slice, dim))
       }
     }.toDF("media_id", "frame_idx", "offset_ms", "feature")

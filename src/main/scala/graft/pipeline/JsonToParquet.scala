@@ -127,12 +127,15 @@ object JsonToParquet {
     * raw text of any line that failed the declared schema in a corrupt
     * column (the "corrupt-record column for audit" noted in SURVEY §4's
     * schema-conflict row — the reference only *logs* transform fallbacks,
-    * `s3_to_json.py:291-348`). Returns (clean rows, corrupt raw lines).
-    * The source is cached because Spark disallows filtering a JSON scan on
-    * the corrupt column alone; the cache is the caller's to release.
+    * `s3_to_json.py:291-348`). Returns (clean rows, corrupt raw lines,
+    * cleanup): the source is cached because Spark disallows filtering a
+    * JSON scan on the corrupt column alone, and the returned cleanup
+    * hook unpersists THAT cached base — the caller could not otherwise
+    * release it (unpersisting the two derived frames does not evict the
+    * shared base plan, and clearCache() evicts everyone's).
     */
   def scanAudited(spark: SparkSession, path: String,
-                  schema: StructType): (DataFrame, DataFrame) = {
+                  schema: StructType): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.col
     val corruptCol = "_corrupt_record"
     val df = spark.read
@@ -144,6 +147,7 @@ object JsonToParquet {
     val crawlerCols = df.columns.filter(_.startsWith("partition_"))
     val base = if (crawlerCols.isEmpty) df else df.drop(crawlerCols.toIndexedSeq: _*)
     (base.where(col(corruptCol).isNull).drop(corruptCol),
-      base.where(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_line")))
+      base.where(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_line")),
+      () => { df.unpersist(); () })
   }
 }

@@ -91,6 +91,8 @@ object Orchestrator {
     */
   def reconcile(expected: DataFrame, present: DataFrame,
                 keyCols: Seq[String]): DataFrame =
-    expected.join(present.select(keyCols.map(col): _*).distinct(),
-      keyCols, "left_anti")
+    // no distinct on the anti side: left_anti is duplicate-insensitive on
+    // the right, and the hash-aggregate would add a second full shuffle
+    // of the present-side keys for identical output
+    expected.join(present.select(keyCols.map(col): _*), keyCols, "left_anti")
 }

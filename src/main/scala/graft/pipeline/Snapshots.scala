@@ -137,6 +137,10 @@ object Snapshots {
     val (fs, _) = fsFor(spark, root)
     versions(spark, root, completeOnly = false)
       .filter(_._1 < cutoff)
-      .map { case (_, p) => fs.delete(p, true); p.toString }
+      // report only what was ACTUALLY deleted — fs.delete returns false
+      // on permission/partial failures and the caller's retention audit
+      // must not claim a still-visible version is gone
+      .flatMap { case (_, p) =>
+        if (fs.delete(p, true)) Some(p.toString) else None }
   }
 }

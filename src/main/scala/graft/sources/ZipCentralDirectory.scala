@@ -29,7 +29,8 @@ object ZipCentralDirectory {
     * compression method (0 = stored, 8 = deflate).
     */
   final case class Entry(name: String, method: Int, compressedSize: Long,
-                         uncompressedSize: Long, localHeaderOffset: Long)
+                         uncompressedSize: Long, localHeaderOffset: Long,
+                         flags: Int = 0)
 
   private val EocdSig = 0x06054b50
   private val Zip64LocatorSig = 0x07064b50
@@ -110,6 +111,7 @@ object ZipCentralDirectory {
       if (p + 46 > cd.length || s32(cd, p) != CenSig)
         throw new java.util.zip.ZipException(
           s"bad central-directory entry at +$p in $where")
+      val flags = u16(cd, p + 8)
       val method = u16(cd, p + 10)
       var csize = u32(cd, p + 20)
       var usize = u32(cd, p + 24)
@@ -119,20 +121,28 @@ object ZipCentralDirectory {
       var lho = u32(cd, p + 42)
       val name = new String(cd, p + 46, nameLen, StandardCharsets.UTF_8)
 
-      // zip64 extra field overrides, in spec order: usize, csize, lho
+      // zip64 extra field overrides, in spec order: usize, csize, lho —
+      // reads bounded by the FIELD's own end, not the whole extra block:
+      // a short zip64 field followed by another extra field would
+      // otherwise fill csize/lho from the neighbor's header bytes
       var q = p + 46 + nameLen
       val extraEnd = q + extraLen
       while (q + 4 <= extraEnd) {
         val id = u16(cd, q); val sz = u16(cd, q + 2)
+        val fieldEnd = math.min(extraEnd, q + 4 + sz)
         if (id == 0x0001) {
           var r = q + 4
-          if (usize == 0xffffffffL && r + 8 <= extraEnd) { usize = u64(cd, r); r += 8 }
-          if (csize == 0xffffffffL && r + 8 <= extraEnd) { csize = u64(cd, r); r += 8 }
-          if (lho == 0xffffffffL && r + 8 <= extraEnd) { lho = u64(cd, r) }
+          if (usize == 0xffffffffL && r + 8 <= fieldEnd) { usize = u64(cd, r); r += 8 }
+          if (csize == 0xffffffffL && r + 8 <= fieldEnd) { csize = u64(cd, r); r += 8 }
+          if (lho == 0xffffffffL && r + 8 <= fieldEnd) { lho = u64(cd, r) }
         }
         q += 4 + sz
       }
-      out += Entry(name, method, csize, usize, lho)
+      if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL)
+        throw new java.util.zip.ZipException(
+          s"member $name in $where carries zip64 sentinels its zip64 extra " +
+            "field does not resolve")
+      out += Entry(name, method, csize, usize, lho, flags)
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }
@@ -145,6 +155,13 @@ object ZipCentralDirectory {
     * reuses it across members.
     */
   def openMember(in: FSDataInputStream, e: Entry): InputStream = {
+    // fail LOUDLY on encryption (general-purpose flag bit 0): the bounded
+    // raw stream would otherwise emit the 12-byte crypt header plus
+    // ciphertext as data rows — java.util.zip.ZipFile errors on these, and
+    // the two ingest paths must agree
+    if ((e.flags & 1) != 0)
+      throw new java.util.zip.ZipException(
+        s"member ${e.name} is encrypted (GP flag bit 0) — unsupported")
     val hdr = new Array[Byte](30)
     in.readFully(e.localHeaderOffset, hdr)
     if (s32(hdr, 0) != LocSig)

@@ -81,8 +81,15 @@ object ZipLineSource {
       }
       .filterNot(_.uncompressedSize == 0)
       .filter(e => memberRegex.forall(r => e.name.matches(r)))
-      .map(e => MemberRef(archive, e.name, math.max(e.compressedSize, 0L),
-        e.method, e.localHeaderOffset))
+      // planning-time encryption check: the partition's MemberRef drops
+      // the flags field, so a read-time check could not see it
+      .map { e =>
+        if ((e.flags & 1) != 0)
+          throw new java.util.zip.ZipException(
+            s"member ${e.name} in $archive is encrypted — unsupported")
+        MemberRef(archive, e.name, math.max(e.compressedSize, 0L),
+          e.method, e.localHeaderOffset)
+      }
   }
 
   /** First-fit-decreasing bin packing of members into partitions. */
@@ -96,9 +103,12 @@ object ZipLineSource {
       bin.size += m.compressedSize
       bin.ms += m
     }
-    // group each bin by archive so the reader holds one archive stream open
-    // per archive instead of reopening on every interleaved member
-    bins.map(_.ms.sortBy(m => (m.archive, m.member)).toSeq).toSeq
+    // group each bin by archive so the reader holds one archive stream
+    // open per archive instead of reopening on every interleaved member;
+    // WITHIN an archive order by physical offset — name order seeks
+    // backwards whenever name order differs from write order, and on s3a
+    // every backward seek aborts and reopens the HTTP stream
+    bins.map(_.ms.sortBy(m => (m.archive, m.localHeaderOffset)).toSeq).toSeq
   }
 }
 

@@ -428,5 +428,17 @@ class IvfSpec extends SparkSpec {
     assert(flat.select("GlobalKey").as[String].collect().toSet === Set("a", "b", "c"))
     val deleted = ExportReader.parseMembers(lines, "TestFlat_Deleted", schema)
     assert(deleted.select("GlobalKey").as[String].collect().toSet === Set("b"))
+
+    // routing parity with the driver path: a multi-segment name that
+    // Transforms.parseFileName rejects must not be routed here either —
+    // the two ingest paths must produce the same dataset from one archive
+    writeZip("e3.zip",
+      "TestFlat_Sub1_Sub2_20230514.json" -> "{\"GlobalKey\":\"z\"}")
+    assert(graft.ingest.Transforms
+      .parseFileName("TestFlat_Sub1_Sub2_20230514.json").isEmpty)
+    val lines3 = ExportReader.readExportsDistributed(spark,
+      s"${tmp.getAbsolutePath}/e3.zip")
+    assert(ExportReader.parseMembers(lines3, "TestFlat", schema).isEmpty,
+      "distributed routing accepted a name the driver path rejects")
   }
 }

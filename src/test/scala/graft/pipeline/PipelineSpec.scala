@@ -147,12 +147,13 @@ class PipelineSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("a", StringType),
       StructField("b", org.apache.spark.sql.types.IntegerType)))
-    val (clean, corrupt) = graft.pipeline.JsonToParquet.scanAudited(
+    val (clean, corrupt, release) = graft.pipeline.JsonToParquet.scanAudited(
       spark, tmp.getAbsolutePath, schema)
     assert(clean.count() === 2)
     assert(clean.columns.toSeq === Seq("a", "b"))
     val bad = corrupt.collect().map(_.getString(0)).toSet
     assert(bad.size === 2 && bad.exists(_.contains("not json")))
+    release() // the hook evicts the cached base scan the tuple shares
   }
 
   test("extract keeps members distinct when flattened names would collide") {
