@@ -594,7 +594,8 @@ object SparkEntry {
       val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
         shingleN = 4, threshold = 0.05)
       ConnectedComponents.components(s, docs.select("doc_id"), pairs,
-          idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+          idCol = "doc_id", aCol = "id_a", bCol = "id_b",
+          assumeEdgesClosed = true) // pairs derive from docs — closed
         .orderBy("doc_id")
     }),
 
@@ -1177,7 +1178,8 @@ object SparkEntry {
       val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
         shingleN = 4, threshold = 0.05)
       val comp = ConnectedComponents.components(s, docs.select("doc_id"),
-        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b",
+        assumeEdgesClosed = true)
       comp.join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("component")
         .agg(call_function("graft_kmin",
@@ -1216,7 +1218,8 @@ object SparkEntry {
       val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
         shingleN = 4, threshold = 0.05)
       val comp = ConnectedComponents.components(s, docs.select("doc_id"),
-        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b",
+        assumeEdgesClosed = true)
       val bucket = (conv(substring(md5(concat(col("component").cast("string"),
         lit(":split"))), 1, 4), 16, 10).cast("long") % 100)
       comp.withColumn("split",
@@ -1273,7 +1276,8 @@ object SparkEntry {
       val pairs = TextDedup.minHashNearDup(docs, "doc_id", "text",
         shingleN = 4, numHashes = 16, rowsPerBand = rpb, threshold = 0.05)
       val comp = ConnectedComponents.components(s, docs.select("doc_id"),
-        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b")
+        pairs, idCol = "doc_id", aCol = "id_a", bCol = "id_b",
+        assumeEdgesClosed = true)
       val canon = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
         .groupBy("component")
         .agg(call_function("graft_kmin",

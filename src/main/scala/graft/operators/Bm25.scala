@@ -266,11 +266,13 @@ object Bm25 {
           .isin(buckets.map(java.lang.Long.valueOf): _*))
       } else index.postings
     val pruned = store.join(broadcast(qDistinct), Seq("term"))
-    // df as a window count riding one exchange on term (the note-57 cap
-    // shape): a groupBy + self-join would scan the bucket-pruned store
-    // twice — two parquet reads of the postings slice per query call
-    val withDf = pruned.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    // df via groupBy + broadcast join-back, NOT a window count: the
+    // aggregated frame is query-terms-sized so the join back is a
+    // broadcast with no exchange of the postings, while a window on term
+    // forces a full sort+exchange of the postings slice — measured 2x
+    // slower on the indexed-query gates (r14: q86 1.1 -> 2.3 s, reverted)
+    val withDf = pruned.join(
+      broadcast(pruned.groupBy("term").agg(count(lit(1)).as("df"))), Seq("term"))
     val candidates = allowedDocs.map { a =>
       withDf.join(a.select(col(a.columns.head).as("doc_id")),
         Seq("doc_id"), "left_semi")

@@ -424,12 +424,12 @@ object Ivf {
             excludeSelf: Boolean = true, pruneCells: Boolean = true,
             filter: Option[Column] = None): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
-    // queries x nProbe rows — materialized under pruneCells because TWO
-    // consumers follow (the eager cell collect and the candidate join);
-    // left lazy, the whole probe subplan (and the caller's derived
-    // queries lineage under it) would execute twice per call
-    val probes0 = probeCells(index, q, nProbe)
-    val probes = if (pruneCells) probes0.localCheckpoint(true) else probes0
+    // two consumers follow under pruneCells (the eager cell collect and
+    // the candidate join), so the probe subplan runs twice — accepted:
+    // it is queries x broadcast-centroids work, and an eager
+    // localCheckpoint barrier here measured 2x SLOWER on the lifecycle
+    // gate (r14: q93 3.1 -> 6.0 s isolated, reverted)
+    val probes = probeCells(index, q, nProbe)
     val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable

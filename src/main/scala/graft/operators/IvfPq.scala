@@ -161,13 +161,12 @@ object IvfPq {
     // for ADC (the codebooks are trained on normalized vectors) and the
     // cosine rerank.
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_emb"))
-    val probes0 = Ivf.probeCells(index.ivf, q, nProbe)
+    // the probe subplan runs once for the eager cell collect and once in
+    // the ADC join — accepted, see Ivf.query's note (a localCheckpoint
+    // barrier measured 2x slower on the lifecycle gate)
+    val probes = Ivf.probeCells(index.ivf, q, nProbe)
       .withColumn("q_emb", normalizeFast(col("q_emb")))
       .withColumn("tbl", Pq.adcTable(col("q_emb"), index.cb))
-    // materialized under pruneCells — the eager cell collect and the ADC
-    // join would otherwise each run the probe subplan (and recompute
-    // every query's ADC table); see Ivf.query
-    val probes = if (pruneCells) probes0.localCheckpoint(true) else probes0
     val pruned =
       if (pruneCells) {
         // ≤ nCells values by construction — always collectable

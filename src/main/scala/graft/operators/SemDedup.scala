@@ -86,7 +86,8 @@ object SemDedup {
       .assigned
     val p = pairs(assigned, tau, maxClusterSize)
     val reps = ConnectedComponents.components(spark,
-      assigned.select("id"), p, idCol = "id", aCol = "id_a", bCol = "id_b")
+      assigned.select("id"), p, idCol = "id", aCol = "id_a", bCol = "id_b",
+      assumeEdgesClosed = true) // pairs derive from assigned — closed
     assigned.select("id", "cell").join(reps, Seq("id"))
       .select(col("id").as(id), col("cell"), col("component").as("rep"),
         (col("id") === col("component")).as("keep"))
