@@ -68,6 +68,29 @@ object CompareDatasets {
     */
   def summary(left: DataFrame, right: DataFrame, keys: Seq[String],
               compareCols: Seq[String]): DataFrame = {
+    val paired = pairRows(left, right, keys, compareCols)
+    val inLeft = col("__s0").isNotNull
+    val inRight = col("__s1").isNotNull
+    val aggs: Seq[Column] =
+      Seq(
+        sum(when(inLeft && inRight, 1L).otherwise(0L)).as("n_common"),
+        sum(when(inLeft && !inRight, 1L).otherwise(0L)).as("n_left_only"),
+        sum(when(!inLeft && inRight, 1L).otherwise(0L)).as("n_right_only")) ++
+        compareCols.map(c =>
+          sum(when(inLeft && inRight && !(col(s"__s0.$c") <=> col(s"__s1.$c")), 1L)
+            .otherwise(0L)).as(s"n_mismatch_$c"))
+    paired.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Positional side-pairing shared by [[summary]] and [[mismatchRows]]:
+    * one row per paired slot, `__s0`/`__s1` structs null when that side is
+    * absent. Using ONE pairing for both keeps the counts and the row-level
+    * detail consistent — an inner join here would cross-product duplicate
+    * keys (n·m joined rows where the summary counts min(n, m) pairs) and
+    * the diff CSV would disagree with its own report header.
+    */
+  private def pairRows(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       compareCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // when there are no compared columns (sides share only the key),
     // duplicate rows within a key are indistinguishable — any stable
@@ -95,31 +118,26 @@ object CompareDatasets {
     def packed(side: Int) =
       max(when(col("__side") === side,
         struct(lit(1).as("p") +: compareCols.map(col): _*))).as(s"__s$side")
-    val paired = indexed.groupBy(keys.map(col) :+ col("__dup_idx"): _*)
+    indexed.groupBy(keys.map(col) :+ col("__dup_idx"): _*)
       .agg(packed(0), packed(1))
-    val inLeft = col("__s0").isNotNull
-    val inRight = col("__s1").isNotNull
-    val aggs: Seq[Column] =
-      Seq(
-        sum(when(inLeft && inRight, 1L).otherwise(0L)).as("n_common"),
-        sum(when(inLeft && !inRight, 1L).otherwise(0L)).as("n_left_only"),
-        sum(when(!inLeft && inRight, 1L).otherwise(0L)).as("n_right_only")) ++
-        compareCols.map(c =>
-          sum(when(inLeft && inRight && !(col(s"__s0.$c") <=> col(s"__s1.$c")), 1L)
-            .otherwise(0L)).as(s"n_mismatch_$c"))
-    paired.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-key mismatch detail over common keys: key cols + one boolean per
-    * compared column (true = differs). Used by the row-diff CSVs.
+    * compared column (true = differs). Used by the row-diff CSVs. Duplicate
+    * keys pair positionally through the SAME pairing as [[summary]], so the
+    * emitted rows are exactly the pairs the summary counted as mismatched
+    * (datacompy's cumcount semantics) — not an inner-join cross product.
     */
   def mismatchRows(left: DataFrame, right: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
-    val joined = left.select((keys ++ compareCols).map(col): _*).as("l")
-      .join(right.select((keys ++ compareCols).map(col): _*).as("r"), keys, "inner")
+    // nothing to compare (sides share only the keys) → no mismatch rows;
+    // the unguarded reduce below would otherwise throw at plan time
+    if (compareCols.isEmpty) return left.select(keys.map(col): _*).limit(0)
+    val paired = pairRows(left, right, keys, compareCols)
     val flags = compareCols.map(c =>
-      (!(col(s"l.$c") <=> col(s"r.$c"))).as(s"diff_$c"))
-    joined.select(keys.map(col) ++ flags: _*)
+      (!(col(s"__s0.$c") <=> col(s"__s1.$c"))).as(s"diff_$c"))
+    paired.where(col("__s0").isNotNull && col("__s1").isNotNull)
+      .select(keys.map(col) ++ flags: _*)
       .where(compareCols.map(c => col(s"diff_$c")).reduce(_ || _))
   }
 

@@ -64,6 +64,10 @@ object CompareReport {
   /** Write the report like the reference does: one txt + row-level CSVs.
     * Row-diff output order is randomized like the reference's sample-all
     * shuffle (A6, `compare_row_diffs`, `compare_parquet_datasets.py:510-532`).
+    * The txt goes through the Hadoop FileSystem API — the CSVs already do
+    * (Spark writers), and a driver-local `java.nio` write would silently
+    * split the report across filesystems the moment `outDir` is a shared
+    * path (s3a://, hdfs://) on a real cluster.
     */
   def write(report: Report, outDir: String, shuffleRows: Boolean = true): Unit = {
     def csv(df: DataFrame, name: String): Unit = {
@@ -71,10 +75,12 @@ object CompareReport {
       out.coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/$name")
     }
-    val fs = new java.io.File(outDir)
-    fs.mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/comparison_report.txt"), report.summaryText)
+    val spark = report.mismatchRows.sparkSession
+    val (fs, dir) = graft.pipeline.Snapshots.fsFor(spark, outDir)
+    fs.mkdirs(dir)
+    val txt = fs.create(new org.apache.hadoop.fs.Path(dir, "comparison_report.txt"), true)
+    try txt.write(report.summaryText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally txt.close()
     csv(report.mismatchRows, "rows_with_diffs")
     csv(report.leftOnlyRows, "rows_only_in_left")
     csv(report.rightOnlyRows, "rows_only_in_right")

@@ -68,6 +68,11 @@ object Pca {
               "randomized/iterative SVD")
             s = new Array[Double](d); g = new Array[Double](d * d)
           }
+          // a SHORTER vector would silently contribute partial moments (a
+          // longer one at least crashes on the array bound) — ragged
+          // embedding columns are data corruption, fail with the geometry
+          require(d == s.length,
+            s"Pca.fit: ragged vector column — saw dimensions ${s.length} and $d")
           var i = 0
           while (i < d) {
             s(i) += x(i)
@@ -81,6 +86,11 @@ object Pca {
         if (n == 0) Iterator.empty else Iterator.single((n, s, g))
       }
       .reduce { (a, b) =>
+        // partitions are internally consistent (checked above); raggedness
+        // ACROSS partitions surfaces here
+        require(a._2.length == b._2.length,
+          s"Pca.fit: ragged vector column — saw dimensions ${a._2.length} " +
+          s"and ${b._2.length} in different partitions")
         var i = 0
         while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
         i = 0

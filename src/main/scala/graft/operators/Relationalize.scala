@@ -59,10 +59,20 @@ object Relationalize {
     }
 
     def resolveNames(paths: Seq[Seq[String]]): Seq[String] = {
-      // Parent columns: dotted path -> underscores; collisions keep first
-      // occurrence's short name and later ones progressively... parent paths
-      // are struct paths, which cannot collide once fully qualified.
-      paths.map(_.mkString("_"))
+      // Parent columns: dotted path -> underscores. Paths are unique, but
+      // their underscore flattenings can still collide (struct path `a.b`
+      // vs a literal column named `a_b`) — and duplicate output names make
+      // the parent table unwritable. First occurrence keeps the short
+      // name; later collisions get a numeric suffix, like child tables.
+      val seen = scala.collection.mutable.Set[String]()
+      paths.map { p =>
+        val base = p.mkString("_")
+        val name =
+          if (!seen.contains(base)) base
+          else Iterator.from(2).map(i => s"${base}_$i").find(!seen.contains(_)).get
+        seen += name
+        name
+      }
     }
 
     val (parentScalars, parentArrays) = walk(df.schema, Nil)

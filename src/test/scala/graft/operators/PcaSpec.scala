@@ -27,6 +27,22 @@ class PcaSpec extends SparkSpec {
       s"expected the MaxDim guard, got: ${ex.getMessage}")
   }
 
+  test("ragged vector columns fail loudly, never contribute partial moments") {
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Pca.fit(ragged.coalesce(1), "embedding", k = 1) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("ragged")),
+      s"expected the ragged guard, got: ${ex.getMessage}")
+    // ragged across partitions surfaces in the reduce
+    val ex2 = intercept[Exception] { Pca.fit(ragged.repartition(2, col("vec_id")),
+      "embedding", k = 1) }
+    assert(msgs(ex2).exists(m => m != null && m.contains("ragged")),
+      s"expected the cross-partition ragged guard, got: ${ex2.getMessage}")
+  }
+
   test("PC1 recovers the dominant axis; eigenvalues descend; axes are unit") {
     val m = Pca.fit(corpus, "embedding", k = 3)
     assert(m.values.length === 3 && m.vectors.length === 3)

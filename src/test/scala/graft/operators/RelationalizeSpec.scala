@@ -120,4 +120,19 @@ class RelationalizeSpec extends SparkSpec {
     assert(Relationalize.hasNestedFields(nestedSchema))
     assert(!Relationalize.hasNestedFields(StructType(Seq(StructField("a", StringType)))))
   }
+
+  test("parent names: struct path flattening to an existing literal column uniquifies") {
+    // struct a{b} flattens to a_b — which the input ALSO has literally;
+    // duplicate output names would make the parent table unwritable
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(StructField("b", IntegerType)))),
+      StructField("a_b", IntegerType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Row(1), 2)), schema)
+    val parent = Relationalize(df, "t", Seq.empty)("t")
+    assert(parent.columns.toSeq === Seq("a_b", "a_b_2"))
+    val row = parent.collect().head
+    assert(row.getAs[Int]("a_b") === 1)   // first occurrence (schema order) keeps the short name
+    assert(row.getAs[Int]("a_b_2") === 2)
+  }
 }

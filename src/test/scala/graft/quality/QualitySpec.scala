@@ -73,6 +73,24 @@ class QualitySpec extends SparkSpec {
     assert(s.getAs[Long]("n_mismatch_v") === 0) // positional pairing aligns a-a, b-b
   }
 
+  test("compare mismatch rows: dup keys pair positionally like the summary") {
+    // key 1 twice per side: positional pairing aligns (a,a) and (b,c) —
+    // ONE mismatch pair; an inner join would emit 4 combos (3 mismatched)
+    val left = Seq((1, "a"), (1, "b"), (2, "x")).toDF("k", "v")
+    val right = Seq((1, "a"), (1, "c"), (2, "x")).toDF("k", "v")
+    val s = CompareDatasets.summary(left, right, Seq("k"), Seq("v")).collect().head
+    assert(s.getAs[Long]("n_mismatch_v") === 1)
+    val rows = CompareDatasets.mismatchRows(left, right, Seq("k"), Seq("v")).collect()
+    assert(rows.length === 1 && rows.head.getAs[Int]("k") === 1)
+  }
+
+  test("compare mismatch rows: empty compare-column list yields no rows, not a crash") {
+    val left = Seq(1, 2).toDF("k")
+    val right = Seq(2, 3).toDF("k")
+    val rows = CompareDatasets.mismatchRows(left, right, Seq("k"), Seq.empty)
+    assert(rows.columns.toSeq === Seq("k") && rows.count() === 0)
+  }
+
   test("compare summary works when sides share only the key columns") {
     val left = Seq(1, 2, 3, 3).toDF("k")
     val right = Seq(2, 3, 4).toDF("k")
