@@ -91,6 +91,49 @@ class QualitySpec extends SparkSpec {
     assert(rows.columns.toSeq === Seq("k") && rows.count() === 0)
   }
 
+  test("compare summary + mismatch rows equal a brute-force positional-pairing reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](gen: Gen[A], seed: Long): A =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    // few distinct keys/values to force duplicate keys and ties; ~10% null keys
+    val rowGen = Gen.zip(
+      Gen.frequency(9 -> Gen.choose(0, 4).map(Option(_)), 1 -> Gen.const(Option.empty[Int])),
+      Gen.choose(0, 2).map(v => s"v$v"))
+    (1L to 8L).foreach { seed =>
+      val l = sample(Gen.listOfN(20, rowGen), seed)
+      val r = sample(Gen.listOfN(20, rowGen), seed + 50)
+      // reference: null keys never pair; per key, sort each side by the
+      // compared value and zip positionally (datacompy cumcount)
+      def grouped(rows: Seq[(Option[Int], String)]) =
+        rows.filter(_._1.isDefined).groupBy(_._1.get)
+          .map { case (k, rs) => k -> rs.map(_._2).sorted }
+      val (lg, rg) = (grouped(l), grouped(r))
+      val pairs = (lg.keySet ++ rg.keySet).toSeq.flatMap { k =>
+        val (a, b) = (lg.getOrElse(k, Nil), rg.getOrElse(k, Nil))
+        a.zip(b).map { case (x, y) => (k, x, y) }
+      }
+      val expCommon = pairs.size.toLong
+      val expLeftOnly = l.size - pairs.size // unpaired incl. null keys
+      val expRightOnly = r.size - pairs.size
+      val expMismatch = pairs.count { case (_, x, y) => x != y }.toLong
+      val expMismatchKeys = pairs.collect { case (k, x, y) if x != y => k }
+        .groupBy(identity).view.mapValues(_.size).toMap
+
+      val left = l.toDF("k", "v")
+      val right = r.toDF("k", "v")
+      val s = CompareDatasets.summary(left, right, Seq("k"), Seq("v")).collect().head
+      assert(s.getAs[Long]("n_common") === expCommon, s"seed=$seed common")
+      assert(s.getAs[Long]("n_left_only") === expLeftOnly, s"seed=$seed left")
+      assert(s.getAs[Long]("n_right_only") === expRightOnly, s"seed=$seed right")
+      assert(s.getAs[Long]("n_mismatch_v") === expMismatch, s"seed=$seed mismatch")
+      val gotKeys = CompareDatasets.mismatchRows(left, right, Seq("k"), Seq("v"))
+        .collect().map(_.getAs[Int]("k")).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(gotKeys === expMismatchKeys, s"seed=$seed mismatch rows")
+    }
+  }
+
   test("compare summary works when sides share only the key columns") {
     val left = Seq(1, 2, 3, 3).toDF("k")
     val right = Seq(2, 3, 4).toDF("k")
