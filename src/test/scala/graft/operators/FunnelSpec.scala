@@ -51,4 +51,41 @@ class FunnelSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toSeq
     assert(out === Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)))
   }
+
+  test("step times equal a sequential greedy reference on random event streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](gen: Gen[A], seed: Long): A =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    // tight ts range + few users force ties, same-ts chains, window edges
+    val evGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+      Gen.oneOf("view", "click", "buy", "other"))
+    (1L to 8L).foreach { seed =>
+      val events = sample(Gen.listOfN(60, evGen), seed)
+      // greedy reference: t1 = first step-1 event; t_k = first step-k event
+      // strictly after t_{k-1} and within window of t1
+      val window = 15L
+      def ref(user: Long): Option[Seq[Option[Long]]] = {
+        val mine = events.filter(_._1 == user)
+        val t1 = mine.filter(_._3 == steps.head).map(_._2).minOption
+        t1.map { start =>
+          var prev = Option(start)
+          Option(start) +: steps.tail.map { st =>
+            val next = prev.flatMap(p => mine
+              .filter(e => e._3 == st && e._2 > p && e._2 <= start + window)
+              .map(_._2).minOption)
+            prev = next
+            next
+          }
+        }
+      }
+      val got = Funnel.stepTimes(events.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps, window)
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+      (1L to 5L).foreach { u =>
+        assert(got.get(u) === ref(u), s"seed=$seed user=$u")
+      }
+    }
+  }
 }

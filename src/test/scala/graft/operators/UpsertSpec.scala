@@ -33,4 +33,43 @@ class UpsertSpec extends SparkSpec {
     val twice = Upsert(once, updates, Seq("GlobalKey"))
     assert(once.collect().toSet === twice.collect().toSet)
   }
+
+  test("applyChanges: snapshot is invariant to micro-batch boundaries on random CDC logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](gen: Gen[A], seed: Long): A =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    // (key, delete?, payload); ord assigned by log position (unique, so the
+    // latest-wins winner is unambiguous and boundary placement is the only
+    // variable under test — the sweep-1 bug was exactly a boundary-dependent
+    // snapshot)
+    val chGen = Gen.zip(Gen.choose(0, 4).map(k => s"k$k"),
+      Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true)),
+      Gen.choose(0, 99))
+    (1L to 6L).foreach { seed =>
+      val log = sample(Gen.listOfN(30, chGen), seed).zipWithIndex
+        .map { case ((k, del, v), i) => (k, i.toLong, del, v) }
+      // reference: last change per key wins; a winning tombstone removes the key
+      val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val w = rows.maxBy(_._2)
+        if (w._3) None else Some((k, w._2, w._4))
+      }.toSet
+      def df(rows: Seq[(String, Long, Boolean, Int)]) =
+        rows.toDF("k", "ord", "del", "v")
+      val empty = Seq.empty[(String, Long, Boolean, Int)]
+        .toDF("k", "ord", "del", "v").drop("del")
+      val oneShot = Upsert.applyChanges(empty, df(log), Seq("k"), "ord", "del")
+        .as[(String, Long, Int)].collect().toSet
+      assert(oneShot === expected, s"seed=$seed one-shot")
+      // split the ord-ordered log at 2 random contiguous boundaries and
+      // apply the three micro-batches sequentially
+      val b1 = sample(Gen.choose(0, log.size), seed + 11)
+      val b2 = sample(Gen.choose(b1, log.size), seed + 12)
+      val batches = Seq(log.take(b1), log.slice(b1, b2), log.drop(b2))
+      val finalSnap = batches.filter(_.nonEmpty).foldLeft(empty) { (snap, b) =>
+        Upsert.applyChanges(snap, df(b), Seq("k"), "ord", "del")
+      }.as[(String, Long, Int)].collect().toSet
+      assert(finalSnap === expected, s"seed=$seed split at ($b1, $b2)")
+    }
+  }
 }
