@@ -139,6 +139,12 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
       (second.dataType, TextOps.isInt, "int"),
       (third.dataType, TextOps.isInt, "int")))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a document with fewer than n tokens yields a NULL signature even when
+  // the text column itself is non-nullable — without this override the
+  // inherited input-derived nullability tells the optimizer the value can
+  // never be null, and a constant-folding/local-relation pass NPEs (or a
+  // null-stripping rewrite silently miscompiles) on any short document
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(text: Any, n: Any, k: Any): Any = {

@@ -6,9 +6,15 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.functions._
 
-/** The native expressions must agree with their HOF "executable
-  * specification" counterparts (and thereby with the DuckDB oracle SQL that
-  * mirrors the HOF formulations).
+/** The native STRING-producing expressions (shingles, gram hashes) must
+  * agree with their HOF "executable specification" counterparts — and
+  * thereby with the DuckDB oracle SQL that tokenizes the same strings. The
+  * native HASH layers (graft_minhash / graft_simhash /
+  * graft_hyperplane_lsh) are their own definition, replayed in SQL by
+  * [[OracleHashSql]]; the same-purpose HOF compositions in
+  * TextFunctions/VectorFunctions are deliberately different hash families
+  * (Prof's speed rig is their only caller) — see NativeUnicodeFuzzSpec for
+  * the invariances that pin them instead.
   */
 class NativeConsistencySpec extends SparkSpec {
   import spark.implicits._
