@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized references for the two pieces of machinery every dedup gate
+  * leans on: connected components (the clustering step behind
+  * q48/q81/q83/q88/q111) against a driver-side union-find, and the exact
+  * inverted-index Jaccard pair table (the GROUND TRUTH other recall gates
+  * measure against, q22/q85) against an O(n²) set-overlap reference.
+  * Random graphs include self-loops, duplicate/reversed edges, and edge
+  * endpoints absent from the vertex frame; random corpora use a tiny
+  * vocabulary so shingle collisions and exact-threshold ties are common.
+  */
+class GraphDedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("components equal a union-find reference on random graphs (absent endpoints conduct)") {
+    (1L to 6L).foreach { seed =>
+      val nV = 12
+      val vertexIds = sample(Gen.someOf(0L to 15L), seed).toSeq.sorted
+      val edgesRaw = sample(Gen.listOfN(18,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))), seed + 7)
+      // union-find over ALL ids seen (vertices + endpoints); component
+      // label = min REACHABLE id, reported for vertex-frame rows only
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      vertexIds.foreach(find)
+      edgesRaw.foreach { case (a, b) => union(a, b) }
+      val expected = vertexIds.map(v => v -> find(v)).toMap
+
+      val vdf = vertexIds.toDF("id")
+      val edf = edgesRaw.toDF("a", "b")
+      for (pj <- Seq(true, false)) {
+        val got = ConnectedComponents.components(spark, vdf, edf,
+            idCol = "id", aCol = "a", bCol = "b", pointerJump = pj)
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"seed=$seed pointerJump=$pj")
+      }
+      val _ = nV
+    }
+  }
+
+  test("components with assumeEdgesClosed equal the open-world result on closed graphs") {
+    (1L to 4L).foreach { seed =>
+      val vertexIds = (0L to 9L)
+      val edges = sample(Gen.listOfN(12,
+        Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))), seed)
+      val vdf = vertexIds.toDF("id")
+      val edf = edges.toDF("a", "b")
+      val open = ConnectedComponents.components(spark, vdf, edf,
+        idCol = "id", aCol = "a", bCol = "b").as[(Long, Long)].collect().toMap
+      val closed = ConnectedComponents.components(spark, vdf, edf,
+        idCol = "id", aCol = "a", bCol = "b", assumeEdgesClosed = true)
+        .as[(Long, Long)].collect().toMap
+      assert(open === closed, s"seed=$seed")
+    }
+  }
+
+  test("exact jaccard pairs equal the O(n^2) set-overlap reference on random corpora") {
+    val words = Seq("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words)).map(_.mkString(" ")))
+    (1L to 6L).foreach { seed =>
+      val docs = sample(Gen.listOfN(15, docGen), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val n = 2
+      val threshold = 0.3
+      def shingleSetOf(t: String): Set[String] = {
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingleSetOf(t) }
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= threshold
+      } yield (ia, ib)).toSet
+
+      val got = TextDedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = n, threshold = threshold)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+}
