@@ -21,11 +21,22 @@ object Bucketing {
     w.saveAsTable(table)
   }
 
-  /** True when the physical plan of `df` contains no shuffle exchange —
-    * the assertion that bucketing actually co-located the join.
+  /** True when the physical plan of `df` contains no SHUFFLE exchange —
+    * the assertion that bucketing actually co-located the join. Walks the
+    * plan tree for ShuffleExchange nodes rather than string-matching
+    * "Exchange", which would also match BroadcastExchange and misreport a
+    * broadcast join over co-located tables as shuffled.
     */
-  def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+  def isExchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst { case _: ShuffleExchangeLike => () }.isDefined ||
+        // AQE hides its subtree behind a leaf wrapper — recurse into it
+        p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .exists(hasShuffle)
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
