@@ -3535,7 +3535,7 @@ object SparkEntry {
         |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
         |  FROM sbg LEFT JOIN bc USING (a, b) LEFT JOIN cc USING (a) CROSS JOIN v)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+        |  FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q91: gate literals (q65-style); the vector count comes from the table
@@ -3713,7 +3713,7 @@ object SparkEntry {
         |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
         |  FROM sbg LEFT JOIN bc USING (a, b) LEFT JOIN cc USING (a) CROSS JOIN v),
         |sc AS (SELECT doc_id,
-        |  round(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_logp
+        |  FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS avg_logp
         |  FROM contrib GROUP BY doc_id),
         |j AS (SELECT sc.doc_id, d.lang, sc.avg_logp
         |      FROM sc JOIN documents d USING (doc_id)),
@@ -3763,12 +3763,12 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
         |s10 AS (SELECT q_id, item, score AS s FROM sr WHERE rank <= 10),
         |e10 AS (SELECT q_id, item, sim AS s FROM er WHERE rank <= 10),
-        |sn AS (SELECT q_id, item, round(0.7 * CASE WHEN mx = mn THEN 1.0
-        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |sn AS (SELECT q_id, item, FLOOR(0.7 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE FLOOR((s - mn) / (mx - mn) * 1e6 + 0.5) / 1e6 END * 1e6 + 0.5) / 1e6 AS contrib
         |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
         |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM s10)),
-        |en AS (SELECT q_id, item, round(0.3 * CASE WHEN mx = mn THEN 1.0
-        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |en AS (SELECT q_id, item, FLOOR(0.3 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE FLOOR((s - mn) / (mx - mn) * 1e6 + 0.5) / 1e6 END * 1e6 + 0.5) / 1e6 AS contrib
         |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
         |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM e10)),
         |runs AS (SELECT * FROM sn UNION ALL SELECT * FROM en),
@@ -3874,12 +3874,12 @@ object SparkEntry {
         |        ORDER BY sim DESC, n_id ASC) AS rank FROM es),
         |s10 AS (SELECT q_id, item, score AS s FROM sr WHERE rank <= 10),
         |e10 AS (SELECT q_id, item, sim AS s FROM er WHERE rank <= 10),
-        |sn AS (SELECT q_id, item, round(0.7 * CASE WHEN mx = mn THEN 1.0
-        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |sn AS (SELECT q_id, item, FLOOR(0.7 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE FLOOR((s - mn) / (mx - mn) * 1e6 + 0.5) / 1e6 END * 1e6 + 0.5) / 1e6 AS contrib
         |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
         |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM s10)),
-        |en AS (SELECT q_id, item, round(0.3 * CASE WHEN mx = mn THEN 1.0
-        |          ELSE round((s - mn) / (mx - mn), 6) END, 6) AS contrib
+        |en AS (SELECT q_id, item, FLOOR(0.3 * CASE WHEN mx = mn THEN 1.0
+        |          ELSE FLOOR((s - mn) / (mx - mn) * 1e6 + 0.5) / 1e6 END * 1e6 + 0.5) / 1e6 AS contrib
         |       FROM (SELECT q_id, item, s, MIN(s) OVER (PARTITION BY q_id) AS mn,
         |                    MAX(s) OVER (PARTITION BY q_id) AS mx FROM e10)),
         |runs AS (SELECT * FROM sn UNION ALL SELECT * FROM en),
@@ -3926,9 +3926,12 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_langs, true AS coverage_ok,
         |  true AS agree_ok, true AS ordering_ok""".stripMargin,
 
+    // n_docs from the table, NOT a literal: the blend covers every
+    // document, and a hardcoded 500 is sf-DEPENDENT (found by running the
+    // oracle compare at sf0.1, where documents has 5000 rows)
     "q103_ensemble_approx" ->
-      """SELECT CAST(500 AS BIGINT) AS n_docs, true AS drift_ok,
-        |  true AS top100_ok""".stripMargin,
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS drift_ok,
+        |  true AS top100_ok FROM documents""".stripMargin,
 
     "q104_filtered_ann_pruned" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",

@@ -87,9 +87,15 @@ object Fuse {
         .withColumn("mn", min("s").over(wq))
         .withColumn("mx", max("s").over(wq))
         .select(col("q"), col("item"),
-          round(lit(w) * when(col("mx") === col("mn"), lit(1.0))
-            .otherwise(round((col("s") - col("mn")) / (col("mx") - col("mn")), 6)),
-            6).as("contrib"))
+          // stable rounding on BOTH normalization steps: the normalized
+          // value is a small-denominator rational and `w × k/1e6` ties at
+          // every 7th-digit 5, exactly where Spark round and DuckDB round
+          // disagree — see functions.Rounding (found at sf0.1)
+          graft.functions.Rounding.round6(
+            lit(w) * when(col("mx") === col("mn"), lit(1.0))
+              .otherwise(graft.functions.Rounding.round6(
+                (col("s") - col("mn")) / (col("mx") - col("mn")))))
+            .as("contrib"))
     }.reduce(_ unionByName _)
     val scored = tagged.groupBy("q", "item")
       .agg(round(sum(round(col("contrib") * 1e6, 0).cast("long"))

@@ -121,8 +121,12 @@ object NgramLm {
           .as("c"))
     contrib.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(round(col("c") * 1e6, 0).cast("long")).cast("double")
-          / 1e6 / count(lit(1)), 6).as("avg_logp"))
+        // stable final rounding: S/1e6/n is an exact half-tie whenever n
+        // divides 2S but not S (~1/2n of docs), where Spark round and
+        // DuckDB round disagree — see functions.Rounding
+        graft.functions.Rounding.round6(
+          sum(round(col("c") * 1e6, 0).cast("long")).cast("double")
+            / 1e6 / count(lit(1))).as("avg_logp"))
       .withColumnRenamed("doc_id", idCol)
   }
 }

@@ -55,7 +55,11 @@ class NgramLmSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     val c1 = math.rint(math.log(1.0 / 3.0) * 1e6) / 1e6
     val c2 = math.rint(math.log(1.0 / 6.0) * 1e6) / 1e6
-    val expected = math.rint((math.rint(c1 * 1e6) + math.rint(c2 * 1e6)) / 2.0) / 1e6
+    // final rounding mirrors functions.Rounding.round6 (floor(x·1e6+0.5),
+    // half-toward-+inf) — this doc's mean is an exact micro half-tie
+    // (-1445185.5), precisely the case the stable rule exists for
+    val mean = (math.rint(c1 * 1e6) + math.rint(c2 * 1e6)) / 1e6 / 2.0
+    val expected = math.floor(mean * 1e6 + 0.5) / 1e6
     assert(math.abs(out._3 - expected) < 1e-9)
     assert(!out._3.isNegInfinity)
   }
