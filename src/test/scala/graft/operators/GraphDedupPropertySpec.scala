@@ -98,4 +98,41 @@ class GraphDedupPropertySpec extends SparkSpec {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("decontamination report and fraction-clean equal the set-math reference") {
+    val words = Seq("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(2, 8).flatMap(nw =>
+      Gen.listOfN(nw, Gen.oneOf(words)).map(_.mkString(" ")))
+    val n = 2
+    def shingleSetOf(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (1L to 4L).foreach { seed =>
+      val train = sample(Gen.listOfN(12, docGen), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val bench = sample(Gen.listOfN(4, docGen), seed + 99).zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }
+      val benchSet = bench.flatMap { case (_, t) => shingleSetOf(t) }.toSet
+      val expected = train.map { case (id, t) =>
+        val s = shingleSetOf(t)
+        (id, s.size.toLong, (s & benchSet).size.toLong)
+      }
+      val maxFrac = 0.3
+      val expectedKept = expected.collect {
+        case (id, ns, ov) if ns == 0 || ov.toDouble / ns <= maxFrac => id
+      }.toSet
+
+      val trainDf = train.toDF("doc_id", "text")
+      val benchDf = bench.toDF("doc_id", "text")
+      val rep = Decontaminate.report(trainDf, benchDf, "doc_id", "text", shingleN = n)
+        .select("doc_id", "n_shingles", "n_overlap")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rep === expected.toSet, s"seed=$seed report")
+      val kept = Decontaminate.cleanByFraction(trainDf, benchDf, "doc_id", "text",
+          maxFrac, shingleN = n)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === expectedKept, s"seed=$seed cleanByFraction")
+    }
+  }
 }
