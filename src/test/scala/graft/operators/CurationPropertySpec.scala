@@ -195,6 +195,55 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow span report equals the brute-force pair/run reference on random corpora") {
+    val k = 3; val w = 4; val minShared = 2L
+    for (seed <- 1L to 6L) {
+      val corpus = sample(corpusGen(12), seed * 47)
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      // reference fingerprints per doc: the definitional rightmost-argmin
+      // selection (itself pinned against the engine in the test above)
+      def fps(text: String): Set[(Long, Long)] = {
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val hs = toks.sliding(k).filter(_.size == k).zipWithIndex.map {
+          case (g, i) => (i + 1, WinnowRef.gramHash(g.toSeq) >>> 24)
+        }.toSeq
+        hs.sliding(w).filter(_.size == w).map { win =>
+          val mn = win.map(_._2).min
+          (win.filter(_._2 == mn).map(_._1).max.toLong, mn)
+        }.toSet
+      }
+      val byDoc = corpus.map { case (id, t) => id -> fps(t) }.toMap
+      // per qualifying pair, matched positions per side merge into runs at
+      // radius gap + k (gap defaults to w)
+      val gap = w
+      def runs(ps: Seq[Long]): Seq[(Long, Long, Long)] = {
+        val sorted = ps.distinct.sorted
+        if (sorted.isEmpty) return Nil
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer(sorted.head)
+        sorted.tail.foreach { p =>
+          if (p - cur.last <= gap + k) cur += p
+          else { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(p) }
+        }
+        out += cur.toSeq
+        out.map(r => (r.min, r.max + (k - 1), r.size.toLong)).toSeq
+      }
+      val expected = (for {
+        (a, fa) <- byDoc.toSeq; (b, fb) <- byDoc.toSeq if a < b
+        shared = fa.map(_._2) & fb.map(_._2)
+        if shared.size >= minShared
+        (doc, f) <- Seq((a, fa), (b, fb))
+        span <- runs(f.collect { case (p, h) if shared(h) => p }.toSeq)
+      } yield (a, b, doc, span._1, span._2, span._3)).toSet
+
+      val got = Winnow.overlapSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, w = w, minShared = minShared)
+        .select("id_a", "id_b", "doc", "span_start", "span_end", "n_fp")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("span corruption equals a sequential reference on random docs") {
     val sp = 4; val ms = 3; val seed0 = 9L
     for (seed <- 1L to 5L) {
