@@ -99,6 +99,39 @@ class GraphDedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("band-store candidates equal the one-shot LSH pairs, reoriented (fuzz)") {
+    val words = Seq("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(2, 9).flatMap(nw =>
+      Gen.listOfN(nw, Gen.oneOf(words)).map(_.mkString(" ")))
+    (1L to 4L).foreach { seed =>
+      val docs = sample(Gen.listOfN(14, docGen), seed * 13).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val (store, batch) = docs.partition(_._1 % 3 != 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_fuzz_").toString
+      MinHashIndex.write(store.toDF("doc_id", "text"), "doc_id", "text",
+        dir, shingleN = 2, numHashes = 8, rowsPerBand = 2)
+      val got = MinHashIndex.candidates(MinHashIndex.open(spark, dir),
+          batch.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, String)].collect().toSet
+
+      // one-shot reference over the union (itself oracle-gated, q22/q77):
+      // keep pairs touching the batch; orient new_old batch-first
+      val batchIds = batch.map(_._1).toSet
+      val oneShot = TextDedup.minHashCandidates(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleN = 2, numHashes = 8, rowsPerBand = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val expected = oneShot.flatMap { case (a, b) =>
+        (batchIds(a), batchIds(b)) match {
+          case (true, true)  => Some((a, b, "new_new"))
+          case (true, false) => Some((a, b, "new_old"))
+          case (false, true) => Some((b, a, "new_old"))
+          case _             => None // old-old: store was already deduped
+        }
+      }.toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("decontamination report and fraction-clean equal the set-math reference") {
     val words = Seq("a", "b", "c", "d", "e")
     val docGen = Gen.choose(2, 8).flatMap(nw =>
