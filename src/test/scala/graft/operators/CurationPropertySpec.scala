@@ -63,6 +63,36 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("keepFirst exempts each gram's lowest-id doc on random corpora") {
+    val k = 2
+    for (seed <- 20L to 24L) {
+      val corpus = sample(corpusGen(12), seed)
+      val df = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      // reference: a window is flagged iff its gram is duplicated (>= 2
+      // distinct docs) AND this doc is not the gram's lowest id
+      val grams = corpus.flatMap { case (id, ts) =>
+        ts.sliding(k).filter(_.size == k).zipWithIndex
+          .map { case (g, i) => (id, i + 1, g.mkString(" ")) }
+      }
+      val keepOf = grams.groupBy(_._3)
+        .collect { case (g, ws) if ws.map(_._1).distinct.size >= 2 =>
+          g -> ws.map(_._1).min }
+      val covered = corpus.map { case (id, _) =>
+        id -> grams.filter(w => w._1 == id &&
+            keepOf.get(w._3).exists(_ != id))
+          .flatMap(w => w._2 until (w._2 + k)).toSet
+      }.toMap
+      val got = SubstringDedup.removeSpans(df, "doc_id", "text", k = k,
+          keepFirst = true)
+        .as[(Long, String)].collect().toMap
+      corpus.foreach { case (id, ts) =>
+        val expect = ts.zipWithIndex
+          .collect { case (t, i) if !covered(id)(i + 1) => t }.mkString(" ")
+        assert(got(id) === expect, s"seed=$seed doc=$id ts=$ts")
+      }
+    }
+  }
+
   test("removeSpans keeps exactly the uncovered tokens on random corpora") {
     for (seed <- 10L to 14L) {
       val corpus = sample(corpusGen(12), seed)
