@@ -84,12 +84,21 @@ object ExportReader {
     val base = new org.apache.hadoop.fs.Path(stagingDir,
       "graft_export_" + java.util.UUID.randomUUID().toString.take(8))
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseQ = fs.makeQualified(base).toString
     val zf = new ZipFile(zipPath)
     try {
       members.map { m =>
-        require(!m.name.split('/').contains(".."),
+        // zip-slip guard mirroring extract()'s canonical containment check:
+        // '..' segments, absolute names ('/etc/...'), and scheme-qualified
+        // names ('s3a://...', 'a:b') must all be rejected — Hadoop's
+        // Path(parent, child) DISCARDS the parent for an absolute or
+        // qualified child, so any of them would write outside stagingDir
+        require(!m.name.split('/').contains("..") && !m.name.startsWith("/") &&
+            !m.name.contains(":"),
           s"zip entry escapes staging dir: ${m.name}")
         val out = new org.apache.hadoop.fs.Path(base, m.name)
+        require(fs.makeQualified(out).toString.startsWith(baseQ + "/"),
+          s"zip entry escapes staging dir: ${m.name}")
         val in = zf.getInputStream(zf.getEntry(m.name))
         val os = fs.create(out, true)
         try in.transferTo(os) finally { os.close(); in.close() }

@@ -46,21 +46,31 @@ object Upsert {
     * is chosen by `orderingCol` across ALL change rows, so a delete followed
     * by a re-insert within one micro-batch keeps the key — applying
     * tombstones unconditionally would make the snapshot depend on where the
-    * micro-batch boundary fell in the change log. A winning tombstone only
-    * deletes an existing row whose `orderingCol` is <= its own, so a stale
-    * or replayed tombstone can never destroy a newer row. `existing` must
-    * carry `orderingCol` (snapshots written by this merge do).
+    * micro-batch boundary fell in the change log. The staleness guard is
+    * symmetric: a winning tombstone only deletes an existing row whose
+    * `orderingCol` is <= its own, and a winning upsert only replaces an
+    * existing row whose `orderingCol` is <= its own — so a stale or replayed
+    * change row (tombstone OR upsert) can never destroy a newer snapshot
+    * row. Ties go to the change row, keeping whole-batch replay idempotent.
+    * `existing` must carry `orderingCol` (snapshots written by this merge
+    * do).
     */
   def applyChanges(existing: DataFrame, changes: DataFrame, keys: Seq[String],
                    orderingCol: String, deleteCol: String): DataFrame = {
     require(keys.nonEmpty, "upsert requires key columns")
     val winners = DedupLatest(changes, keys, Seq(col(orderingCol).desc))
     val isDel = coalesce(col(deleteCol), lit(false))
-    val upserts = winners.where(!isDel).drop(deleteCol)
+    val upserts = winners.where(!isDel).select(existing.columns.map(col): _*)
     val tombs = winners.where(isDel)
       .select(keys.map(col) :+ col(orderingCol).as("__del_ord"): _*)
-    val kept = existing.join(upserts.select(keys.map(col): _*), keys, "left_anti")
-    val merged = kept.unionByName(upserts.select(existing.columns.map(col): _*))
+    // latest-wins ACROSS existing ∪ upserts (not an unconditional anti-join
+    // replace): an out-of-order or replayed upsert with an older orderingCol
+    // loses to the newer snapshot row. Same one-hash-shuffle-per-side cost
+    // as the anti-join shape — the window and the union co-partition on keys.
+    val merged = DedupLatest(
+      existing.withColumn("__src", lit(0))
+        .unionByName(upserts.withColumn("__src", lit(1))),
+      keys, Seq(col(orderingCol).desc, col("__src").desc)).drop("__src")
     merged.join(tombs,
       keys.map(k => merged(k) === tombs(k)).reduce(_ && _) &&
         merged(orderingCol) <= tombs("__del_ord"),

@@ -34,6 +34,24 @@ class UpsertSpec extends SparkSpec {
     assert(once.collect().toSet === twice.collect().toSet)
   }
 
+  test("applyChanges: stale upserts cannot replace a newer snapshot row") {
+    // advisor finding (r14): replacement must be ordering-aware like the
+    // tombstone path — a replayed/out-of-order change batch with an OLDER
+    // orderingCol must lose to the existing snapshot row
+    val snap = Seq(("k1", 10L, "new"), ("k2", 10L, "keep"))
+      .toDF("k", "ord", "v")
+    val stale = Seq(("k1", 5L, false, "old"), ("k3", 5L, false, "ins"))
+      .toDF("k", "ord", "del", "v")
+    val out = Upsert.applyChanges(snap, stale, Seq("k"), "ord", "del")
+      .as[(String, Long, String)].collect().toSet
+    assert(out === Set(("k1", 10L, "new"), ("k2", 10L, "keep"), ("k3", 5L, "ins")))
+    // equal ordering: the change row wins (whole-batch replay idempotence)
+    val replay = Seq(("k1", 10L, false, "new")).toDF("k", "ord", "del", "v")
+    val re = Upsert.applyChanges(snap, replay, Seq("k"), "ord", "del")
+      .as[(String, Long, String)].collect().toSet
+    assert(re === Set(("k1", 10L, "new"), ("k2", 10L, "keep")))
+  }
+
   test("applyChanges: snapshot is invariant to micro-batch boundaries on random CDC logs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -173,4 +173,31 @@ class PipelineSpec extends SparkSpec {
     assert(Files.readString(new File(paths("a/b_c.json")).toPath) === "one")
     assert(Files.readString(new File(paths("a_b/c.json")).toPath) === "two")
   }
+
+  test("extractTo rejects hostile member names and stages benign ones under the base") {
+    val tmp = Files.createTempDirectory("graft_ziphostile_").toFile
+    val zipPath = new File(tmp, "h.zip").getAbsolutePath
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    zos.putNextEntry(new ZipEntry("sub/ok.json"))
+    zos.write("""{"a":1}""".getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val staging = new File(tmp, "staging").getAbsolutePath
+    def member(name: String) = ExportReader.Member(name, 1L, None)
+    // advisor finding (r14): '..' was rejected but absolute and
+    // scheme-qualified names slipped through — Hadoop Path(parent, child)
+    // discards the parent for an absolute/qualified child
+    for (hostile <- Seq("/etc/passwd", "../up.json", "a/../../up.json",
+        "file:/tmp/x.json", "s3a://bucket/x.json")) {
+      val e = intercept[IllegalArgumentException] {
+        ExportReader.extractTo(spark, zipPath, Seq(member(hostile)), staging)
+      }
+      assert(e.getMessage.contains("escapes staging dir"), hostile)
+    }
+    val paths = ExportReader.extractTo(spark, zipPath,
+      Seq(member("sub/ok.json")), staging)
+    val staged = new org.apache.hadoop.fs.Path(paths("sub/ok.json"))
+    assert(staged.toString.contains("/staging/"))
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.makeQualified(staged).toString
+      .startsWith(fs.makeQualified(new org.apache.hadoop.fs.Path(staging)).toString + "/"))
+  }
 }
