@@ -49,6 +49,23 @@ class QualityClassifierSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-6, s"$a vs $b") }
   }
 
+  test("local iteration route matches the distributed loop at the prediction level") {
+    // hybrid routing (Bpe localVocabLimit shape): both routes share the
+    // per-doc accumulation and Adagrad step verbatim, so they may differ
+    // only in float summation order — ulp-level, invisible at 1e-6
+    val local = QualityClassifier.train(train, "doc_id", "text", "label",
+      nBuckets = 256, iters = 15, lr = 0.5) // default limit: local route
+    val dist = QualityClassifier.train(train, "doc_id", "text", "label",
+      nBuckets = 256, iters = 15, lr = 0.5, localFeatureLimit = 0L)
+    val sl = QualityClassifier.score(holdout, "doc_id", "text", local)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val sd = QualityClassifier.score(holdout, "doc_id", "text", dist)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(sl.map(_._1) === sd.map(_._1))
+    sl.zip(sd).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b") }
+  }
+
   test("docs with no grams produce no score row; empty training set rejected") {
     val m = QualityClassifier.train(train, "doc_id", "text", "label",
       nBuckets = 64, iters = 2)
