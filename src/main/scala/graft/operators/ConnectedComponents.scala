@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * pairs) into dedup groups with a canonical representative (min id), the
   * standard shape of corpus-level deduplication in training-data pipelines.
   *
-  * Spark-first plan: iterative min-label propagation with pointer jumping.
-  * Every vertex starts labeled with its own id; each round (a) joins labels
-  * across edges from the frontier (vertices whose label changed last round)
-  * and takes the min incoming label, then (b) shortcuts `lbl ← lbl(lbl)` —
-  * the classic pointer jump, which makes reach grow geometrically so chains
-  * converge in O(log diameter) rounds instead of diameter. Each round costs
-  * two equi-join shuffles + one aggregation, and eagerly materializes so the
-  * plan never grows with the iteration count.
+  * Spark-first plan: iterative min-label propagation with pointer jumping,
+  * over the EDGE-ENDPOINT subgraph only. Every endpoint starts labeled with
+  * its own id; each round (a) joins labels across edges from the frontier
+  * (vertices whose label changed last round) and takes the min incoming
+  * label, then (b) shortcuts `lbl ← lbl(lbl)` — the classic pointer jump,
+  * which makes reach grow geometrically so chains converge in
+  * O(log diameter) rounds instead of diameter. Each round costs two
+  * equi-join shuffles + one aggregation over frames sized by the EDGE set
+  * (isolated vertices are fixed points and never enter the loop — in dedup
+  * workloads the endpoint set is the docs that actually have a near-dup
+  * pair), eagerly materialized so the plan never grows with the iteration
+  * count; the corpus-sized vertex frame is joined exactly once at the end.
   *
   * Fault tolerance at cluster scale: by default rounds `localCheckpoint` —
   * fastest, but blocks live only on executors with truncated lineage, so a
@@ -43,11 +47,11 @@ object ConnectedComponents {
     *
     * `assumeEdgesClosed = true` asserts every edge endpoint appears in
     * `vertices` — true BY CONSTRUCTION when edges are candidate pairs
-    * derived from the vertex frame itself, the dedup shape — and skips
-    * the init aggregate that discovers absent endpoints (one
-    * map-side-combined exchange of the vertex ids). Only assert it when
-    * construction guarantees closure; a violated assertion silently
-    * fails to merge components bridged by the absent endpoint.
+    * derived from the vertex frame itself, the dedup shape. Since the
+    * endpoint-subgraph rewrite the flag no longer changes the plan (the
+    * init is always one edge-sized distinct; absent endpoints conduct
+    * connectivity either way and are dropped by the final vertices-driven
+    * join) — it is kept as documentation of the call site's contract.
     */
   def components(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                  idCol: String, aCol: String, bCol: String,
@@ -98,42 +102,31 @@ object ConnectedComponents {
     val (sym, symDirs) = materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    // edge endpoints ABSENT from `vertices` must still conduct: without
-    // them, components connected only through an absent intermediate
-    // silently never merge (the left join from labels drops the
-    // intermediate's neighborMin row). They propagate with in_v = false
-    // and are filtered from the result, so the one-row-per-vertex output
-    // contract holds — but their ids count as reachable, so an absent id
-    // can be the component label (min REACHABLE id, as documented)
-    // ONE aggregate exchange on id (map-side combined), not an anti-join:
-    // the anti-join shape shuffles the corpus-sized vertex frame an extra
-    // time before the init materialize — measured ~1.5x on the CC-backed
-    // gates (r14: q48/q81/q83)
-    val vIds = vertices.select(col(idCol).as("id"))
+    // iterate over EDGE-ENDPOINT labels only, never the corpus: a vertex
+    // with no edge is a fixed point (labels start as own id and lower only
+    // across edges, and every label is an endpoint id — nothing can ever
+    // reach an isolated vertex), so the corpus-sized vertex frame joins
+    // exactly ONCE at the end instead of riding every round's join +
+    // pointer-jump + materialize. In dedup workloads the endpoint set is
+    // the docs that HAVE a near-dup pair — orders of magnitude under the
+    // corpus. Endpoints absent from `vertices` conduct connectivity and
+    // count as reachable label ids exactly as before; the final
+    // vertices-driven join is what drops their output rows. sym carries
+    // both directions, so its src side alone covers every endpoint.
     var (labels, labelDirs) = materialize(
-      if (assumeEdgesClosed)
-        vIds.select(col("id"), col("id").as("lbl"),
-          lit(true).as("changed"), lit(true).as("in_v"))
-      else
-        vIds.withColumn("in_v", lit(true))
-          .unionByName(edges.select(col(aCol).as("id"))
-            .union(edges.select(col(bCol).as("id")))
-            .withColumn("in_v", lit(false)))
-          .groupBy("id").agg(max("in_v").as("in_v"))
-          .select(col("id"), col("id").as("lbl"), lit(true).as("changed"),
-            col("in_v")))
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"), lit(true).as("changed")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // frontier propagation: only labels that changed last round can lower
-      // a neighbor's label, so each round joins the (shrinking) frontier —
-      // after round one that is the dup-cluster vertices, not the corpus
+      // a neighbor's label, so each round joins the (shrinking) frontier
       val frontier = labels.where(col("changed"))
       val neighborMin = sym.join(frontier, sym("src") === frontier("id"))
         .select(col("dst").as("id"), col("lbl"))
         .groupBy("id").agg(min("lbl").as("nmin"))
       val stepped = labels.drop("changed").join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("in_v"), col("lbl").as("old"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // pointer jump: my new label is a vertex id — adopt THAT vertex's
       // label too (always <= mine). Reach doubles per round, so a chain of
@@ -143,13 +136,13 @@ object ConnectedComponents {
         else {
           val byId = stepped.select(col("id").as("j_id"), col("lbl").as("j_lbl"))
           stepped.join(byId, stepped("lbl") === byId("j_id"), "left")
-            .select(stepped("id"), stepped("in_v"), col("old"),
+            .select(stepped("id"), col("old"),
               least(stepped("lbl"), coalesce(col("j_lbl"), stepped("lbl"))).as("lbl"))
         }
       // carry a changed flag so convergence is a scan of the materialized
       // round, not another join against the previous labels
       val (next, nextDirs) = materialize(jumped.select(col("id"), col("lbl"),
-        (col("lbl") < col("old")).as("changed"), col("in_v")))
+        (col("lbl") < col("old")).as("changed")))
       converged = next.where(col("changed")).limit(1).isEmpty
       labels.unpersist()
       // next is durably materialized from its own files — the previous
@@ -166,8 +159,11 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it)")
-    val result = labels.where(col("in_v"))
-      .select(col("id").as(idCol), col("lbl").as("component"))
+    // the one corpus-sized step: isolated vertices keep their own id
+    val act = labels.select(col("id").as("__cc_id"), col("lbl"))
+    val result = vertices.select(col(idCol))
+      .join(act, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("component"))
     runDir match {
       case Some(d) =>
         // hand the caller a result backed by ONE well-known path instead of
