@@ -598,3 +598,39 @@ object ScaleWin {
     spark.stop()
   }
 }
+
+/** r15 rig: connected components must iterate the EDGE-ENDPOINT subgraph,
+  * not the corpus. Fixed chain-shaped edge set (2^10-long chains force ~10
+  * pointer-jump rounds) over an isolated-vertex corpus growing 1x -> 16x:
+  * per-round cost must stay flat — the corpus may appear in exactly ONE
+  * join (the final label attach), so total time should grow far slower
+  * than rounds x corpus. Before the rewrite every round materialized and
+  * self-joined the full vertex frame (rounds x corpus shuffles).
+  */
+object ScaleCC {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    import spark.implicits._
+    def vertices(n: Long) = spark.range(n).select(col("id"))
+    // 64 chains of length 1024 within ids [0, 65536): diameter 1023,
+    // ~10 rounds with pointer jumping; every other vertex is isolated
+    val edges = spark.range(64L * 1024L)
+      .where(pmod(col("id"), lit(1024)) =!= 1023)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    def run(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SCALE $name rows=$n%d t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    run("warmup")(vertices(1L << 25).count())
+    for (round <- 0 to 1; (tag, n) <- Seq("1x" -> (1L << 21), "16x" -> (1L << 25))) {
+      run(s"cc_${tag}_r$round") {
+        val (res, iters) = ConnectedComponents.componentsAndRounds(
+          spark, vertices(n), edges, "id", "a", "b")
+        val out = res.where(col("component") =!= col("id")).count()
+        println(s"SCALE cc_${tag}_r$round rounds=$iters")
+        out
+      }
+    }
+    spark.stop()
+  }
+}
