@@ -2508,6 +2508,62 @@ object SparkEntry {
       operators.Winnow.overlapSpansAgainst(operators.Winnow.open(s, path),
           docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("kind", "id_a", "id_b", "doc", "span_start")
+    }),
+
+    // --- DoReMi-flavored excess-loss domain reweighting (Xie et al. 2023,
+    // one-shot slice): proxy bigram LM trained on the full mix, reference
+    // LM on the English reference slice; per-source mean of the CLIPPED
+    // excess loss max(0, loss − ref_loss) tilts the mix exponentially.
+    // (source, n_docs, mean_excess) is hash-exact — micro-long folds over
+    // the two 6-dp score chains, floor-form final rounding — while the
+    // exp-tilt weights ride libm exp (not cross-engine bit-stable), so
+    // they gate as invariant booleans, q118's pattern: Σp = 1, weight
+    // order tracks excess order pairwise, budgets sum into
+    // (total − K, total] ---
+    "q138_doremi_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val proxy = quality.NgramLm.train(docs, "doc_id", "text", k = 1.0)
+      val ref = quality.NgramLm.train(
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      val perDoc = quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", proxy)
+        .select(col("doc_id"), (-col("avg_logp")).as("loss"))
+        .join(quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", ref)
+          .select(col("doc_id"), (-col("avg_logp")).as("ref_loss")), Seq("doc_id"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val w = operators.Mix.excessLossBudgets(perDoc, "source",
+        "loss", "ref_loss", eta = 1.0, totalBudget = 200000L)
+      val gates = w.agg(
+        (abs(sum("p") - lit(1.0)) < 1e-9).as("p_sum_ok"),
+        (sum("budget") <= 200000L &&
+          sum("budget") > lit(200000L) - count(lit(1))).as("budget_total_ok"))
+      val ord = w.select(col("mean_excess").as("ea"), col("p").as("pa"))
+        .crossJoin(w.select(col("mean_excess").as("eb"), col("p").as("pb")))
+        .agg(min(when(col("ea") > col("eb"),
+            (col("pa") > col("pb")).cast("int")).otherwise(1))
+          .cast("boolean").as("order_ok"))
+      w.select("source", "n_docs", "mean_excess")
+        .crossJoin(broadcast(gates)).crossJoin(broadcast(ord))
+        .orderBy("source")
+    }),
+
+    // --- annealed mix schedule (quality-annealing / midtraining): four
+    // phases interpolating from natural proportions (α = 1) to the
+    // flattened √-mix (α = 0.5) — integer-DIV interpolation of two
+    // temperature allocations, hash-exact end to end. α values chosen
+    // IEEE-exact on purpose: pow(x, 1.0) is the identity and pow(x, 0.5)
+    // is a correctly-rounded sqrt in both engines, so the floor(p·total)
+    // boundaries cannot drift cross-engine (an α like 0.4 rides libm pow,
+    // which is not bit-stable) ---
+    "q139_anneal_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
+      val start = operators.Mix.temperatureBudgets(
+        docs, "source", "n_tok", alpha = 1.0, totalBudget = 50000L)
+      val end = operators.Mix.temperatureBudgets(
+        docs, "source", "n_tok", alpha = 0.5, totalBudget = 50000L)
+      operators.Mix.schedule(start.select("source", "budget"),
+          end.select("source", "budget"), "source", nPhases = 4)
+        .orderBy("source", "phase")
     })
   )
 
@@ -4533,6 +4589,69 @@ object SparkEntry {
     // for new_old (the store holds no positions), both sides for new_new
     "q137_winnow_spans_incr" -> graft.expressions.OracleHashSql
       .winnowSpansIncremental(k = 4, w = 5, minShared = 2,
-        maxDocsPerHash = 100, maxGap = 5)
+        maxDocsPerHash = 100, maxGap = 5),
+
+    // q138: q90's fixed-point score chain run TWICE — proxy counts from
+    // the full corpus, reference counts from the English slice — then the
+    // clipped per-doc excess folds as micro-longs per source (floor-form
+    // final rounding); the exp-tilt booleans restate as constants
+    "q138_doremi_weights" ->
+      """WITH tok AS (SELECT doc_id, source, lang,
+        |    regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |sbg AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |pbc AS (SELECT a, b, count(*) AS n_ab FROM sbg GROUP BY 1, 2),
+        |pcc AS (SELECT a, count(*) AS n_a FROM sbg GROUP BY 1),
+        |pv AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok)),
+        |rtr AS (SELECT ts FROM tok WHERE lang = 'en' AND len(ts) >= 2),
+        |rbg AS (SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM rtr, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+        |rbc AS (SELECT a, b, count(*) AS n_ab FROM rbg GROUP BY 1, 2),
+        |rcc AS (SELECT a, count(*) AS n_a FROM rbg GROUP BY 1),
+        |rv AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en')),
+        |pcon AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN pbc USING (a, b) LEFT JOIN pcc USING (a) CROSS JOIN pv),
+        |ploss AS (SELECT doc_id,
+        |    -(FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
+        |  FROM pcon GROUP BY doc_id),
+        |rcon AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN rbc USING (a, b) LEFT JOIN rcc USING (a) CROSS JOIN rv),
+        |rloss AS (SELECT doc_id,
+        |    -(FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS ref_loss
+        |  FROM rcon GROUP BY doc_id),
+        |ex AS (SELECT d.source,
+        |    GREATEST(CAST(round(p.loss * 1e6, 0) AS BIGINT) -
+        |             CAST(round(r.ref_loss * 1e6, 0) AS BIGINT), 0) AS em
+        |  FROM ploss p JOIN rloss r USING (doc_id)
+        |  JOIN (SELECT doc_id, source FROM documents) d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  FLOOR(CAST(SUM(em) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS mean_excess,
+        |  true AS p_sum_ok, true AS budget_total_ok, true AS order_ok
+        |FROM ex GROUP BY source ORDER BY source""".stripMargin,
+
+    // q139: q110's temperature-budget CTEs at α = 1 and α = 0.5, then the
+    // integer-DIV phase interpolation
+    "q139_anneal_schedule" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |w1 AS (SELECT source, pow(CAST(n_tokens AS DOUBLE), 1.0) AS pw FROM s),
+        |t1 AS (SELECT SUM(pw) AS tot FROM w1),
+        |b1 AS (SELECT source, CAST(floor(pw / tot * 50000) AS BIGINT) AS bs FROM w1, t1),
+        |w2 AS (SELECT source, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
+        |t2 AS (SELECT SUM(pw) AS tot FROM w2),
+        |b2 AS (SELECT source, CAST(floor(pw / tot * 50000) AS BIGINT) AS be FROM w2, t2),
+        |ph AS (SELECT CAST(i AS BIGINT) AS phase
+        |  FROM UNNEST(generate_series(0, 3)) AS u(i))
+        |SELECT b1.source, phase,
+        |  CAST((bs * (3 - phase) + be * phase) // 12 AS BIGINT) AS budget
+        |FROM b1 JOIN b2 USING (source) CROSS JOIN ph
+        |ORDER BY source, phase""".stripMargin
   )
 }

@@ -146,6 +146,88 @@ object Mix {
             col("delivered_tokens"), 6)))
   }
 
+  /** Excess-loss domain reweighting — the one-shot approximation of DoReMi
+    * (Xie et al. 2023, arXiv:2305.10429): domains where a reference model
+    * beats the proxy model hardest (largest positive excess loss) get
+    * up-weighted by an exponential tilt, `p_d ∝ exp(η · excess_d)`.
+    * `perDoc` carries a per-doc loss under the proxy model (`lossCol`) and
+    * under the reference model (`refLossCol`); `excess_d` is the per-domain
+    * mean of `max(0, loss − refLoss)` (negative excess is clipped — a
+    * domain the proxy already fits gains nothing from more weight, the
+    * paper's clamp). `smoothing` mixes the tilt with uniform,
+    * `p = (1−s)·tilt + s/K` — DoReMi's uniform-smoothing knob.
+    *
+    * One-shot vs the paper: full DoReMi re-trains the proxy under
+    * Group-DRO and updates weights every step; this computes the tilt ONCE
+    * from two fixed models (e.g. [[graft.quality.NgramLm]] trained on the
+    * full mix vs on the reference corpus) — the corpus-pipeline-shaped
+    * slice of the recipe. Iterating it is the caller's loop: re-train,
+    * re-score, re-call.
+    *
+    * Exactness contract: `lossCol`/`refLossCol` must be 6-dp-quantized
+    * doubles (e.g. [[graft.quality.NgramLm.scoreAvgLogProb]] output, or
+    * anything passed through `Rounding.round6`); per-doc excess folds as
+    * exact micro-longs and `mean_excess` applies the IEEE-exact floor-form
+    * rounding, so the `(strata, n_docs, mean_excess)` slice is bit-exact
+    * cross-engine. `p`/`budget` ride `exp` (NOT cross-engine bit-stable —
+    * gate them with invariant booleans, q118-style, never by hash).
+    *
+    * Scale shape: one hash aggregation folds the corpus to strata size;
+    * the tilt normalizer is a broadcast singleton cross join.
+    */
+  def excessLossBudgets(perDoc: DataFrame, strataCol: String,
+                        lossCol: String, refLossCol: String, eta: Double,
+                        totalBudget: Long, smoothing: Double = 0.0): DataFrame = {
+    require(eta > 0, s"eta > 0: $eta")
+    require(smoothing >= 0 && smoothing <= 1, s"smoothing in [0,1]: $smoothing")
+    val excessMicro = greatest(
+      round(col(lossCol) * 1e6, 0).cast("long") -
+        round(col(refLossCol) * 1e6, 0).cast("long"), lit(0L))
+    val perStratum = perDoc
+      .select(col(strataCol), excessMicro.as("__em"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__em").as("__sum"))
+      .withColumn("mean_excess", graft.functions.Rounding.round6(
+        col("__sum").cast("double") / 1e6 / col("n_docs")))
+      .withColumn("__tilt", exp(lit(eta) * col("mean_excess")))
+    perStratum
+      .crossJoin(broadcast(perStratum.agg(sum("__tilt").as("__tot"),
+        count(lit(1)).as("__k"))))
+      .withColumn("p",
+        (lit(1.0 - smoothing) * col("__tilt") / col("__tot")) +
+          (lit(smoothing) / col("__k")))
+      .withColumn("budget", floor(col("p") * totalBudget).cast("long"))
+      .drop("__em", "__sum", "__tilt", "__tot", "__k")
+  }
+
+  /** Annealed mix schedule — phase-interpolated quotas between two full-run
+    * allocations (the quality-annealing / midtraining recipe: train most of
+    * the run near natural proportions, shift toward a quality- or
+    * temperature-tilted mix for the final phases). `start` and `end` are
+    * `(strataCol, budget)` allocations of the SAME total (e.g. two
+    * [[temperatureBudgets]] calls at different α, or natural vs
+    * [[excessLossBudgets]]); phase `i` of `nPhases` gets
+    * `⌊(start·(K−1−i) + end·i) / ((K−1)·K)⌋` tokens — the linear
+    * interpolation of the two mixes, with each phase sized 1/K of the run.
+    * All integer DIV arithmetic (exact past 2^53, the [[audit]]
+    * convention); strata missing from one side interpolate from 0. Feed
+    * each phase's rows to [[capTokens]] / [[upsampleTokens]].
+    */
+  def schedule(start: DataFrame, end: DataFrame, strataCol: String,
+               nPhases: Int): DataFrame = {
+    require(nPhases >= 2, s"nPhases >= 2: $nPhases")
+    val s = start.select(col(strataCol), col("budget").cast("long").as("__s"))
+    val e = end.select(col(strataCol), col("budget").cast("long").as("__e"))
+    val k = nPhases.toLong
+    s.join(e, Seq(strataCol), "full_outer")
+      .select(col(strataCol), coalesce(col("__s"), lit(0L)).as("__s"),
+        coalesce(col("__e"), lit(0L)).as("__e"))
+      .withColumn("phase", explode(sequence(lit(0L), lit(k - 1))))
+      .withColumn("budget", expr(
+        s"(__s * (${k - 1} - phase) + __e * phase) DIV ${(k - 1) * k}"))
+      .drop("__s", "__e")
+  }
+
   /** Deterministic round-robin interleave across strata for training
     * order: adds `pos` = this row's 1-based rank within its stratum (by
     * `orderCol`); sorting the output by `(pos, strataCol)` yields an epoch

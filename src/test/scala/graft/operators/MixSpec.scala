@@ -187,4 +187,69 @@ class MixSpec extends SparkSpec {
       assert(got === ref, s"subStrata=$sub")
     }
   }
+
+  test("excessLossBudgets: hand-computed excess, exp tilt, clip, smoothing") {
+    // losses 6dp-quantized per the contract; 'hard' domain excess = mean of
+    // max(0, loss - ref) = (0.2 + 0.4)/2 = 0.3; 'easy' clips to 0
+    val perDoc = Seq(
+      ("hard", 1.500000, 1.300000), ("hard", 1.800000, 1.400000),
+      ("easy", 0.900000, 1.000000), ("easy", 1.000000, 1.000000))
+      .toDF("dom", "loss", "ref_loss")
+    val out = Mix.excessLossBudgets(perDoc, "dom", "loss", "ref_loss",
+      eta = 2.0, totalBudget = 1000L)
+      .orderBy("dom").as[(String, Long, Double, Double, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq("easy", "hard"))
+    assert(out.map(_._2).toSeq === Seq(2L, 2L))
+    assert(out(0)._3 === 0.0)
+    assert(math.abs(out(1)._3 - 0.3) < 1e-9)
+    // tilt: exp(0)=1 vs exp(0.6); p_hard = e^.6/(1+e^.6)
+    val pHard = math.exp(0.6) / (1.0 + math.exp(0.6))
+    assert(math.abs(out(1)._4 - pHard) < 1e-12)
+    assert(out(1)._5 === math.floor(pHard * 1000).toLong)
+    assert(math.abs(out(0)._4 + out(1)._4 - 1.0) < 1e-12)
+    // full smoothing collapses to uniform regardless of excess
+    val uni = Mix.excessLossBudgets(perDoc, "dom", "loss", "ref_loss",
+      eta = 2.0, totalBudget = 1000L, smoothing = 1.0)
+      .select("p").as[Double].collect()
+    uni.foreach(p => assert(math.abs(p - 0.5) < 1e-12))
+  }
+
+  test("excessLossBudgets: weight order tracks excess order") {
+    val perDoc = Seq(("a", 2.0, 1.0), ("b", 1.5, 1.0), ("c", 1.0, 1.0))
+      .toDF("dom", "loss", "ref_loss")
+    val out = Mix.excessLossBudgets(perDoc, "dom", "loss", "ref_loss",
+      eta = 1.0, totalBudget = 10000L)
+      .orderBy(desc("mean_excess")).as[(String, Long, Double, Double, Long)]
+      .collect()
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted.reverse)
+    assert(out.map(_._5).toSeq === out.map(_._5).toSeq.sorted.reverse)
+  }
+
+  test("schedule: integer interpolation between two allocations") {
+    val start = Seq(("web", 800L), ("books", 200L)).toDF("source", "budget")
+    val end = Seq(("web", 200L), ("books", 800L)).toDF("source", "budget")
+    val out = Mix.schedule(start, end, "source", nPhases = 4)
+      .orderBy("source", "phase")
+      .as[(String, Long, Long)].collect().toSeq
+    // per-phase = lerp(s, e, i/3) / 4, integer floor:
+    // web: (800*3+200*0)/12=200, (800*2+200)/12=150, (800+400)/12=100, 600/12=50
+    assert(out === Seq(
+      ("books", 0L, 50L), ("books", 1L, 100L), ("books", 2L, 150L), ("books", 3L, 200L),
+      ("web", 0L, 200L), ("web", 1L, 150L), ("web", 2L, 100L), ("web", 3L, 50L)))
+    // each phase totals ~1/K of the run; whole schedule ~ the mean mix
+    assert(out.map(_._3).sum === 1000L - 0L) // floors land exactly here
+  }
+
+  test("schedule: strata missing on one side interpolate from zero") {
+    val start = Seq(("web", 600L)).toDF("source", "budget")
+    val end = Seq(("code", 600L)).toDF("source", "budget")
+    val out = Mix.schedule(start, end, "source", nPhases = 3)
+      .orderBy("source", "phase").as[(String, Long, Long)].collect().toSeq
+    // lerp(s, e, i/2) / 3: web 600*(2-i)/6, code 600*i/6; the schedule
+    // totals avg(start, end) = 300 per stratum
+    assert(out === Seq(
+      ("code", 0L, 0L), ("code", 1L, 100L), ("code", 2L, 200L),
+      ("web", 0L, 200L), ("web", 1L, 100L), ("web", 2L, 0L)))
+  }
 }
