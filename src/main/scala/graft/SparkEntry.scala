@@ -2564,6 +2564,35 @@ object SparkEntry {
       operators.Mix.schedule(start.select("source", "budget"),
           end.select("source", "budget"), "source", nPhases = 4)
         .orderBy("source", "phase")
+    }),
+
+    // --- SFT chat-template rendering with loss-mask spans: synthetic
+    // multi-turn conversations (2–4 alternating turns of 6 tokens each,
+    // deterministic in doc_id) rendered through the default template; the
+    // gate flattens one row per ASSISTANT span and re-extracts the span
+    // text from the rendered string, so an off-by-one anywhere in the
+    // offset arithmetic breaks the hash; text_md5 gates the assembly ---
+    "q140_sft_render" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 24)
+      val turns = docs
+        .withColumn("ti",
+          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+        .select(col("doc_id"), col("ti").as("idx"),
+          when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
+          concat_ws(" ",
+            slice(col("ts"), (col("ti") * 6 + 1).cast("int"), lit(6)))
+            .as("content"))
+      operators.Sft.render(turns, "doc_id", "idx", "role", "content")
+        .select(col("doc_id"), col("text"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"),
+          col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"),
+          expr("substring(text, CAST(sp.span_start + 1 AS INT), " +
+            "CAST(sp.span_end - sp.span_start AS INT))").as("span_text"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id", "span_start")
     })
   )
 
@@ -4652,6 +4681,34 @@ object SparkEntry {
         |SELECT b1.source, phase,
         |  CAST((bs * (3 - phase) + be * phase) // 12 AS BIGINT) AS budget
         |FROM b1 JOIN b2 USING (source) CROSS JOIN ph
-        |ORDER BY source, phase""".stripMargin
+        |ORDER BY source, phase""".stripMargin,
+
+    // q140: the template assembly replayed as a per-conversation windowed
+    // prefix sum + ordered string_agg; spans re-extracted from the
+    // assembled text exactly like the Spark side
+    "q140_sft_render" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE len(regexp_extract_all(lower(text), '\S+')) >= 24),
+        |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
+        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |p AS (SELECT doc_id, idx, role,
+        |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
+        |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,
+        |    CASE WHEN role = 'user' THEN 9 ELSE 14 END AS taglen,
+        |    len(content) AS clen
+        |  FROM tu),
+        |c AS (SELECT doc_id, idx, role, taglen, clen,
+        |    SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx)
+        |      - len(piece) AS st FROM p),
+        |txt AS (SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS text
+        |  FROM p GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(c.st + taglen AS BIGINT) AS span_start,
+        |  CAST(c.st + taglen + clen AS BIGINT) AS span_end,
+        |  substring(t.text, CAST(c.st + taglen + 1 AS INT), CAST(clen AS INT)) AS span_text,
+        |  md5(t.text) AS text_md5
+        |FROM c JOIN txt t USING (doc_id) WHERE role = 'assistant'
+        |ORDER BY doc_id, span_start""".stripMargin
   )
 }

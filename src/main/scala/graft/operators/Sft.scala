@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / instruction-tuning data prep: render multi-turn conversations
+  * through a chat template and emit the CHARACTER spans of the turns that
+  * should receive loss (the assistant turns) — the standard
+  * "mask everything except assistant content" contract of instruction
+  * tuning, produced at the data layer so any tokenizer downstream can map
+  * char spans to token masks (offset mapping), instead of baking one
+  * tokenizer's ids into the corpus.
+  *
+  * Rendered text per conversation = concat over turns in `idxCol` order of
+  * `tag(role) + content + turnSep`; a mask span covers exactly the CONTENT
+  * of each `maskRole` turn (tags and separators stay unmasked — they are
+  * prompt structure, not supervision).
+  *
+  * Scale shape: one hash exchange on the conversation key does everything —
+  * the per-turn start offsets are a window cumulative sum over that
+  * partitioning, and the final assembly is a groupBy on the same key
+  * (exchange reused), with the pieces ordered by a plain `array_sort` on
+  * `(idx, piece)` structs. All string work is codegen'd built-ins; no UDFs,
+  * no per-conversation tasks.
+  */
+object Sft {
+
+  /** @param roleTags   (role → tag) pairs; a turn's rendered form is
+    *                   `tag + content + turnSep`. Roles absent from the
+    *                   map fail loudly (a silently dropped system turn is
+    *                   a corrupted training example).
+    * @param maskRole   role whose CONTENT character ranges are returned as
+    *                   `spans: array<struct<span_start, span_end>>`
+    *                   (0-based, end-exclusive), ordered by position.
+    * @return one row per conversation: `(<convCol>, text, spans)`.
+    */
+  def render(turns: DataFrame, convCol: String, idxCol: String,
+             roleCol: String, contentCol: String,
+             roleTags: Seq[(String, String)] =
+               Seq("user" -> "<|user|>\n", "assistant" -> "<|assistant|>\n"),
+             maskRole: String = "assistant",
+             turnSep: String = "\n"): DataFrame = {
+    require(roleTags.nonEmpty, "roleTags must not be empty")
+    require(roleTags.exists(_._1 == maskRole),
+      s"maskRole '$maskRole' has no tag in roleTags")
+    val tag = roleTags.tail.foldLeft(
+        when(col(roleCol) === roleTags.head._1, lit(roleTags.head._2))) {
+        case (acc, (r, t)) => acc.when(col(roleCol) === r, lit(t))
+      }
+      .otherwise(raise_error(concat(
+        lit(s"unknown role for $convCol="), col(convCol).cast("string"),
+        lit(": "), col(roleCol))))
+    val piece = concat(tag, col(contentCol), lit(turnSep))
+    val w = Window.partitionBy(convCol).orderBy(idxCol)
+    val laid = turns
+      .withColumn("__piece", piece)
+      .withColumn("__start",
+        coalesce(sum(length(col("__piece")).cast("long")).over(w), lit(0L)) -
+          length(col("__piece")).cast("long"))
+      .withColumn("__s", col("__start") + length(tag).cast("long"))
+      .withColumn("__e", col("__s") + length(col(contentCol)).cast("long"))
+    laid.groupBy(convCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idxCol).as("i"),
+            col("__piece").as("p")))), x => x("p")), "").as("text"),
+        array_sort(collect_list(
+          when(col(roleCol) === maskRole,
+            struct(col("__s").as("span_start"), col("__e").as("span_end")))))
+          .as("spans"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0, "user", "hi there"),
+    (1L, 1, "assistant", "hello"),
+    (1L, 2, "user", "bye"),
+    (1L, 3, "assistant", "ok"),
+    (2L, 0, "user", "solo")).toDF("conv_id", "idx", "role", "content")
+
+  test("render: template assembly and character spans check out by hand") {
+    val out = Sft.render(turns, "conv_id", "idx", "role", "content")
+      .orderBy("conv_id")
+      .as[(Long, String, Seq[(Long, Long)])].collect()
+    val u = "<|user|>\n"; val a = "<|assistant|>\n"
+    val t1 = s"${u}hi there\n${a}hello\n${u}bye\n${a}ok\n"
+    assert(out(0)._2 === t1)
+    // spans cover exactly the assistant CONTENT (tags/separators unmasked)
+    val spans = out(0)._3
+    assert(spans.map { case (s, e) => t1.substring(s.toInt, e.toInt) } ===
+      Seq("hello", "ok"))
+    assert(out(1)._2 === s"${u}solo\n" && out(1)._3.isEmpty)
+  }
+
+  test("render: spans index by characters, not bytes, on multibyte content") {
+    val t = Seq((1L, 0, "user", "héllo ✓"), (1L, 1, "assistant", "naïve ✓"))
+      .toDF("conv_id", "idx", "role", "content")
+    val (text, spans) = Sft.render(t, "conv_id", "idx", "role", "content")
+      .as[(Long, String, Seq[(Long, Long)])].head() match {
+        case (_, tx, sp) => (tx, sp)
+      }
+    assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } ===
+      Seq("naïve ✓"))
+  }
+
+  test("render: layout-invariant (repartitioned input renders identically)") {
+    val a = Sft.render(turns, "conv_id", "idx", "role", "content")
+      .orderBy("conv_id").as[(Long, String, Seq[(Long, Long)])].collect().toSeq
+    val b = Sft.render(turns.repartition(7), "conv_id", "idx", "role", "content")
+      .orderBy("conv_id").as[(Long, String, Seq[(Long, Long)])].collect().toSeq
+    assert(a === b)
+  }
+
+  test("render: extra roles via roleTags; unknown role fails loudly") {
+    val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
+      (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
+    val tags = Seq("system" -> "<|system|>\n", "user" -> "<|user|>\n",
+      "assistant" -> "<|assistant|>\n")
+    val (text, spans) = Sft.render(t, "conv_id", "idx", "role", "content",
+        roleTags = tags).as[(Long, String, Seq[(Long, Long)])].head() match {
+        case (_, tx, sp) => (tx, sp)
+      }
+    assert(text === "<|system|>\nbe nice\n<|user|>\nq\n<|assistant|>\na\n")
+    assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } === Seq("a"))
+    val bad = Seq((1L, 0, "tool", "x")).toDF("conv_id", "idx", "role", "content")
+    val e = intercept[Exception] {
+      Sft.render(bad, "conv_id", "idx", "role", "content").collect()
+    }
+    assert(e.getMessage.contains("unknown role"))
+  }
+}
