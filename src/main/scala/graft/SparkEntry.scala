@@ -2593,6 +2593,35 @@ object SparkEntry {
             "CAST(sp.span_end - sp.span_start AS INT))").as("span_text"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id", "span_start")
+    }),
+
+    // --- context-fit truncation composed with rendering: q140's
+    // conversations squeezed through a 120-char budget (drop-oldest-turns
+    // suffix rule), then re-rendered — spans must rebase to the surviving
+    // suffix, so the gate re-extracts them from the TRUNCATED text ---
+    "q141_sft_truncate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 24)
+      val turns = docs
+        .withColumn("ti",
+          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+        .select(col("doc_id"), col("ti").as("idx"),
+          when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
+          concat_ws(" ",
+            slice(col("ts"), (col("ti") * 6 + 1).cast("int"), lit(6)))
+            .as("content"))
+      val fit = operators.Sft.truncateToBudget(turns, "doc_id", "idx",
+        "role", "content", maxChars = 120L)
+      operators.Sft.render(fit, "doc_id", "idx", "role", "content")
+        .select(col("doc_id"), col("text"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"),
+          col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"),
+          expr("substring(text, CAST(sp.span_start + 1 AS INT), " +
+            "CAST(sp.span_end - sp.span_start AS INT))").as("span_text"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id", "span_start")
     })
   )
 
@@ -4699,6 +4728,37 @@ object SparkEntry {
         |    CASE WHEN role = 'user' THEN 9 ELSE 14 END AS taglen,
         |    len(content) AS clen
         |  FROM tu),
+        |c AS (SELECT doc_id, idx, role, taglen, clen,
+        |    SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx)
+        |      - len(piece) AS st FROM p),
+        |txt AS (SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS text
+        |  FROM p GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(c.st + taglen AS BIGINT) AS span_start,
+        |  CAST(c.st + taglen + clen AS BIGINT) AS span_end,
+        |  substring(t.text, CAST(c.st + taglen + 1 AS INT), CAST(clen AS INT)) AS span_text,
+        |  md5(t.text) AS text_md5
+        |FROM c JOIN txt t USING (doc_id) WHERE role = 'assistant'
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // q141: q140's chain with the drop-oldest suffix filter (running piece
+    // length from the conversation's END, keep while <= 120) applied
+    // BEFORE the start offsets and assembly — offsets rebase to the suffix
+    "q141_sft_truncate" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE len(regexp_extract_all(lower(text), '\S+')) >= 24),
+        |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
+        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |p0 AS (SELECT doc_id, idx, role,
+        |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
+        |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,
+        |    CASE WHEN role = 'user' THEN 9 ELSE 14 END AS taglen,
+        |    len(content) AS clen
+        |  FROM tu),
+        |p AS (SELECT * FROM (SELECT p0.*,
+        |    SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx DESC) AS sfx
+        |  FROM p0) WHERE sfx <= 120),
         |c AS (SELECT doc_id, idx, role, taglen, clen,
         |    SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx)
         |      - len(piece) AS st FROM p),

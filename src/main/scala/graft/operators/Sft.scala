@@ -26,7 +26,60 @@ import org.apache.spark.sql.functions._
   */
 object Sft {
 
-  /** @param roleTags   (role → tag) pairs; a turn's rendered form is
+  /** Context-fit truncation: keep the SUFFIX of each conversation whose
+    * rendered length (tag + content + separator per turn) fits `maxChars` —
+    * the standard "drop the oldest turns" rule for examples longer than the
+    * training context. Returns the input rows that survive, same schema —
+    * compose with [[render]]. A conversation whose newest turn alone
+    * exceeds the budget disappears entirely (it cannot fit; count the
+    * output's distinct keys against the input's to observe the drops).
+    * Character budgets are the portable seam (same argument as [[render]]'s
+    * char spans): map chars → tokens downstream via the tokenizer's offsets.
+    *
+    * Cost: one window (sum of piece lengths from the conversation's END)
+    * on the same conversation-key exchange [[render]] uses next.
+    */
+  def truncateToBudget(turns: DataFrame, convCol: String, idxCol: String,
+                       roleCol: String, contentCol: String, maxChars: Long,
+                       roleTags: Seq[(String, String)] =
+                         Seq("user" -> "<|user|>\n", "assistant" -> "<|assistant|>\n"),
+                       turnSep: String = "\n"): DataFrame = {
+    require(maxChars > 0, s"maxChars > 0: $maxChars")
+    val tag = tagFor(turns, convCol, roleCol, roleTags)
+    // code-point count, matching Spark's length() on the columns (a
+    // String.length of an astral-char separator counts UTF-16 units)
+    val pieceLen = (length(tag) + length(col(contentCol)) +
+      lit(turnSep.codePointCount(0, turnSep.length))).cast("long")
+    val wDesc = Window.partitionBy(convCol)
+      .orderBy(col(idxCol).desc)
+    turns
+      .withColumn("__sfx", sum(pieceLen).over(wDesc))
+      .where(col("__sfx") <= maxChars)
+      .drop("__sfx")
+  }
+
+  /** Role → tag dispatch shared by [[render]] and [[truncateToBudget]];
+    * unknown roles fail loudly (a silently dropped system turn is a
+    * corrupted training example).
+    */
+  private def tagFor(turns: DataFrame, convCol: String, roleCol: String,
+                     roleTags: Seq[(String, String)]) = {
+    require(roleTags.nonEmpty, "roleTags must not be empty")
+    roleTags.tail.foldLeft(
+        when(col(roleCol) === roleTags.head._1, lit(roleTags.head._2))) {
+        case (acc, (r, t)) => acc.when(col(roleCol) === r, lit(t))
+      }
+      .otherwise(raise_error(concat(
+        lit(s"unknown role for $convCol="), col(convCol).cast("string"),
+        lit(": "), col(roleCol))))
+  }
+
+  /** `idxCol` must be UNIQUE within a conversation: the start offsets are a
+    * running sum ordered by it, and tied indices would make both the piece
+    * order and the tied rows' offsets ill-defined (Spark's RANGE window
+    * frame gives tied rows the same cumulative sum).
+    *
+    * @param roleTags   (role → tag) pairs; a turn's rendered form is
     *                   `tag + content + turnSep`. Roles absent from the
     *                   map fail loudly (a silently dropped system turn is
     *                   a corrupted training example).
@@ -41,16 +94,9 @@ object Sft {
                Seq("user" -> "<|user|>\n", "assistant" -> "<|assistant|>\n"),
              maskRole: String = "assistant",
              turnSep: String = "\n"): DataFrame = {
-    require(roleTags.nonEmpty, "roleTags must not be empty")
     require(roleTags.exists(_._1 == maskRole),
       s"maskRole '$maskRole' has no tag in roleTags")
-    val tag = roleTags.tail.foldLeft(
-        when(col(roleCol) === roleTags.head._1, lit(roleTags.head._2))) {
-        case (acc, (r, t)) => acc.when(col(roleCol) === r, lit(t))
-      }
-      .otherwise(raise_error(concat(
-        lit(s"unknown role for $convCol="), col(convCol).cast("string"),
-        lit(": "), col(roleCol))))
+    val tag = tagFor(turns, convCol, roleCol, roleTags)
     val piece = concat(tag, col(contentCol), lit(turnSep))
     val w = Window.partitionBy(convCol).orderBy(idxCol)
     val laid = turns

@@ -46,6 +46,43 @@ class SftSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("truncateToBudget keeps the fitting suffix; unfittable convs drop") {
+    // conv 1 pieces render as 9+len+1 chars: "hi there"=18, "hello"=20,
+    // "bye"=13, "ok"=17 (assistant tag is 14+len+1) — recompute: user tag
+    // 9 chars, assistant tag 14. pieces: 18, 20, 13, 17; suffix sums from
+    // the end: 17, 30, 50, 68
+    val kept = Sft.truncateToBudget(turns, "conv_id", "idx", "role",
+        "content", maxChars = 30)
+      .where(col("conv_id") === 1L).select("idx").as[Int].collect().toSet
+    assert(kept === Set(2, 3))
+    // exact boundary included
+    val exact = Sft.truncateToBudget(turns, "conv_id", "idx", "role",
+        "content", maxChars = 17)
+      .where(col("conv_id") === 1L).select("idx").as[Int].collect().toSet
+    assert(exact === Set(3))
+    // newest turn alone over budget: the conversation disappears
+    val gone = Sft.truncateToBudget(turns, "conv_id", "idx", "role",
+        "content", maxChars = 10)
+      .where(col("conv_id") === 1L).count()
+    assert(gone === 0L)
+    // untouched conversations pass through whole and re-render identically
+    val full = Sft.render(Sft.truncateToBudget(turns, "conv_id", "idx",
+        "role", "content", maxChars = 1000), "conv_id", "idx", "role", "content")
+      .orderBy("conv_id").as[(Long, String, Seq[(Long, Long)])].collect().toSeq
+    val ref = Sft.render(turns, "conv_id", "idx", "role", "content")
+      .orderBy("conv_id").as[(Long, String, Seq[(Long, Long)])].collect().toSeq
+    assert(full === ref)
+    // truncated conversations re-render with offsets rebased to the suffix
+    val (text, spans) = Sft.render(Sft.truncateToBudget(turns, "conv_id",
+        "idx", "role", "content", maxChars = 30), "conv_id", "idx", "role",
+        "content").where(col("conv_id") === 1L)
+      .as[(Long, String, Seq[(Long, Long)])].head() match {
+        case (_, tx, sp) => (tx, sp)
+      }
+    assert(text === "<|user|>\nbye\n<|assistant|>\nok\n")
+    assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } === Seq("ok"))
+  }
+
   test("render: extra roles via roleTags; unknown role fails loudly") {
     val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
       (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
