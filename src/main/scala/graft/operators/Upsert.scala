@@ -66,7 +66,13 @@ object Upsert {
     // latest-wins ACROSS existing ∪ upserts (not an unconditional anti-join
     // replace): an out-of-order or replayed upsert with an older orderingCol
     // loses to the newer snapshot row. Same one-hash-shuffle-per-side cost
-    // as the anti-join shape — the window and the union co-partition on keys.
+    // as the anti-join shape on plain inputs — the window and the union
+    // co-partition on keys — and robust to duplicate-key `existing` frames
+    // (keeps the latest). Trade, stated: Union does not propagate its
+    // children's partitioning, so over BUCKETED inputs this pays the one
+    // exchange the anti-join avoided; `apply`/`latestWins` remain the
+    // exchange-free path for bucketed snapshots that don't need the
+    // stale-upsert guard.
     val merged = DedupLatest(
       existing.withColumn("__src", lit(0))
         .unionByName(upserts.withColumn("__src", lit(1))),
