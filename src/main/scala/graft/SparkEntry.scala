@@ -2622,6 +2622,19 @@ object SparkEntry {
             "CAST(sp.span_end - sp.span_start AS INT))").as("span_text"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id", "span_start")
+    }),
+
+    // --- preference-pair selection (DPO prep): documents grouped into
+    // prompts, scored by a deterministic tie-heavy metric (n_chars mod
+    // 101 — ~40 candidates per prompt share 101 score atoms, so the
+    // (score desc, id asc) tie-break is exercised constantly); chosen =
+    // first, rejected = last of that order, singletons drop ---
+    "q142_preference_pairs" -> ((s, dir) => {
+      val cands = t(s, dir, "documents")
+        .select((col("doc_id") % 97).as("prompt_id"),
+          col("doc_id").as("cand"), (col("n_chars") % 101).as("score"))
+      operators.Sft.preferencePairs(cands, "prompt_id", "cand", "score")
+        .orderBy("prompt_id")
     })
   )
 
@@ -4769,6 +4782,20 @@ object SparkEntry {
         |  substring(t.text, CAST(c.st + taglen + 1 AS INT), CAST(clen AS INT)) AS span_text,
         |  md5(t.text) AS text_md5
         |FROM c JOIN txt t USING (doc_id) WHERE role = 'assistant'
-        |ORDER BY doc_id, span_start""".stripMargin
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // q142: rank candidates per prompt by (score desc, cand asc); the
+    // pair is (rank 1, rank n); prompts with one candidate drop
+    "q142_preference_pairs" ->
+      """WITH c AS (SELECT doc_id % 97 AS prompt_id, doc_id AS cand,
+        |    n_chars % 101 AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |      (PARTITION BY prompt_id ORDER BY score DESC, cand ASC) AS rn,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n FROM c)
+        |SELECT a.prompt_id, a.cand AS chosen, a.score AS chosen_score,
+        |  b.cand AS rejected, b.score AS rejected_score,
+        |  CAST(a.n AS BIGINT) AS n_cands
+        |FROM r a JOIN r b ON a.prompt_id = b.prompt_id AND b.rn = b.n
+        |WHERE a.rn = 1 AND a.n >= 2 ORDER BY a.prompt_id""".stripMargin
   )
 }

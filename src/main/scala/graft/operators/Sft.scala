@@ -58,6 +58,33 @@ object Sft {
       .drop("__sfx")
   }
 
+  /** Preference-pair selection for DPO/RLHF prep: per prompt, `chosen` =
+    * the highest-scored candidate and `rejected` = the lowest-scored, with
+    * fully deterministic tie-breaks — candidates order by
+    * `(score desc, candidate id asc)` and the pair is (first, last) of
+    * that order, so two equal-scored candidates still yield a stable,
+    * distinct pair. Prompts with fewer than two candidates emit nothing
+    * (no pair exists). `candCol` must be unique within a prompt (it is the
+    * tie-break). Output: `(<promptCol>, chosen, chosen_score, rejected,
+    * rejected_score, n_cands)`.
+    *
+    * Scale shape: ONE hash aggregation — min_by/max_by over a composite
+    * ordering struct, no window, no sort, no self-join.
+    */
+  def preferencePairs(cands: DataFrame, promptCol: String, candCol: String,
+                      scoreCol: String): DataFrame = {
+    val ord = struct((-col(scoreCol)).as("ns"), col(candCol).as("c"))
+    val v = struct(col(candCol).as("cand"), col(scoreCol).as("score"))
+    cands.groupBy(promptCol)
+      .agg(count(lit(1)).as("n_cands"),
+        min_by(v, ord).as("__ch"), max_by(v, ord).as("__rj"))
+      .where(col("n_cands") >= 2)
+      .select(col(promptCol),
+        col("__ch.cand").as("chosen"), col("__ch.score").as("chosen_score"),
+        col("__rj.cand").as("rejected"), col("__rj.score").as("rejected_score"),
+        col("n_cands"))
+  }
+
   /** Role → tag dispatch shared by [[render]] and [[truncateToBudget]];
     * unknown roles fail loudly (a silently dropped system turn is a
     * corrupted training example).

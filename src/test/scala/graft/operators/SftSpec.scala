@@ -83,6 +83,25 @@ class SftSpec extends SparkSpec {
     assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } === Seq("ok"))
   }
 
+  test("preferencePairs: best/worst per prompt with deterministic tie-breaks") {
+    val cands = Seq(
+      (10L, 1L, 5L), (10L, 2L, 9L), (10L, 3L, 1L), // clear order
+      (20L, 4L, 7L), (20L, 5L, 7L),                // full tie
+      (30L, 6L, 3L)).toDF("prompt_id", "cand", "score") // singleton: drops
+    val out = Sft.preferencePairs(cands, "prompt_id", "cand", "score")
+      .orderBy("prompt_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (10L, 2L, 9L, 3L, 1L, 3L),
+      // tie: order by (score desc, cand asc) → chosen = lower id,
+      // rejected = higher id — stable and distinct
+      (20L, 4L, 7L, 5L, 7L, 2L)))
+    // layout invariance
+    val re = Sft.preferencePairs(cands.repartition(5), "prompt_id", "cand", "score")
+      .orderBy("prompt_id").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re === out)
+  }
+
   test("render: extra roles via roleTags; unknown role fails loudly") {
     val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
       (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
