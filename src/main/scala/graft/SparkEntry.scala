@@ -2549,11 +2549,13 @@ object SparkEntry {
     // --- annealed mix schedule (quality-annealing / midtraining): four
     // phases interpolating from natural proportions (α = 1) to the
     // flattened √-mix (α = 0.5) — integer-DIV interpolation of two
-    // temperature allocations, hash-exact end to end. α values chosen
-    // IEEE-exact on purpose: pow(x, 1.0) is the identity and pow(x, 0.5)
-    // is a correctly-rounded sqrt in both engines, so the floor(p·total)
-    // boundaries cannot drift cross-engine (an α like 0.4 rides libm pow,
-    // which is not bit-stable) ---
+    // temperature allocations, hash-exact end to end. Two exactness legs:
+    // α values chosen IEEE-exact on purpose (pow(x, 1.0) is the identity,
+    // pow(x, 0.5) a correctly-rounded sqrt in both engines; an α like 0.4
+    // rides libm pow, which is not bit-stable), and the normalizer folds
+    // MICRO-QUANTIZED weights as exact integers (temperatureBudgets'
+    // contract), so neither libm nor float-summation association order
+    // can flip a floor(p·total) boundary ---
     "q139_anneal_schedule" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
@@ -4139,10 +4141,11 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
         |  FROM documents),
         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
-        |w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
-        |t AS (SELECT SUM(pw) AS tot FROM w),
-        |b AS (SELECT source, n_tokens, round(pw / tot, 6) AS p,
-        |        CAST(floor(pw / tot * 50000) AS BIGINT) AS budget FROM w, t),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS tot FROM w),
+        |b AS (SELECT source, n_tokens, round(CAST(pwm AS DOUBLE) / tot, 6) AS p,
+        |        CAST(floor(CAST(pwm AS DOUBLE) / tot * 50000) AS BIGINT) AS budget FROM w, t),
         |c AS (SELECT doc_id, source, n_tok,
         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
@@ -4215,10 +4218,11 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
         |  FROM documents),
         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM d GROUP BY source),
-        |w AS (SELECT source, tot, pow(CAST(tot AS DOUBLE), 0.3) AS pw FROM s),
-        |t AS (SELECT SUM(pw) AS totw FROM w),
+        |w AS (SELECT source, tot,
+        |        CAST(round(pow(CAST(tot AS DOUBLE), 0.3) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS totw FROM w),
         |b AS (SELECT source, tot,
-        |        CAST(floor(pw / totw * 60000) AS BIGINT) AS budget FROM w, t),
+        |        CAST(floor(CAST(pwm AS DOUBLE) / totw * 60000) AS BIGINT) AS budget FROM w, t),
         |ep AS (SELECT source, tot, budget,
         |         CASE WHEN tot <= 0 THEN 1
         |              ELSE LEAST(GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1), 100)
@@ -4255,10 +4259,11 @@ object SparkEntry {
         |d AS (SELECT doc.doc_id, doc.source, CAST(nt.n_tok AS BIGINT) AS n_tok
         |      FROM documents doc JOIN nt USING (doc_id) WHERE nt.n_tok >= 20),
         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot FROM d GROUP BY source),
-        |pw AS (SELECT source, tot, pow(CAST(tot AS DOUBLE), 0.5) AS pwr FROM s),
-        |t AS (SELECT SUM(pwr) AS totw FROM pw),
+        |pw AS (SELECT source, tot,
+        |        CAST(round(pow(CAST(tot AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS totw FROM pw),
         |b AS (SELECT source, tot,
-        |        CAST(floor(pwr / totw * 30000) AS BIGINT) AS budget FROM pw, t),
+        |        CAST(floor(CAST(pwm AS DOUBLE) / totw * 30000) AS BIGINT) AS budget FROM pw, t),
         |ep AS (SELECT source, tot, budget,
         |         CASE WHEN tot <= 0 THEN 1
         |              ELSE LEAST(GREATEST(CAST(ceil(CAST(budget AS DOUBLE) / tot) AS BIGINT), 1), 100)
@@ -4556,10 +4561,11 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
         |  FROM documents),
         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
-        |w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
-        |t AS (SELECT SUM(pw) AS tot FROM w),
-        |b AS (SELECT source, n_tokens, round(pw / tot, 6) AS p,
-        |        CAST(floor(pw / tot * 200000) AS BIGINT) AS budget FROM w, t),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS tot FROM w),
+        |b AS (SELECT source, n_tokens, round(CAST(pwm AS DOUBLE) / tot, 6) AS p,
+        |        CAST(floor(CAST(pwm AS DOUBLE) / tot * 200000) AS BIGINT) AS budget FROM w, t),
         |e AS (SELECT *, CASE WHEN n_tokens <= 0 THEN 1
         |        ELSE LEAST(100, GREATEST((budget + n_tokens - 1) // n_tokens, 1)) END AS epochs
         |      FROM b),
@@ -4712,12 +4718,16 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
         |  FROM documents),
         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
-        |w1 AS (SELECT source, pow(CAST(n_tokens AS DOUBLE), 1.0) AS pw FROM s),
-        |t1 AS (SELECT SUM(pw) AS tot FROM w1),
-        |b1 AS (SELECT source, CAST(floor(pw / tot * 50000) AS BIGINT) AS bs FROM w1, t1),
-        |w2 AS (SELECT source, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM s),
-        |t2 AS (SELECT SUM(pw) AS tot FROM w2),
-        |b2 AS (SELECT source, CAST(floor(pw / tot * 50000) AS BIGINT) AS be FROM w2, t2),
+        |w1 AS (SELECT source,
+        |  CAST(round(pow(CAST(n_tokens AS DOUBLE), 1.0) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t1 AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS tot FROM w1),
+        |b1 AS (SELECT source,
+        |  CAST(floor(CAST(pwm AS DOUBLE) / tot * 50000) AS BIGINT) AS bs FROM w1, t1),
+        |w2 AS (SELECT source,
+        |  CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS pwm FROM s),
+        |t2 AS (SELECT CAST(SUM(pwm) AS DOUBLE) AS tot FROM w2),
+        |b2 AS (SELECT source,
+        |  CAST(floor(CAST(pwm AS DOUBLE) / tot * 50000) AS BIGINT) AS be FROM w2, t2),
         |ph AS (SELECT CAST(i AS BIGINT) AS phase
         |  FROM UNNEST(generate_series(0, 3)) AS u(i))
         |SELECT b1.source, phase,

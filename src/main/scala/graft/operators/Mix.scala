@@ -52,19 +52,36 @@ object Mix {
     * Scale shape: one hash aggregation to strata size, then a broadcast
     * singleton-stat cross join for the normalizer — the strata table is
     * small by definition.
+    *
+    * Determinism contract: `n_s^α` is quantized to MICRO-units
+    * (`round(pw·1e6)` as an integer) before the normalizer sum, and the
+    * sum runs over decimals — exact and association-order-independent —
+    * so `p` and the `floor(p·total)` boundaries cannot drift with
+    * partition count or engine summation order. (A raw double `SUM(pw)`
+    * has no fixed association order; a one-ulp difference in the total
+    * can flip a floor boundary.) The per-stratum quantization itself is
+    * deterministic at any magnitude; `exp`-free α values (1.0, 0.5) are
+    * additionally bit-identical cross-engine, while libm-pow α values
+    * (e.g. 0.3) stay deterministic per engine but may differ across
+    * engines by ±1 micro-unit — gate those like q113 does, on the
+    * stable downstream slice.
     */
   def temperatureBudgets(df: DataFrame, strataCol: String, weightCol: String,
                          alpha: Double, totalBudget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
     val perStratum = df.groupBy(strataCol)
       .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
-      .withColumn("__pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .withColumn("__pwm",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6, 0)
+          .cast("decimal(28,0)"))
     perStratum
-      .crossJoin(broadcast(perStratum.agg(sum("__pw").as("__tot"))))
-      .withColumn("p", round(col("__pw") / col("__tot"), 6))
+      .crossJoin(broadcast(perStratum.agg(sum("__pwm").as("__tot"))))
+      .withColumn("p", round(
+        col("__pwm").cast("double") / col("__tot").cast("double"), 6))
       .withColumn("budget",
-        floor(col("__pw") / col("__tot") * totalBudget).cast("long"))
-      .drop("__pw", "__tot")
+        floor(col("__pwm").cast("double") / col("__tot").cast("double")
+          * totalBudget).cast("long"))
+      .drop("__pwm", "__tot")
   }
 
   /** With-replacement upsampling to a token budget — the other half of the
@@ -216,6 +233,12 @@ object Mix {
   def schedule(start: DataFrame, end: DataFrame, strataCol: String,
                nPhases: Int): DataFrame = {
     require(nPhases >= 2, s"nPhases >= 2: $nPhases")
+    // the output owns these two names; a strata column called "phase"
+    // would be silently overwritten and one called "budget" would be
+    // shadowed by the interpolated quota — fail loudly instead
+    require(strataCol != "phase" && strataCol != "budget",
+      s"strataCol must not be named 'phase' or 'budget' (got '$strataCol') — " +
+        "those are schedule()'s output columns; alias the strata column first")
     val s = start.select(col(strataCol), col("budget").cast("long").as("__s"))
     val e = end.select(col(strataCol), col("budget").cast("long").as("__e"))
     val k = nPhases.toLong

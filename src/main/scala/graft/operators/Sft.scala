@@ -36,6 +36,12 @@ object Sft {
     * Character budgets are the portable seam (same argument as [[render]]'s
     * char spans): map chars → tokens downstream via the tokenizer's offsets.
     *
+    * `idxCol` must be UNIQUE within a conversation — the same contract as
+    * [[render]], which this composes with: the suffix sum uses the default
+    * RANGE window frame, so tied indices would receive identical cumulative
+    * sums and the kept suffix would be ill-defined (both tied turns kept or
+    * both dropped, regardless of which one actually fits).
+    *
     * Cost: one window (sum of piece lengths from the conversation's END)
     * on the same conversation-key exchange [[render]] uses next.
     */
@@ -68,14 +74,21 @@ object Sft {
     * tie-break). Output: `(<promptCol>, chosen, chosen_score, rejected,
     * rejected_score, n_cands)`.
     *
+    * Null scores are EXCLUDED before pairing (and `n_cands` counts only
+    * scored candidates): an unscored candidate carries no preference
+    * signal, and without the filter Spark's struct ordering would sort the
+    * null ordering field first — deterministically crowning an unscored
+    * candidate as `chosen`, a silently corrupted pair.
+    *
     * Scale shape: ONE hash aggregation — min_by/max_by over a composite
     * ordering struct, no window, no sort, no self-join.
     */
   def preferencePairs(cands: DataFrame, promptCol: String, candCol: String,
                       scoreCol: String): DataFrame = {
+    val scored = cands.where(col(scoreCol).isNotNull)
     val ord = struct((-col(scoreCol)).as("ns"), col(candCol).as("c"))
     val v = struct(col(candCol).as("cand"), col(scoreCol).as("score"))
-    cands.groupBy(promptCol)
+    scored.groupBy(promptCol)
       .agg(count(lit(1)).as("n_cands"),
         min_by(v, ord).as("__ch"), max_by(v, ord).as("__rj"))
       .where(col("n_cands") >= 2)
@@ -105,6 +118,14 @@ object Sft {
     * running sum ordered by it, and tied indices would make both the piece
     * order and the tied rows' offsets ill-defined (Spark's RANGE window
     * frame gives tied rows the same cumulative sum).
+    *
+    * Memory bound: each conversation's full rendered text is assembled in
+    * ONE aggregation buffer row (a collect_list of its pieces), so the
+    * bound is the largest single conversation, not the corpus — fine for
+    * chat data (KB-scale conversations), but a degenerate million-turn
+    * conversation lands one giant row on an executor. Compose with
+    * [[truncateToBudget]] first when the input is not trusted to be
+    * conversation-sized; the budget then bounds the buffer explicitly.
     *
     * @param roleTags   (role → tag) pairs; a turn's rendered form is
     *                   `tag + content + turnSep`. Roles absent from the

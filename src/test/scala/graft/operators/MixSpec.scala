@@ -252,4 +252,16 @@ class MixSpec extends SparkSpec {
       ("code", 0L, 0L), ("code", 1L, 100L), ("code", 2L, 200L),
       ("web", 0L, 200L), ("web", 1L, 100L), ("web", 2L, 0L)))
   }
+
+  test("schedule rejects strata columns named after its output columns") {
+    // a strataCol called "phase" would be overwritten by the phase index,
+    // one called "budget" shadowed by the interpolated quota — loud failure
+    val a = Seq(("x", 10L)).toDF("phase", "budget")
+    for (bad <- Seq("phase", "budget")) {
+      val e = intercept[IllegalArgumentException] {
+        Mix.schedule(a, a, bad, nPhases = 2)
+      }
+      assert(e.getMessage.contains("'phase' or 'budget'"))
+    }
+  }
 }

@@ -102,6 +102,22 @@ class SftSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("preferencePairs: null scores are excluded, never crowned") {
+    // without the isNotNull filter, the null ordering field sorts FIRST in
+    // Spark's struct ordering and a null-scored candidate deterministically
+    // becomes `chosen` — the advisory case from round 15
+    val cands = Seq(
+      (10L, 1L, Some(5L)), (10L, 2L, None), (10L, 3L, Some(9L)),
+      (20L, 4L, None), (20L, 5L, Some(7L)), // one scored cand: no pair
+      (30L, 6L, None), (30L, 7L, None)      // all null: no pair
+    ).toDF("prompt_id", "cand", "score")
+    val out = Sft.preferencePairs(cands, "prompt_id", "cand", "score")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // prompt 10: nulls drop, pair = (3 score 9, 1 score 5), n_cands counts
+    // only scored candidates; prompts 20/30 emit nothing
+    assert(out === Seq((10L, 3L, 9L, 1L, 5L, 2L)))
+  }
+
   test("render: extra roles via roleTags; unknown role fails loudly") {
     val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
       (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
