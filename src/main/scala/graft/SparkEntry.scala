@@ -2637,6 +2637,60 @@ object SparkEntry {
           col("doc_id").as("cand"), (col("n_chars") % 101).as("score"))
       operators.Sft.preferencePairs(cands, "prompt_id", "cand", "score")
         .orderBy("prompt_id")
+    }),
+
+    // --- DoReMi composed TWICE (closing r15's scoped note): iteration 1
+    // is q138's one-shot tilt; its budgets reweight the corpus through
+    // q110's starts-under admission; the proxy RETRAINS on the reweighted
+    // mix and the tilt recomputes against the same fixed reference — the
+    // caller's loop the excessLossBudgets scaladoc promises, now gated end
+    // to end. Hash-gated slice: both iterations' micro-exact mean_excess,
+    // n_docs, and the admitted counts; exp-tilt sums restate as invariant
+    // booleans (q138's split), plus retilt_moved — some stratum's excess
+    // must actually CHANGE, or the composition was vacuous. The one
+    // cross-engine seam: the iteration-2 training set routes through
+    // floor(p·total) of the micro-quantized exp tilt — deterministic per
+    // engine by construction; a libm-exp disagreement would flip the
+    // admitted set and break the hash LOUDLY, never silently ---
+    "q143_doremi_iterated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tok"))
+      val ref = quality.NgramLm.train(
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      def losses(m: quality.NgramLm.Model, as: String) =
+        quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", m)
+          .select(col("doc_id"), (-col("avg_logp")).as(as))
+      def tilt(proxy: quality.NgramLm.Model, total: Long) =
+        operators.Mix.excessLossBudgets(
+          losses(proxy, "loss")
+            .join(losses(ref, "ref_loss"), Seq("doc_id"))
+            .join(docs.select("doc_id", "source"), Seq("doc_id")),
+          "source", "loss", "ref_loss", eta = 1.0, totalBudget = total)
+      val w1 = tilt(
+        quality.NgramLm.train(docs, "doc_id", "text", k = 1.0), 15000L)
+      val admitted = operators.Mix.capTokens(toks, "source", "doc_id",
+        "n_tok", w1.select("source", "budget"))
+      val w2 = tilt(quality.NgramLm.train(
+        docs.join(admitted.select("doc_id"), Seq("doc_id")),
+        "doc_id", "text", k = 1.0), 100000L)
+      val gates = w2.agg(
+        (abs(sum("p") - lit(1.0)) < 1e-9).as("p_sum_ok"),
+        (sum("budget") <= 100000L &&
+          sum("budget") > lit(100000L) - count(lit(1))).as("budget_total_ok"))
+      val moved = w1.select(col("source"), col("mean_excess").as("me1"))
+        .join(w2.select(col("source"), col("mean_excess").as("me2")),
+          Seq("source"))
+        .agg(max((col("me1") =!= col("me2")).cast("int"))
+          .cast("boolean").as("retilt_moved"))
+      w2.select(col("source"), col("n_docs"), col("mean_excess"))
+        .join(w1.select(col("source"), col("mean_excess").as("mean_excess_1")),
+          Seq("source"))
+        .join(admitted.groupBy("source").agg(count(lit(1)).as("n_admitted")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .crossJoin(broadcast(gates)).crossJoin(broadcast(moved))
+        .orderBy("source")
     })
   )
 
@@ -4806,6 +4860,84 @@ object SparkEntry {
         |  b.cand AS rejected, b.score AS rejected_score,
         |  CAST(a.n AS BIGINT) AS n_cands
         |FROM r a JOIN r b ON a.prompt_id = b.prompt_id AND b.rn = b.n
-        |WHERE a.rn = 1 AND a.n >= 2 ORDER BY a.prompt_id""".stripMargin
+        |WHERE a.rn = 1 AND a.n >= 2 ORDER BY a.prompt_id""".stripMargin,
+
+    // q143: q138's chain run THREE times (fixed reference, iteration-1
+    // proxy on the full corpus, iteration-2 proxy on the reweighted mix),
+    // with q110's starts-under admission between the two tilts; the
+    // micro-quantized exp tilt and the floor budgets replay exactly
+    "q143_doremi_iterated" ->
+      """WITH tok AS (SELECT doc_id, source, lang,
+        |    regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |nt AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tok FROM tok),
+        |sbg AS (SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |rbg AS (SELECT ts[i] AS a, ts[i+1] AS b
+        |  FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE lang = 'en' AND len(ts) >= 2),
+        |rbc AS (SELECT a, b, count(*) AS n_ab FROM rbg GROUP BY 1, 2),
+        |rcc AS (SELECT a, count(*) AS n_a FROM rbg GROUP BY 1),
+        |rv AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en')),
+        |rcon AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN rbc USING (a, b) LEFT JOIN rcc USING (a) CROSS JOIN rv),
+        |rloss AS (SELECT doc_id,
+        |    -(FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS ref_loss
+        |  FROM rcon GROUP BY doc_id),
+        |pbc AS (SELECT a, b, count(*) AS n_ab FROM sbg GROUP BY 1, 2),
+        |pcc AS (SELECT a, count(*) AS n_a FROM sbg GROUP BY 1),
+        |pv AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok)),
+        |pcon AS (SELECT doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN pbc USING (a, b) LEFT JOIN pcc USING (a) CROSS JOIN pv),
+        |ploss AS (SELECT doc_id,
+        |    -(FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
+        |  FROM pcon GROUP BY doc_id),
+        |ex1 AS (SELECT d.source,
+        |    GREATEST(CAST(round(p.loss * 1e6, 0) AS BIGINT) -
+        |             CAST(round(r.ref_loss * 1e6, 0) AS BIGINT), 0) AS em
+        |  FROM ploss p JOIN rloss r USING (doc_id)
+        |  JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+        |w1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs1,
+        |    FLOOR(CAST(SUM(em) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS me1
+        |  FROM ex1 GROUP BY source),
+        |t1 AS (SELECT source, me1, CAST(round(exp(me1) * 1e6) AS BIGINT) AS tm FROM w1),
+        |tt1 AS (SELECT CAST(SUM(tm) AS DOUBLE) AS tot FROM t1),
+        |b1 AS (SELECT source,
+        |    CAST(floor(CAST(tm AS DOUBLE) / tot * 15000) AS BIGINT) AS budget FROM t1, tt1),
+        |cm AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM nt),
+        |adm AS (SELECT cm.doc_id, cm.source FROM cm LEFT JOIN b1 USING (source)
+        |  WHERE budget IS NULL OR cum - n_tok < budget),
+        |abg AS (SELECT sbg.doc_id, a, b FROM sbg JOIN adm USING (doc_id)),
+        |qbc AS (SELECT a, b, count(*) AS n_ab FROM abg GROUP BY 1, 2),
+        |qcc AS (SELECT a, count(*) AS n_a FROM abg GROUP BY 1),
+        |qv AS (SELECT count(DISTINCT t) AS vocab
+        |  FROM (SELECT unnest(ts) AS t FROM tok JOIN adm USING (doc_id))),
+        |qcon AS (SELECT sbg.doc_id,
+        |    round(ln((coalesce(n_ab, 0) + 1.0) / (coalesce(n_a, 0) + 1.0 * vocab)), 6) AS c
+        |  FROM sbg LEFT JOIN qbc USING (a, b) LEFT JOIN qcc USING (a) CROSS JOIN qv),
+        |qloss AS (SELECT doc_id,
+        |    -(FLOOR(CAST(SUM(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6) AS loss
+        |  FROM qcon GROUP BY doc_id),
+        |ex2 AS (SELECT d.source,
+        |    GREATEST(CAST(round(q.loss * 1e6, 0) AS BIGINT) -
+        |             CAST(round(r.ref_loss * 1e6, 0) AS BIGINT), 0) AS em
+        |  FROM qloss q JOIN rloss r USING (doc_id)
+        |  JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+        |w2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    FLOOR(CAST(SUM(em) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6 AS mean_excess
+        |  FROM ex2 GROUP BY source),
+        |na AS (SELECT source, CAST(count(*) AS BIGINT) AS n_admitted
+        |  FROM adm GROUP BY source)
+        |SELECT w2.source, n_docs, mean_excess, w1.me1 AS mean_excess_1,
+        |  COALESCE(na.n_admitted, 0) AS n_admitted,
+        |  true AS p_sum_ok, true AS budget_total_ok, true AS retilt_moved
+        |FROM w2 JOIN w1 USING (source) LEFT JOIN na USING (source)
+        |ORDER BY w2.source""".stripMargin
   )
 }

@@ -186,8 +186,13 @@ object Mix {
     * anything passed through `Rounding.round6`); per-doc excess folds as
     * exact micro-longs and `mean_excess` applies the IEEE-exact floor-form
     * rounding, so the `(strata, n_docs, mean_excess)` slice is bit-exact
-    * cross-engine. `p`/`budget` ride `exp` (NOT cross-engine bit-stable —
-    * gate them with invariant booleans, q118-style, never by hash).
+    * cross-engine. The tilt is MICRO-QUANTIZED (`round(exp·1e6)` summed as
+    * exact decimals, [[temperatureBudgets]]' convention), so `p`/`budget`
+    * are deterministic per engine at any partition count; across engines
+    * they still ride libm `exp` (±1 micro-unit at worst where two libms
+    * disagree near a rounding boundary) — hash-gate them only after
+    * checking the engines agree on the data, else gate with invariant
+    * booleans, q118-style.
     *
     * Scale shape: one hash aggregation folds the corpus to strata size;
     * the tilt normalizer is a broadcast singleton cross join.
@@ -206,15 +211,17 @@ object Mix {
       .agg(count(lit(1)).as("n_docs"), sum("__em").as("__sum"))
       .withColumn("mean_excess", graft.functions.Rounding.round6(
         col("__sum").cast("double") / 1e6 / col("n_docs")))
-      .withColumn("__tilt", exp(lit(eta) * col("mean_excess")))
+      .withColumn("__tiltm",
+        round(exp(lit(eta) * col("mean_excess")) * 1e6, 0)
+          .cast("decimal(28,0)"))
     perStratum
-      .crossJoin(broadcast(perStratum.agg(sum("__tilt").as("__tot"),
+      .crossJoin(broadcast(perStratum.agg(sum("__tiltm").as("__tot"),
         count(lit(1)).as("__k"))))
       .withColumn("p",
-        (lit(1.0 - smoothing) * col("__tilt") / col("__tot")) +
-          (lit(smoothing) / col("__k")))
+        (lit(1.0 - smoothing) * col("__tiltm").cast("double") /
+          col("__tot").cast("double")) + (lit(smoothing) / col("__k")))
       .withColumn("budget", floor(col("p") * totalBudget).cast("long"))
-      .drop("__em", "__sum", "__tilt", "__tot", "__k")
+      .drop("__em", "__sum", "__tiltm", "__tot", "__k")
   }
 
   /** Annealed mix schedule — phase-interpolated quotas between two full-run

@@ -202,8 +202,11 @@ class MixSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(2L, 2L))
     assert(out(0)._3 === 0.0)
     assert(math.abs(out(1)._3 - 0.3) < 1e-9)
-    // tilt: exp(0)=1 vs exp(0.6); p_hard = e^.6/(1+e^.6)
-    val pHard = math.exp(0.6) / (1.0 + math.exp(0.6))
+    // tilt: exp(0)=1 vs exp(0.6), each micro-quantized before the exact
+    // normalizer sum (temperatureBudgets' convention) — the expectation
+    // mirrors the quantization, so the assertion is exact-tolerance
+    val tHard = math.rint(math.exp(0.6) * 1e6)
+    val pHard = tHard / (1e6 + tHard)
     assert(math.abs(out(1)._4 - pHard) < 1e-12)
     assert(out(1)._5 === math.floor(pHard * 1000).toLong)
     assert(math.abs(out(0)._4 + out(1)._4 - 1.0) < 1e-12)
