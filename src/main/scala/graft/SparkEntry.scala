@@ -2691,6 +2691,55 @@ object SparkEntry {
         .na.fill(0L, Seq("n_admitted"))
         .crossJoin(broadcast(gates)).crossJoin(broadcast(moved))
         .orderBy("source")
+    }),
+
+    // --- STRUCTURED STREAMING under the driver gate (closing the r11–r15
+    // posture note that streaming had only spec coverage): a five-day CDC
+    // change log synthesized from `documents` (insert / late insert /
+    // update / tombstone / post-tombstone re-insert per doc_id residues)
+    // lands as NDJSON files; UpsertStream replays it through a REAL
+    // readStream → foreachBatch run, maxFilesPerTrigger=1 forcing one
+    // micro-batch per file — so latest-wins must hold across batch
+    // boundaries in whatever order the file source lists the days (this is
+    // r15's symmetric-Upsert fix under the oracle). The final snapshot
+    // hash-gates against the closed-form latest-wins truth; the scratch is
+    // content-addressed (q84's convention), so reps re-read, never
+    // re-stream ---
+    "q144_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = cachedIndexDir(s, dir, "documents", "streamupsert")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_done"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val days = Seq[(Long, org.apache.spark.sql.Column, String)](
+          (0L, col("doc_id") % 5 =!= 4, "v0"), // initial inserts
+          (1L, col("doc_id") % 5 === 4, "v0"), // late-arriving inserts
+          (2L, col("doc_id") % 3 === 0, "v1"), // updates
+          (3L, col("doc_id") % 7 === 0, null), // tombstones
+          (4L, col("doc_id") % 14 === 0, "v2")) // re-inserts after delete
+        days.foreach { case (ts, pred, pre) =>
+          docs.where(pred).select(
+              col("doc_id"), lit(ts).as("ts"),
+              (if (pre == null) lit(null).cast("string")
+               else md5(concat(lit(pre + ":"), col("text")))).as("payload"),
+              lit(pre == null).as(streaming.UpsertStream.DeleteCol))
+            .coalesce(1).write.mode("append").json(s"$root/changes")
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("ts", LongType),
+          StructField("payload", StringType),
+          StructField(streaming.UpsertStream.DeleteCol, BooleanType)))
+        streaming.UpsertStream.run(s, s"$root/changes", schema,
+          s"$root/snap", s"$root/ckpt", keys = Seq("doc_id"),
+          orderingCol = "ts", maxFilesPerTrigger = Some(1))
+        fs.create(new org.apache.hadoop.fs.Path(s"$root/_done")).close()
+      }
+      streaming.UpsertStream.current(s, s"$root/snap")
+        .getOrElse(throw new IllegalStateException(s"no snapshot under $root"))
+        .select(col("doc_id"), col("payload"), col("ts"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4938,6 +4987,21 @@ object SparkEntry {
         |  COALESCE(na.n_admitted, 0) AS n_admitted,
         |  true AS p_sum_ok, true AS budget_total_ok, true AS retilt_moved
         |FROM w2 JOIN w1 USING (source) LEFT JOIN na USING (source)
-        |ORDER BY w2.source""".stripMargin
+        |ORDER BY w2.source""".stripMargin,
+
+    // q144: closed-form latest-wins truth of the synthesized change log —
+    // the newest change per doc_id residue class wins; odd multiples of 7
+    // end deleted (tombstone at ts 3, no ts-4 re-insert)
+    "q144_stream_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 14 = 0 THEN md5('v2:' || text)
+        |       WHEN doc_id % 3 = 0 THEN md5('v1:' || text)
+        |       ELSE md5('v0:' || text) END AS payload,
+        |  CAST(CASE WHEN doc_id % 14 = 0 THEN 4
+        |       WHEN doc_id % 3 = 0 THEN 2
+        |       WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS ts
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)
+        |ORDER BY doc_id""".stripMargin
   )
 }

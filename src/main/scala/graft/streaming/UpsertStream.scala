@@ -32,11 +32,21 @@ object UpsertStream {
   /** Marker column: a change row with `__deleted = true` is a tombstone. */
   val DeleteCol = "__deleted"
 
+  /** @param maxFilesPerTrigger cap change files per micro-batch —
+    *   `Trigger.AvailableNow` honors source rate limits, so `Some(1)`
+    *   forces one batch per landed file (the gate shape: latest-wins must
+    *   hold wherever the batch boundaries fall); `None` lets a catch-up
+    *   run fold the whole backlog into few batches.
+    */
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           snapshotDir: String, checkpointDir: String,
           keys: Seq[String], orderingCol: String,
-          retainVersions: Int = 3): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).json(changesDir)
+          retainVersions: Int = 3,
+          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .json(changesDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
