@@ -2740,6 +2740,50 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException(s"no snapshot under $root"))
         .select(col("doc_id"), col("payload"), col("ts"))
         .orderBy("doc_id")
+    }),
+
+    // --- PII scrub (C4/Dolma-style release hygiene): every doc gets a
+    // deterministic synthetic email plus residue-gated phone/IP/SSN/card
+    // seeds (the natural corpus carries no PII, so the gate plants
+    // adversarial instances both engines construct identically), then the
+    // sequential redaction chain runs and the gate hashes the REDACTED
+    // text plus the per-category placeholder counts — RE2-compatible
+    // patterns are what make the same rule text replayable in DuckDB ---
+    "q145_pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10.1."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" card 4242 4242 4242 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      quality.Pii.annotate(seeded, "text")
+        .select(col("doc_id"), md5(col("redacted")).as("red_md5"),
+          col("n_email"), col("n_card"), col("n_ssn"), col("n_phone"),
+          col("n_ipv4"), col("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // --- passage chunking (RAG / embedding prep): 32-token windows at
+    // stride 24 — overlap 8 — hash-exact on every chunk's joined text,
+    // so an off-by-one in a start, a length, or the short final chunk
+    // breaks the gate; pure per-row explode+slice, no shuffle ---
+    "q146_chunking" -> ((s, dir) => {
+      operators.Chunk.slidingTokens(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+          col("tok_start"), col("tok_len"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -5002,6 +5046,61 @@ object SparkEntry {
         |       WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS ts
         |FROM documents
         |WHERE NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q145: the seeding and the five-rule sequential redaction replayed —
+    // counts taken on each rule's intermediate text (placeholders
+    // inserted), DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-all
+    "q145_pii_redact" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com'
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.1.'
+        |         || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' card 4242 4242 4242 '
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM s0),
+        |r2 AS (SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+        |    regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') AS t FROM r1),
+        |r3 AS (SELECT doc_id, n_email, n_card,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t FROM r2),
+        |r4 AS (SELECT doc_id, n_email, n_card, n_ssn,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t FROM r3),
+        |r5 AS (SELECT doc_id, n_email, n_card, n_ssn, n_phone,
+        |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t FROM r4)
+        |SELECT doc_id, md5(t) AS red_md5, n_email, n_card, n_ssn, n_phone,
+        |  n_ipv4, n_email + n_card + n_ssn + n_phone + n_ipv4 AS n_pii
+        |FROM r5 ORDER BY doc_id""".stripMargin,
+
+    // q146: the window geometry replayed with DuckDB list slicing
+    // (1-based inclusive, matching Spark's slice(start, length)); the
+    // GREATEST(0, ...) clamp also absorbs the // floor-vs-DIV truncation
+    // difference on negative numerators (short docs)
+    "q146_chunking" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+        |g AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+        |    1 + GREATEST(0, (CAST(len(ts) AS BIGINT) - 32 + 23) // 24) AS n_chunks
+        |  FROM tok),
+        |c AS (SELECT doc_id, n, n_chunks, CAST(i AS BIGINT) AS chunk_id,
+        |    CAST(i AS BIGINT) * 24 AS tok_start, ts
+        |  FROM g, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+        |SELECT doc_id, chunk_id, n_chunks, tok_start,
+        |  LEAST(32, n - tok_start) AS tok_len,
+        |  array_to_string(ts[(tok_start + 1):(tok_start + LEAST(32, n - tok_start))], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 }
