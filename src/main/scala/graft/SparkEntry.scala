@@ -2784,6 +2784,37 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
           col("tok_start"), col("tok_len"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // --- best-of-N rejection sampling (RFT prep, q142's other face):
+    // same tie-heavy candidate grid, keep each prompt's top 3 by
+    // (score desc, id asc) — rank 1 is what rejection sampling trains on,
+    // the pair (1, last) is what q142 feeds DPO ---
+    "q147_best_of_n" -> ((s, dir) => {
+      val cands = t(s, dir, "documents")
+        .select((col("doc_id") % 97).as("prompt_id"),
+          col("doc_id").as("cand"), (col("n_chars") % 101).as("score"))
+      operators.Sft.bestOfN(cands, "prompt_id", "cand", "score", k = 3)
+        .select(col("prompt_id"), col("rank"), col("cand"), col("score"))
+        .orderBy("prompt_id", "rank")
+    }),
+
+    // --- passage-level exact dedup (the RAG-store prep composition:
+    // chunk, then never embed the same passage twice): q146's windows
+    // fingerprinted by their joined text, keep-first on (doc_id,
+    // chunk_id), then per-doc survival accounting — a doc whose every
+    // chunk also appears elsewhere keeps nothing ---
+    "q148_chunk_dedup" -> ((s, dir) => {
+      val chunks = operators.Chunk.slidingTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+      val kept = DedupLatest(chunks.withColumn("fp", md5(col("chunk_text"))),
+        Seq("fp"), Seq(col("doc_id").asc, col("chunk_id").asc))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5101,6 +5132,41 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, n_chunks, tok_start,
         |  LEAST(32, n - tok_start) AS tok_len,
         |  array_to_string(ts[(tok_start + 1):(tok_start + LEAST(32, n - tok_start))], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q147: q142's candidate grid, rank = row_number over
+    // (score desc, cand asc), keep rank <= 3; INT cast matches Spark's
+    // row_number type
+    "q147_best_of_n" ->
+      """WITH c AS (SELECT doc_id % 97 AS prompt_id, doc_id AS cand,
+        |    n_chars % 101 AS score FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY prompt_id ORDER BY score DESC, cand ASC) AS INT) AS rank
+        |  FROM c)
+        |SELECT prompt_id, rank, cand, score FROM r
+        |WHERE rank <= 3 ORDER BY prompt_id, rank""".stripMargin,
+
+    // q148: q146's window geometry replayed, fingerprint = md5 of the
+    // joined chunk text, keep-first on (doc_id, chunk_id) per
+    // fingerprint, then per-doc survival counts
+    "q148_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+        |g AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+        |    1 + GREATEST(0, (CAST(len(ts) AS BIGINT) - 32 + 23) // 24) AS nc
+        |  FROM tok),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    md5(array_to_string(
+        |      ts[(CAST(i AS BIGINT)*24 + 1):(CAST(i AS BIGINT)*24 + LEAST(32, n - CAST(i AS BIGINT)*24))],
+        |      ' ')) AS fp
+        |  FROM g, UNNEST(generate_series(0, nc - 1)) AS u(i)),
+        |k AS (SELECT doc_id, fp, row_number() OVER
+        |    (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn FROM c),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY doc_id),
+        |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT a.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept
+        |FROM a LEFT JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin
   )
 }

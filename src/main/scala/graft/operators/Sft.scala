@@ -98,6 +98,28 @@ object Sft {
         col("n_cands"))
   }
 
+  /** Rejection-sampling selection (best-of-N): keep each prompt's top `k`
+    * candidates by `(score desc, candId asc)` — rank 1 is the greedy
+    * winner, rank ≤ k the RFT/rejection-sampling keep set. Same
+    * deterministic tie-break and null-score exclusion contract as
+    * [[preferencePairs]] (`candCol` unique within a prompt; unscored
+    * candidates carry no signal and are dropped before ranking). Output =
+    * the surviving input rows plus a 1-based `rank`.
+    *
+    * Scale shape: ONE hash exchange on the prompt key + per-partition
+    * sort (window row_number) — no global sort, no self-join; prompts are
+    * many and candidate lists short, so the window never concentrates.
+    */
+  def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
+              scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val w = Window.partitionBy(promptCol)
+      .orderBy(col(scoreCol).desc, col(candCol).asc)
+    cands.where(col(scoreCol).isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Role → tag dispatch shared by [[render]] and [[truncateToBudget]];
     * unknown roles fail loudly (a silently dropped system turn is a
     * corrupted training example).

@@ -118,6 +118,23 @@ class SftSpec extends SparkSpec {
     assert(out === Seq((10L, 3L, 9L, 1L, 5L, 2L)))
   }
 
+  test("bestOfN: top-k with preferencePairs' tie-break and null exclusion") {
+    val cands = Seq(
+      (10L, 1L, Some(5L)), (10L, 2L, Some(9L)), (10L, 3L, Some(9L)),
+      (10L, 4L, Some(1L)), (10L, 5L, None), // null never ranks
+      (20L, 6L, Some(3L))).toDF("prompt_id", "cand", "score")
+    val out = Sft.bestOfN(cands, "prompt_id", "cand", "score", k = 3)
+      .orderBy("prompt_id", "rank")
+      .select("prompt_id", "rank", "cand", "score")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // tie at 9: lower cand id first; rank 4 (cand 4) cut by k=3;
+    // singleton prompts keep their one candidate (unlike pairs, a
+    // best-of-1 set is still trainable)
+    assert(out === Seq(
+      (10L, 1, 2L, 9L), (10L, 2, 3L, 9L), (10L, 3, 1L, 5L),
+      (20L, 1, 6L, 3L)))
+  }
+
   test("render: extra roles via roleTags; unknown role fails loudly") {
     val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
       (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
