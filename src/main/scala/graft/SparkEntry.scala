@@ -2815,6 +2815,63 @@ object SparkEntry {
           Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_kept"))
         .orderBy("doc_id")
+    }),
+
+    // --- CUSTOM STREAMING STATE under the driver gate (q144's sibling for
+    // the flatMapGroupsWithState path): the events table lands as four
+    // time-sliced NDJSON files plus a far-future sentinel, one micro-batch
+    // each in stamped-mtime order; gap sessionization with event-time
+    // timeouts must then equal the batch islands truth EXACTLY — with a
+    // 0-second watermark and time-sliced batches, a session times out iff
+    // no later event falls within the gap, which is precisely the batch
+    // rule (any in-gap successor lives in a later slice, so the watermark
+    // = slice boundary cannot have passed last+gap yet). The sentinel's
+    // own session never closes (the watermark never passes it) and is
+    // filtered defensively. Gate compares in the shared ms domain (DuckDB
+    // truncates ns parquet time to µs; both sides floor to ms) ---
+    "q149_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = cachedIndexDir(s, dir, "events", "streamsess")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_done"))) {
+        fs.delete(rootP, true)
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+        val mm = ev.agg(min("ts"), max("ts")).collect().head // bounded: 2 longs
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val span = mx - mn + 1
+        val gapNs = 1800L * 1000000000L
+        // deterministic batch order: each slice's single part file is
+        // stamped with a tiny strictly-increasing mtime right after its
+        // write (the file source orders by modification time; unstamped
+        // files carry wall-clock mtimes and are easy to tell apart)
+        def stampNew(i: Int): Unit = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$root/in"))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            f.getModificationTime > 1000000000L)
+          .foreach(f => fs.setTimes(f.getPath, 1000000L * (i + 1), -1))
+        (0 until 4).foreach { i =>
+          ev.where(col("ts") >= mn + span / 4 * i &&
+              (col("ts") < mn + span / 4 * (i + 1) || lit(i == 3)))
+            .coalesce(1).write.mode("append").json(s"$root/in")
+          stampNew(i)
+        }
+        import s.implicits._
+        Seq((-1L, mx + 10L * gapNs)).toDF("user_id", "ts")
+          .coalesce(1).write.mode("append").json(s"$root/in")
+        stampNew(4)
+        streaming.SessionizeStream.run(s, s"$root/in",
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", LongType))),
+          s"$root/out", s"$root/ckpt", gapMs = 1800L * 1000)
+        fs.create(new org.apache.hadoop.fs.Path(s"$root/_done")).close()
+      }
+      s.read.parquet(s"$root/out")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
     })
   )
 
@@ -5167,6 +5224,21 @@ object SparkEntry {
         |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
         |  FROM k WHERE rn = 1 GROUP BY doc_id)
         |SELECT a.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept
-        |FROM a LEFT JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin
+        |FROM a LEFT JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // q149: batch gap-sessionization islands in the shared ms domain —
+    // lag-diff breaks, running-sum session ids, min/max/count per island
+    "q149_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+        |SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
   )
 }
