@@ -34,6 +34,12 @@ object Chunk {
     require(chunkTokens >= 1, s"chunkTokens >= 1: $chunkTokens")
     require(stride >= 1 && stride <= chunkTokens,
       s"stride in [1, chunkTokens]: $stride")
+    val owned = Seq("n_chunks", "chunk_id", "tok_start", "tok_len",
+      "chunk_text", "__ts")
+    val clash = df.columns.toSet.intersect(owned.toSet)
+    require(clash.isEmpty,
+      s"slidingTokens owns output columns ${owned.mkString(", ")}; input " +
+        s"already has ${clash.mkString(", ")} — rename before chunking")
     val n = size(col("__ts")).cast("long")
     val nChunks = lit(1L) + greatest(lit(0L),
       expr(s"(CAST(size(__ts) AS BIGINT) - $chunkTokens + ${stride - 1}) DIV $stride"))

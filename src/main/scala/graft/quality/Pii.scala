@@ -54,6 +54,11 @@ object Pii {
     */
   def annotate(df: DataFrame, textCol: String,
                outCol: String = "redacted"): DataFrame = {
+    val owned = Rules.map(r => s"n_${r._1}") ++ Seq("n_pii", outCol)
+    val clash = df.columns.toSet.intersect(owned.toSet)
+    require(clash.isEmpty,
+      s"annotate owns output columns ${owned.mkString(", ")}; input already " +
+        s"has ${clash.mkString(", ")} — rename or pass a different outCol")
     val (cols, redactedCol) =
       Rules.foldLeft((Seq.empty[Column], col(textCol))) {
         case ((acc, t), (cat, p, r)) =>

@@ -43,9 +43,13 @@ class ChunkSpec extends SparkSpec {
     }
   }
 
-  test("slidingTokens rejects degenerate geometry") {
+  test("slidingTokens rejects degenerate geometry and column collisions") {
     val d = Seq((1L, "a b c")).toDF("id", "text")
     intercept[IllegalArgumentException](Chunk.slidingTokens(d, "id", "text", 0, 1))
     intercept[IllegalArgumentException](Chunk.slidingTokens(d, "id", "text", 4, 5))
+    val clash = Seq((1L, "a b c", 9L)).toDF("id", "text", "chunk_id")
+    val e = intercept[IllegalArgumentException](
+      Chunk.slidingTokens(clash, "id", "text", 4, 2))
+    assert(e.getMessage.contains("chunk_id"))
   }
 }

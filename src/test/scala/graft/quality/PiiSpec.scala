@@ -49,6 +49,19 @@ class PiiSpec extends SparkSpec {
     assert(e === ((1L, 0L, "id <EMAIL> end")))
   }
 
+  test("annotate rejects input columns that collide with its outputs") {
+    val d = Seq((1L, "x", 0L)).toDF("id", "text", "n_email")
+    val e = intercept[IllegalArgumentException](Pii.annotate(d, "text"))
+    assert(e.getMessage.contains("n_email"))
+    // redaction is idempotent: placeholders contain no redactable shapes
+    val once = Pii.annotate(Seq((1L, "a@b.co 10.0.0.1 123-45-6789"))
+      .toDF("id", "text"), "text").select("id", "redacted")
+      .withColumnRenamed("redacted", "text")
+    val twice = Pii.annotate(once, "text")
+      .select("n_pii", "redacted").as[(Long, String)].head()
+    assert(twice === ((0L, "<EMAIL> <IP> <SSN>")))
+  }
+
   test("findings: one row per instance with its category") {
     val docs = Seq((1L, "a@b.co and 10.0.0.1"), (2L, "clean")).toDF("id", "text")
     val f = Pii.findings(docs, "id", "text")
