@@ -2872,6 +2872,46 @@ object SparkEntry {
           unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"), col("n_events"))
         .orderBy("user_id", "start_ms")
+    }),
+
+    // --- REAL video decode under the driver gate (closing the "video is a
+    // stub" carry for uncompressed payloads): 40 synthetic-but-WELL-FORMED
+    // YUV4MPEG2 streams decode through the actual y4m parser (header,
+    // chroma-stride frame walk, luma extraction) and pool to embeddings;
+    // the oracle replays the decoded luma arithmetic closed-form (q73's
+    // synthetic-WAV convention), so any parse misalignment — wrong chroma
+    // size, off-by-one frame stride — shears the bytes and breaks the
+    // hash. Compressed containers still stub, disclosed at the Codec seam ---
+    "q150_video_decode" -> ((s, dir) => {
+      import graft.multimodal.{Multimodal, VideoCodec}
+      import s.implicits._
+      val media = s.range(40).map(i =>
+        Multimodal.MediaRecord(i, "video", s"mem://y4m/$i.y4m",
+          VideoCodec.syntheticY4m(i), 16, 16,
+          VideoCodec.syntheticFrames(i) * 40L))
+      Multimodal.extractFeatures(media, dim = 8,
+          codec = Multimodal.JdkMediaCodec)
+        .toDF()
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("idx", "feat")))
+        .orderBy("media_id", "idx")
+    }),
+
+    // --- real per-frame sampling: every 2nd decoded frame with its TRUE
+    // timeline offset (frame rate from the stream header, not metadata)
+    // and per-frame luma features; the decoded flag gates constant-true —
+    // a parser regression silently falling back to the stub path would
+    // flip it and fail loudly ---
+    "q151_frame_sample" -> ((s, dir) => {
+      import graft.multimodal.{Multimodal, VideoCodec}
+      import s.implicits._
+      val media = s.range(40).map(i =>
+        Multimodal.MediaRecord(i, "video", s"mem://y4m/$i.y4m",
+          VideoCodec.syntheticY4m(i), 16, 16,
+          VideoCodec.syntheticFrames(i) * 40L))
+      Multimodal.sampleFramesDecoded(media, every = 2, dim = 4)
+        .select(col("media_id"), col("frame_idx"), col("offset_ms"),
+          posexplode(col("feature")).as(Seq("idx", "feat")), col("decoded"))
+        .orderBy("media_id", "frame_idx", "idx")
     })
   )
 
@@ -5239,6 +5279,39 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
         |SELECT user_id, MIN(t) AS start_ms, MAX(t) AS end_ms,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
+
+    // q150: the synthetic y4m luma closed form — (id·31 + f·17 + p·7) mod
+    // 256 pooled over 8 cells of 32 positions, folded across all frames
+    "q150_video_decode" ->
+      """WITH m AS (SELECT i AS media_id, CAST(3 + (i % 5) AS INT) AS nf
+        |           FROM generate_series(0, 39) s(i)),
+        |px AS (SELECT media_id, (media_id*31 + f*17 + p*7) % 256 AS y,
+        |    (p*8)//256 AS cell
+        |  FROM m, UNNEST(generate_series(0, nf - 1)) u(f),
+        |       UNNEST(generate_series(0, 255)) v(p)),
+        |agg AS (SELECT media_id, cell, SUM(y) AS ys, COUNT(*) AS c
+        |  FROM px GROUP BY 1, 2)
+        |SELECT media_id, CAST(cell AS INT) AS idx,
+        |  CAST(CAST(ys AS DOUBLE) / (c * 255.0) * 2.0 - 1.0 AS REAL) AS feat
+        |FROM agg ORDER BY media_id, idx""".stripMargin,
+
+    // q151: per-frame replay — even frames only, offsets from the 25 fps
+    // header (f·40 ms), 4 cells of 64 positions each
+    "q151_frame_sample" ->
+      """WITH m AS (SELECT i AS media_id, CAST(3 + (i % 5) AS INT) AS nf
+        |           FROM generate_series(0, 39) s(i)),
+        |fr AS (SELECT media_id, CAST(f AS INT) AS frame_idx
+        |  FROM m, UNNEST(generate_series(0, nf - 1)) u(f) WHERE f % 2 = 0),
+        |px AS (SELECT media_id, frame_idx,
+        |    (media_id*31 + frame_idx*17 + p*7) % 256 AS y, (p*4)//256 AS cell
+        |  FROM fr, UNNEST(generate_series(0, 255)) v(p)),
+        |agg AS (SELECT media_id, frame_idx, cell, SUM(y) AS ys, COUNT(*) AS c
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT media_id, frame_idx, CAST(frame_idx AS BIGINT) * 40 AS offset_ms,
+        |  CAST(cell AS INT) AS idx,
+        |  CAST(CAST(ys AS DOUBLE) / (c * 255.0) * 2.0 - 1.0 AS REAL) AS feat,
+        |  true AS decoded
+        |FROM agg ORDER BY media_id, frame_idx, idx""".stripMargin
   )
 }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * PNG/BMP/GIF/JPEG → pixel grid → pooled embedding, see [[ImageCodec]]);
   * audio decodes for REAL via [[AudioCodec]] (JDK `javax.sound.sampled`:
   * WAV/AIFF/AU → PCM16 → windowed amplitude embedding) through
-  * [[JdkMediaCodec]]. Video payloads still go through [[StubCodec]]'s
-  * deterministic byte fingerprint — no JDK video decoder exists and this
-  * container ships no video library; the [[Codec]] seam is exactly where a
-  * javacv/JNI decoder would plug in without touching any plumbing.
+  * [[JdkMediaCodec]]; video decodes for REAL for uncompressed YUV4MPEG2
+  * payloads via [[VideoCodec]] (pure-JVM `.y4m` parser → pooled luma
+  * embedding). COMPRESSED video containers (mp4/webm) still go through
+  * [[StubCodec]]'s deterministic byte fingerprint — no JDK decoder exists
+  * for those and this container ships no video library; the [[Codec]] seam
+  * is exactly where a javacv/JNI decoder would plug in without touching
+  * any plumbing.
   *
   * Scale notes: payload bytes never shuffle — every stage below is a narrow
   * `mapPartitions` over the scan, features are extracted next to the data,
@@ -60,10 +63,11 @@ object Multimodal {
       else decodeStub(content, dim)
   }
 
-  /** Every modality with a stock JDK decoder decoded for REAL: images via
+  /** Every modality with a pure-JVM decoder decoded for REAL: images via
     * [[ImageCodec]] (pooled pixel grid), audio via [[AudioCodec]] (windowed
-    * PCM amplitude); video — no JDK decoder — falls back to the stub
-    * fingerprint, as do undecodable payloads of the real modalities.
+    * PCM amplitude), uncompressed Y4M video via [[VideoCodec]] (pooled luma
+    * across frames); compressed video and undecodable payloads of the real
+    * modalities fall back to the stub fingerprint.
     */
   case object JdkMediaCodec extends Codec {
     override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -73,6 +77,9 @@ object Multimodal {
           .map(ImageCodec.pool(_, dim)).getOrElse(decodeStub(content, dim))
         case "audio" => AudioCodec.decode(content)
           .map(c => AudioCodec.features(c.samples, dim))
+          .getOrElse(decodeStub(content, dim))
+        case "video" => VideoCodec.decode(content)
+          .map(v => VideoCodec.features(v, dim))
           .getOrElse(decodeStub(content, dim))
         case _ => decodeStub(content, dim)
       }
@@ -160,9 +167,43 @@ object Multimodal {
     }
   }
 
+  /** REAL frame sampling for Y4M video: one row per kept frame (every
+    * `every`-th), each with the frame's ACTUAL decoded luma feature and its
+    * true timeline offset from the stream's frame rate. Payloads
+    * [[VideoCodec]] cannot parse (compressed containers) degrade to the
+    * [[sampleFrames]] byte-slice fingerprint rows so the corpus keeps its
+    * rows either way — the per-row `decoded` flag tells the two apart.
+    * Narrow per-partition stage; payload bytes never shuffle.
+    */
+  def sampleFramesDecoded(media: Dataset[MediaRecord], every: Int = 1,
+                          dim: Int = 64): DataFrame = {
+    require(every >= 1, s"every >= 1: $every")
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { m =>
+      VideoCodec.decode(m.content) match {
+        case Some(v) =>
+          (0 until v.yPlanes.length by every).map { f =>
+            (m.media_id, f, f.toLong * 1000L * v.fpsDen / v.fpsNum,
+              VideoCodec.frameFeature(v.yPlanes(f), dim), true)
+          }
+        case None =>
+          val n = math.max(1, (m.durationMs / 1000L).toInt)
+          (0 until n by every).map { f =>
+            val len = m.content.length
+            val s0 = if (len == 0) 0 else (f.toLong * len / n).toInt
+            val s1 = if (len == 0) 0 else ((f + 1L) * len / n).toInt
+            (m.media_id, f, f * 1000L,
+              decodeStub(java.util.Arrays.copyOfRange(m.content, s0,
+                math.max(s0, s1)), dim), false)
+          }
+      }
+    }.toDF("media_id", "frame_idx", "offset_ms", "feature", "decoded")
+  }
+
   /** Frame sampling plumbing for video: emit one row per sampled frame
     * (every `everyMs` of duration), each with the stub-decoded feature of a
-    * byte slice — the real version slices the container at keyframes.
+    * byte slice — [[sampleFramesDecoded]] is the real path for payloads
+    * [[VideoCodec]] can parse.
     */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long = 1000L,
                    dim: Int = 64): DataFrame = {

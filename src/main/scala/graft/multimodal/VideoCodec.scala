@@ -1,0 +1,158 @@
+package graft.multimodal
+
+/** REAL video decoding for the YUV4MPEG2 (`.y4m`) container — the
+  * uncompressed interchange format every video toolchain (ffmpeg, x264,
+  * mjpegtools) reads and writes. A Y4M stream is a plain-text header
+  * (`YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<colorspace>\n`) followed by
+  * `FRAME...\n`-delimited raw planar YUV frames, so a correct pure-JVM
+  * parser needs no codec library: this closes the long-standing "video is
+  * a stub" margin for real for uncompressed payloads, while compressed
+  * containers (mp4/webm) still fall back to the stub fingerprint at the
+  * [[Multimodal.Codec]] seam (no JDK decoder exists for those — that part
+  * of the disclosure stands).
+  *
+  * Parsing is strict where it matters for correctness: the chroma layout
+  * (`C420*`/`C422`/`C444`/`Cmono`) decides each frame's byte size, so a
+  * wrong plane size would silently shear every subsequent frame — the
+  * driver gate (q150/q151) replays the decoded luma arithmetic in SQL and
+  * breaks loudly on any misalignment. Corrupt or truncated payloads
+  * return None and degrade to the documented fall-back-to-stub path,
+  * never kill the task ([[ImageCodec]]'s contract).
+  */
+object VideoCodec {
+
+  /** Decoded stream: luma (Y) planes only — chroma is parsed and skipped
+    * (features pool brightness structure; a colorspace-aware consumer
+    * would extend the frame record, not the parser).
+    */
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                       yPlanes: IndexedSeq[Array[Byte]])
+
+  private def indexOfNl(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < bytes.length) { if (bytes(i) == '\n'.toByte) return i; i += 1 }
+    -1
+  }
+
+  /** Parse a Y4M payload; None for anything that is not a well-formed,
+    * complete stream with at least one frame.
+    */
+  def decode(content: Array[Byte]): Option[Y4m] = {
+    try {
+      val nl = indexOfNl(content, 0)
+      if (nl < 0) return None
+      val header = new String(content, 0, nl, "US-ASCII")
+      val parts = header.split(' ')
+      if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+      var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420jpeg"
+      parts.iterator.drop(1).filter(_.nonEmpty).foreach { p =>
+        p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val r = p.substring(1).split(':')
+            if (r.length != 2) return None
+            fn = r(0).toInt; fd = r(1).toInt
+          case 'C' => cs = p.substring(1)
+          case _ => () // I (interlace), A (aspect), X (extensions): ignored
+        }
+      }
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      val ySize = w * h
+      val cSize =
+        if (cs.startsWith("420")) (w / 2) * (h / 2)
+        else if (cs.startsWith("422")) (w / 2) * h
+        else if (cs.startsWith("444")) w * h
+        else if (cs == "mono") 0
+        else return None
+      val frameBytes = ySize + 2 * cSize
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var pos = nl + 1
+      while (pos < content.length) {
+        val fnl = indexOfNl(content, pos)
+        if (fnl < 0) return None
+        val marker = new String(content, pos, fnl - pos, "US-ASCII")
+        if (!marker.startsWith("FRAME")) return None
+        val start = fnl + 1
+        if (start + frameBytes > content.length) return None // truncated
+        frames += java.util.Arrays.copyOfRange(content, start, start + ySize)
+        pos = start + frameBytes
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some(Y4m(w, h, fn, fd, fs))
+    } catch { case _: Exception => None }
+  }
+
+  /** One frame's luma pooled to `dim` cells — cell `j` averages the
+    * positions `p` with `p·dim ∕ len = j` (the [[AudioCodec]] windowing
+    * convention), scaled to [−1, 1]. Integer sums then one double divide:
+    * bit-reproducible, which is what lets the gate replay it in SQL.
+    */
+  def frameFeature(y: Array[Byte], dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var p = 0
+    while (p < y.length) {
+      val j = (p.toLong * dim / y.length).toInt
+      sums(j) += (y(p) & 0xFF)
+      counts(j) += 1
+      p += 1
+    }
+    Array.tabulate(dim) { j =>
+      if (counts(j) == 0) 0.0f
+      else ((sums(j).toDouble / (counts(j) * 255.0)) * 2.0 - 1.0).toFloat
+    }
+  }
+
+  /** Whole-stream feature: the same cell pooling folded across ALL frames
+    * (sums accumulate over the stream, one divide at the end — not a mean
+    * of per-frame means, so ragged tail cells cannot bias it).
+    */
+  def features(v: Y4m, dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    v.yPlanes.foreach { y =>
+      var p = 0
+      while (p < y.length) {
+        val j = (p.toLong * dim / y.length).toInt
+        sums(j) += (y(p) & 0xFF)
+        counts(j) += 1
+        p += 1
+      }
+    }
+    Array.tabulate(dim) { j =>
+      if (counts(j) == 0) 0.0f
+      else ((sums(j).toDouble / (counts(j) * 255.0)) * 2.0 - 1.0).toFloat
+    }
+  }
+
+  /** Deterministic synthetic Y4M stream (tests / the q150 oracle): 16×16
+    * C420jpeg at 25 fps, `3 + id % 5` frames, luma byte at position `p` of
+    * frame `f` = `(id·31 + f·17 + p·7) mod 256`, chroma
+    * `(id·11 + f·3 + q·5) mod 256` — a REAL, well-formed stream whose
+    * decoded content is closed-form, the [[AudioCodec.syntheticWav]]
+    * convention.
+    */
+  def syntheticY4m(id: Long, width: Int = 16, height: Int = 16): Array[Byte] = {
+    val n = syntheticFrames(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(
+      s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val ySize = width * height
+    val cSize = (width / 2) * (height / 2)
+    (0 until n).foreach { f =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      var p = 0
+      while (p < ySize) {
+        bos.write(((id * 31 + f * 17 + p * 7) % 256).toInt); p += 1
+      }
+      var q = 0
+      while (q < 2 * cSize) {
+        bos.write(((id * 11 + f * 3 + q * 5) % 256).toInt); q += 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  def syntheticFrames(id: Long): Int = 3 + (id % 5).toInt
+}
