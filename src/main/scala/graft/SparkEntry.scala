@@ -2912,6 +2912,20 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("offset_ms"),
           posexplode(col("feature")).as(Seq("idx", "feat")), col("decoded"))
         .orderBy("media_id", "frame_idx", "idx")
+    }),
+
+    // --- corpus drift between two snapshots (the pre-swap check): even-id
+    // half vs odd-id half of the corpus as stand-in versions; smoothed
+    // union-vocabulary term distributions, directed KLs + JS folded
+    // micro-exact, and the top-20 movers by |JS contribution| — every
+    // number hash-gated (ln rides the round6 seam, q90's convention) ---
+    "q152_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.where(col("doc_id") % 2 === 0)
+      val b = docs.where(col("doc_id") % 2 === 1)
+      quality.Drift.topShifts(a, b, "text", k = 20)
+        .crossJoin(broadcast(quality.Drift.summary(a, b, "text")))
+        .orderBy(abs(col("js_c")).desc, col("term"))
     })
   )
 
@@ -5312,6 +5326,46 @@ object SparkEntry {
         |  CAST(cell AS INT) AS idx,
         |  CAST(CAST(ys AS DOUBLE) / (c * 255.0) * 2.0 - 1.0 AS REAL) AS feat,
         |  true AS decoded
-        |FROM agg ORDER BY media_id, frame_idx, idx""".stripMargin
+        |FROM agg ORDER BY media_id, frame_idx, idx""".stripMargin,
+
+    // q152: smoothed union-vocab distributions, round6 contributions,
+    // micro-long folds, top-20 by |js contribution| with the term
+    // tie-break — round6 is the floor form on BOTH sides
+    "q152_corpus_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |cta AS (SELECT term, count(*) AS c_a FROM ta GROUP BY term),
+        |ctb AS (SELECT term, count(*) AS c_b FROM tb GROUP BY term),
+        |j AS (SELECT term, COALESCE(c_a, 0) AS ca, COALESCE(c_b, 0) AS cb
+        |  FROM cta FULL JOIN ctb USING (term)),
+        |st AS (SELECT SUM(ca) AS tta, SUM(cb) AS ttb, COUNT(*) AS v FROM j),
+        |p AS (SELECT term, ca, cb,
+        |    (ca + 0.5) / (tta + 0.5 * v) AS pa,
+        |    (cb + 0.5) / (ttb + 0.5 * v) AS pb FROM j, st),
+        |c AS (SELECT term, ca, cb, pa, pb,
+        |    FLOOR(pa * ln(pa / pb) * 1e6 + 0.5) / 1e6 AS kl_ab_c,
+        |    FLOOR(pb * ln(pb / pa) * 1e6 + 0.5) / 1e6 AS kl_ba_c,
+        |    FLOOR((pa * ln(pa / ((pa + pb) / 2.0)) + pb * ln(pb / ((pa + pb) / 2.0)))
+        |      / 2.0 * 1e6 + 0.5) / 1e6 AS js_c
+        |  FROM p),
+        |sm AS (SELECT
+        |    FLOOR(CAST(SUM(CAST(round(kl_ab_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_ab,
+        |    FLOOR(CAST(SUM(CAST(round(kl_ba_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_ba,
+        |    FLOOR(CAST(SUM(CAST(round(js_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS js,
+        |    COUNT(*) AS n_terms,
+        |    CAST(SUM(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |    CAST(SUM(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+        |    CAST(SUM(ca) AS BIGINT) AS tokens_a,
+        |    CAST(SUM(cb) AS BIGINT) AS tokens_b
+        |  FROM c),
+        |top AS (SELECT term, ca, cb,
+        |    FLOOR(pa * 1e6 + 0.5) / 1e6 AS pa6,
+        |    FLOOR(pb * 1e6 + 0.5) / 1e6 AS pb6, js_c
+        |  FROM c ORDER BY abs(js_c) DESC, term ASC LIMIT 20)
+        |SELECT term, ca, cb, pa6, pb6, js_c, kl_ab, kl_ba, js, n_terms,
+        |  n_only_a, n_only_b, tokens_a, tokens_b
+        |FROM top, sm ORDER BY abs(js_c) DESC, term ASC""".stripMargin
   )
 }
