@@ -2926,6 +2926,25 @@ object SparkEntry {
       quality.Drift.topShifts(a, b, "text", k = 20)
         .crossJoin(broadcast(quality.Drift.summary(a, b, "text")))
         .orderBy(abs(col("js_c")).desc, col("term"))
+    }),
+
+    // --- NEAR-dup passages (q148's other face: the RAG store should also
+    // reject paraphrase-grade duplicates, not just byte-equal ones):
+    // q146's windows as a composed (pid, text) frame through the FULL
+    // MinHash LSH chain — banded candidates, exact-Jaccard verification at
+    // 0.5 — with the oracle replaying chunking, signatures, band joins and
+    // the verify over the same composed frame (minhashSig's new source
+    // parameter). Same-doc overlapping windows share only 8 of ~56
+    // shingles (J ≈ 0.14), so survivors are genuine cross-window dups ---
+    "q153_passage_neardup" -> ((s, dir) => {
+      val passages = operators.Chunk.slidingTokens(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+        .select((col("doc_id") * 10000 + col("chunk_id")).as("pid"),
+          col("chunk_text"))
+      TextDedup.minHashNearDup(passages, "pid", "chunk_text",
+          shingleN = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5366,6 +5385,45 @@ object SparkEntry {
         |  FROM c ORDER BY abs(js_c) DESC, term ASC LIMIT 20)
         |SELECT term, ca, cb, pa6, pb6, js_c, kl_ab, kl_ba, js, n_terms,
         |  n_only_a, n_only_b, tokens_a, tokens_b
-        |FROM top, sm ORDER BY abs(js_c) DESC, term ASC""".stripMargin
+        |FROM top, sm ORDER BY abs(js_c) DESC, term ASC""".stripMargin,
+
+    // q153: q146's chunk replay as the composed (doc_id, text) source for
+    // the full minhash chain, then q77's band-slice candidate join and
+    // q22's exact-Jaccard verify over the same passages
+    "q153_passage_neardup" -> {
+      val src =
+        """(SELECT doc_id * 10000 + chunk_id AS doc_id, chunk_text AS text FROM (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          |    array_to_string(ts[(CAST(i AS BIGINT)*24 + 1):(CAST(i AS BIGINT)*24 + LEAST(32, n - CAST(i AS BIGINT)*24))], ' ') AS chunk_text
+          |  FROM (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+          |          1 + GREATEST(0, (CAST(len(ts) AS BIGINT) - 32 + 23) // 24) AS nc
+          |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+          |              FROM documents
+          |              WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1) t0) g0,
+          |       UNNEST(generate_series(0, nc - 1)) u(i)) c0)""".stripMargin
+      val sig = graft.expressions.OracleHashSql.minhashSig(3, 16, src)
+      s"""WITH sig AS (SELECT * FROM ($sig) tt),
+         |bnd AS (SELECT doc_id, j // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY j), ',') AS bv
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |  FROM $src s2),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |       FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+         |       WHERE len(ts) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+         |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT ia AS id_a, ib AS id_b,
+         |    round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+         |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+         |SELECT c.id_a, c.id_b, j.jaccard
+         |FROM cand c JOIN jac j USING (id_a, id_b)
+         |WHERE j.jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

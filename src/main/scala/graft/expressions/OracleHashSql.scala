@@ -59,13 +59,17 @@ object OracleHashSql {
   /** Oracle for `posexplode(graft_minhash(text, n, k))`:
     * (doc_id, j, minhash) — min over shingles of
     * `mix64(hashString(shingle, 0) ^ j*GOLDEN2)` under SIGNED comparison.
+    * `src` is any SQL relation exposing `(doc_id, text)` — default the
+    * documents table; pass a parenthesized subquery to replay the chain
+    * over a COMPOSED frame (e.g. q153's passages).
     */
-  def minhashSig(n: Int, k: Int): String = {
+  def minhashSig(n: Int, k: Int, src: String = "documents"): String = {
     val gram = (0 until n).map(i => if (i == 0) "ts[i]" else s"ts[i+$i]").mkString(" || ' ' || ")
     val seedRows = (0 until k)
       .map(j => s"(CAST($j AS INT), CAST(${u64(j * 0xC2B2AE3D27D4EB4FL)} AS HUGEINT))")
       .mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents),
+    val srcRef = if (src == "documents") "documents" else s"$src __mh_src"
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM $srcRef),
        |sh AS (SELECT DISTINCT doc_id, $gram AS s
        |       FROM tok, UNNEST(generate_series(1, len(ts) - ${n - 1})) AS u(i) WHERE len(ts) >= $n),
        |str AS (${foldCte("(SELECT DISTINCT s FROM sh) t", "s")}),
