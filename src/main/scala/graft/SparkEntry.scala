@@ -2923,8 +2923,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val a = docs.where(col("doc_id") % 2 === 0)
       val b = docs.where(col("doc_id") % 2 === 1)
-      quality.Drift.topShifts(a, b, "text", k = 20)
-        .crossJoin(broadcast(quality.Drift.summary(a, b, "text")))
+      // one termTable (cached: vocab-sized, LRU-evictable — the q84-site
+      // convention) feeds both readouts; the end-to-end forms would
+      // recount both corpora twice
+      val tt = quality.Drift.termTable(a, b, "text").cache()
+      quality.Drift.topShiftsFrom(tt, k = 20)
+        .crossJoin(broadcast(quality.Drift.summaryFrom(tt)))
         .orderBy(abs(col("js_c")).desc, col("term"))
     }),
 
@@ -2945,6 +2949,26 @@ object SparkEntry {
       TextDedup.minHashNearDup(passages, "pid", "chunk_text",
           shingleN = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- incremental drift through the persisted count store: the
+    // standing corpus (even half) is counted ONCE into a content-addressed
+    // parquet store; the comparison reads the vocab-sized table back and
+    // only scans the increment — the 100 TB shape, where recounting the
+    // standing corpus per check would dwarf the check itself. Summary
+    // numbers hash-gate against the same closed-form chain as q152, so
+    // store-then-compare provably equals count-then-compare ---
+    "q154_drift_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "driftcounts")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/counts/_SUCCESS")))
+        quality.Drift.counts(docs.where(col("doc_id") % 2 === 0), "text")
+          .write.mode("overwrite").parquet(s"$root/counts")
+      val stored = s.read.parquet(s"$root/counts")
+      quality.Drift.summaryFrom(quality.Drift.termTableFromCounts(stored,
+        quality.Drift.counts(docs.where(col("doc_id") % 2 === 1), "text")))
     })
   )
 
@@ -5424,6 +5448,39 @@ object SparkEntry {
          |SELECT c.id_a, c.id_b, j.jaccard
          |FROM cand c JOIN jac j USING (id_a, id_b)
          |WHERE j.jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    // q154: q152's divergence chain, summary row only — the store is an
+    // equality-preserving materialization, so the oracle is the direct
+    // computation
+    "q154_drift_incremental" ->
+      """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |cta AS (SELECT term, count(*) AS c_a FROM ta GROUP BY term),
+        |ctb AS (SELECT term, count(*) AS c_b FROM tb GROUP BY term),
+        |j AS (SELECT term, COALESCE(c_a, 0) AS ca, COALESCE(c_b, 0) AS cb
+        |  FROM cta FULL JOIN ctb USING (term)),
+        |st AS (SELECT SUM(ca) AS tta, SUM(cb) AS ttb, COUNT(*) AS v FROM j),
+        |p AS (SELECT term, ca, cb,
+        |    (ca + 0.5) / (tta + 0.5 * v) AS pa,
+        |    (cb + 0.5) / (ttb + 0.5 * v) AS pb FROM j, st),
+        |c AS (SELECT term, ca, cb, pa, pb,
+        |    FLOOR(pa * ln(pa / pb) * 1e6 + 0.5) / 1e6 AS kl_ab_c,
+        |    FLOOR(pb * ln(pb / pa) * 1e6 + 0.5) / 1e6 AS kl_ba_c,
+        |    FLOOR((pa * ln(pa / ((pa + pb) / 2.0)) + pb * ln(pb / ((pa + pb) / 2.0)))
+        |      / 2.0 * 1e6 + 0.5) / 1e6 AS js_c
+        |  FROM p)
+        |SELECT
+        |  FLOOR(CAST(SUM(CAST(round(kl_ab_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_ab,
+        |  FLOOR(CAST(SUM(CAST(round(kl_ba_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_ba,
+        |  FLOOR(CAST(SUM(CAST(round(js_c * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS js,
+        |  COUNT(*) AS n_terms,
+        |  CAST(SUM(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |  CAST(SUM(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+        |  CAST(SUM(ca) AS BIGINT) AS tokens_a,
+        |  CAST(SUM(cb) AS BIGINT) AS tokens_b
+        |FROM c""".stripMargin
   )
 }

@@ -36,12 +36,22 @@ object Drift {
     * contribution to each divergence (KL contributions carry sign; a term
     * OVER-represented in `a` contributes positively to `kl_ab`).
     */
-  def termTable(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    def counts(df: DataFrame) = df
-      .select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
-    val ca = counts(a).withColumnRenamed("c", "ca")
-    val cb = counts(b).withColumnRenamed("c", "cb")
+  def termTable(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    termTableFromCounts(counts(a, textCol), counts(b, textCol))
+
+  /** Per-corpus term counts `(term, c)` — the PERSISTABLE half of drift:
+    * at 100 TB the standing corpus is counted ONCE, written as parquet,
+    * and every future comparison reads the vocab-sized table back instead
+    * of rescanning the corpus ([[termTableFromCounts]] takes it directly).
+    */
+  def counts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(tokens(col(textCol))).as("term"))
+    .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** [[termTable]] from two pre-computed (possibly stored) count tables. */
+  def termTableFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val ca = countsA.select(col("term"), col("c").cast("long").as("ca"))
+    val cb = countsB.select(col("term"), col("c").cast("long").as("cb"))
     val joined = ca.join(cb, Seq("term"), "full_outer")
       .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
@@ -66,10 +76,17 @@ object Drift {
     * vocabulary/count accounting. `(kl_ab, kl_ba, js, n_terms, n_only_a,
     * n_only_b, tokens_a, tokens_b)`.
     */
-  def summary(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+  def summary(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    summaryFrom(termTable(a, b, textCol))
+
+  /** [[summary]] over an existing [[termTable]] — reuse one table (cache
+    * it) when a caller wants both the summary and [[topShiftsFrom]]; the
+    * end-to-end form recounts both corpora per call.
+    */
+  def summaryFrom(tt: DataFrame): DataFrame = {
     def fold(c: String) = round6(
       sum(round(col(c) * 1e6, 0).cast("long")).cast("double") / 1e6)
-    termTable(a, b, textCol).agg(
+    tt.agg(
       fold("kl_ab_c").as("kl_ab"), fold("kl_ba_c").as("kl_ba"),
       fold("js_c").as("js"), count(lit(1)).as("n_terms"),
       sum((col("cb") === 0L).cast("long")).as("n_only_a"),
@@ -81,10 +98,13 @@ object Drift {
     * the human-readable "what moved" list.
     */
   def topShifts(a: DataFrame, b: DataFrame, textCol: String,
-                k: Int = 20): DataFrame = {
+                k: Int = 20): DataFrame =
+    topShiftsFrom(termTable(a, b, textCol), k)
+
+  /** [[topShifts]] over an existing [[termTable]]. */
+  def topShiftsFrom(tt: DataFrame, k: Int = 20): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
-    termTable(a, b, textCol)
-      .select(col("term"), col("ca"), col("cb"),
+    tt.select(col("term"), col("ca"), col("cb"),
         round6(col("pa")).as("pa6"), round6(col("pb")).as("pb6"),
         col("js_c"))
       .orderBy(abs(col("js_c")).desc, col("term").asc)
