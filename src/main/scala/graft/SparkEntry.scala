@@ -2661,10 +2661,14 @@ object SparkEntry {
       def losses(m: quality.NgramLm.Model, as: String) =
         quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", m)
           .select(col("doc_id"), (-col("avg_logp")).as(as))
+      // the reference model is FIXED across both iterations — score the
+      // corpus against it once (cached: two columns per doc), not once
+      // per tilt; the proxy side genuinely differs and recomputes
+      val refLosses = losses(ref, "ref_loss").cache()
       def tilt(proxy: quality.NgramLm.Model, total: Long) =
         operators.Mix.excessLossBudgets(
           losses(proxy, "loss")
-            .join(losses(ref, "ref_loss"), Seq("doc_id"))
+            .join(refLosses, Seq("doc_id"))
             .join(docs.select("doc_id", "source"), Seq("doc_id")),
           "source", "loss", "ref_loss", eta = 1.0, totalBudget = total)
       val w1 = tilt(
@@ -2944,7 +2948,15 @@ object SparkEntry {
       val passages = operators.Chunk.slidingTokens(
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", chunkTokens = 32, stride = 24)
-        .select((col("doc_id") * 10000 + col("chunk_id")).as("pid"),
+        // the pid packing is only injective below 10k chunks per doc
+        // (~240k tokens at this geometry); past that, fail LOUDLY instead
+        // of silently colliding two documents' passages — never fires at
+        // gate scale, so the oracle needs no branch
+        .select(when(col("n_chunks") < 10000,
+            col("doc_id") * 10000 + col("chunk_id"))
+          .otherwise(raise_error(concat(lit("pid packing overflow: doc "),
+            col("doc_id"), lit(" has "), col("n_chunks"),
+            lit(" chunks — widen the id")))).as("pid"),
           col("chunk_text"))
       TextDedup.minHashNearDup(passages, "pid", "chunk_text",
           shingleN = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)

@@ -83,6 +83,26 @@ object VideoCodec {
     } catch { case _: Exception => None }
   }
 
+  // ONE pooling rule shared by the per-frame (q151) and whole-stream
+  // (q150) paths — a formula fix in one place cannot diverge the other
+  private def accumulate(y: Array[Byte], dim: Int,
+                         sums: Array[Long], counts: Array[Long]): Unit = {
+    var p = 0
+    while (p < y.length) {
+      val j = (p.toLong * dim / y.length).toInt
+      sums(j) += (y(p) & 0xFF)
+      counts(j) += 1
+      p += 1
+    }
+  }
+
+  private def finish(dim: Int, sums: Array[Long],
+                     counts: Array[Long]): Array[Float] =
+    Array.tabulate(dim) { j =>
+      if (counts(j) == 0) 0.0f
+      else ((sums(j).toDouble / (counts(j) * 255.0)) * 2.0 - 1.0).toFloat
+    }
+
   /** One frame's luma pooled to `dim` cells — cell `j` averages the
     * positions `p` with `p·dim ∕ len = j` (the [[AudioCodec]] windowing
     * convention), scaled to [−1, 1]. Integer sums then one double divide:
@@ -91,17 +111,8 @@ object VideoCodec {
   def frameFeature(y: Array[Byte], dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
-    var p = 0
-    while (p < y.length) {
-      val j = (p.toLong * dim / y.length).toInt
-      sums(j) += (y(p) & 0xFF)
-      counts(j) += 1
-      p += 1
-    }
-    Array.tabulate(dim) { j =>
-      if (counts(j) == 0) 0.0f
-      else ((sums(j).toDouble / (counts(j) * 255.0)) * 2.0 - 1.0).toFloat
-    }
+    accumulate(y, dim, sums, counts)
+    finish(dim, sums, counts)
   }
 
   /** Whole-stream feature: the same cell pooling folded across ALL frames
@@ -111,19 +122,8 @@ object VideoCodec {
   def features(v: Y4m, dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
-    v.yPlanes.foreach { y =>
-      var p = 0
-      while (p < y.length) {
-        val j = (p.toLong * dim / y.length).toInt
-        sums(j) += (y(p) & 0xFF)
-        counts(j) += 1
-        p += 1
-      }
-    }
-    Array.tabulate(dim) { j =>
-      if (counts(j) == 0) 0.0f
-      else ((sums(j).toDouble / (counts(j) * 255.0)) * 2.0 - 1.0).toFloat
-    }
+    v.yPlanes.foreach(accumulate(_, dim, sums, counts))
+    finish(dim, sums, counts)
   }
 
   /** Deterministic synthetic Y4M stream (tests / the q150 oracle): 16×16

@@ -113,6 +113,10 @@ object Sft {
   def bestOfN(cands: DataFrame, promptCol: String, candCol: String,
               scoreCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
+    // the output owns `rank`; silently overwriting a caller's prior
+    // ranking would destroy data (the Chunk/Pii owned-column contract)
+    require(!cands.columns.contains("rank"),
+      "bestOfN owns the output column 'rank'; rename the input's rank first")
     val w = Window.partitionBy(promptCol)
       .orderBy(col(scoreCol).desc, col(candCol).asc)
     cands.where(col(scoreCol).isNotNull)

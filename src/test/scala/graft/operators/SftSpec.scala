@@ -133,6 +133,11 @@ class SftSpec extends SparkSpec {
     assert(out === Seq(
       (10L, 1, 2L, 9L), (10L, 2, 3L, 9L), (10L, 3, 1L, 5L),
       (20L, 1, 6L, 3L)))
+    // a pre-existing rank column must fail loudly, never be overwritten
+    val clash = Seq((1L, 1L, 1L, 9)).toDF("prompt_id", "cand", "score", "rank")
+    val e = intercept[IllegalArgumentException](
+      Sft.bestOfN(clash, "prompt_id", "cand", "score", k = 1))
+    assert(e.getMessage.contains("rank"))
   }
 
   test("render: extra roles via roleTags; unknown role fails loudly") {
