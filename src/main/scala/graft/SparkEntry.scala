@@ -2981,6 +2981,95 @@ object SparkEntry {
       val stored = s.read.parquet(s"$root/counts")
       quality.Drift.summaryFrom(quality.Drift.termTableFromCounts(stored,
         quality.Drift.counts(docs.where(col("doc_id") % 2 === 1), "text")))
+    }),
+
+    // --- WordPiece scored pairs (the BERT-family merge criterion, next to
+    // q108's raw-count BPE round): likelihood ratio cnt/(ua·ub) as ONE
+    // IEEE-754 division of exactly-represented longs — bit-identical
+    // cross-engine, so the top-50 cut hash-gates under the full
+    // (score desc, a, b) order; scores surface pre-rounded to 6 dp ---
+    "q155_wordpiece_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.WordPiece.scoredPairs(
+          operators.WordPiece.initialWords(docs, "text"))
+        .orderBy(desc("score"), asc("a"), asc("b"))
+        .limit(50)
+        .select(col("a"), col("b"), col("cnt"), col("ua"), col("ub"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // --- WordPiece end-to-end (q109's gate shape for the third subword
+    // model): train 40 likelihood-scored merges, encode every doc by
+    // greedy longest match over alphabet ∪ fused pieces, decode back —
+    // self-encode is UNK-free by the alphabet floor, the roundtrip is
+    // exact by maximal-munch tiling, and the piece stream compresses vs
+    // character level (constant-true booleans the oracle restates) ---
+    "q156_wordpiece_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = operators.WordPiece.train(docs, "text", numMerges = 40)
+      val alpha = operators.WordPiece.alphabet(docs, "text")
+      docs.join(
+          operators.WordPiece.encode(docs, "doc_id", "text", alpha, merges),
+          Seq("doc_id"))
+        .select(
+          (operators.WordPiece.decode(col("pieces")) ===
+            concat_ws(" ", tokens(col("text")))).as("rt"),
+          array_contains(col("pieces"), operators.WordPiece.Unk).as("unk"),
+          size(col("pieces")).cast("long").as("np"),
+          aggregate(tokens(col("text")), lit(0L), (a, w) => a + length(w))
+            .as("nc"))
+        .agg(count(lit(1)).as("n_docs"), min("rt").as("all_roundtrip"),
+          (max("unk") === lit(false)).as("no_unk"),
+          (sum("np") < sum("nc")).as("compressed"))
+    }),
+
+    // --- WordPiece STORE lifecycle (q119/q126's gate for the third
+    // tokenizer — every persisted model artifact keeps a sealed-version
+    // gate): publish a 20-merge v0 and a 40-merge v1, resolve through the
+    // version chain, and require the stored model to answer EXACTLY like
+    // the freshly trained one (alphabet, merges incl. scores — parquet
+    // round-trips the doubles — and the encode it produces); v0 must be
+    // the 40-merge run's prefix, the determinism the sequential rounds
+    // promise ---
+    "q157_wordpiece_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = cachedIndexDir(s, dir, "documents", "wordpiece_lifecycle")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      if (pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+            .map(_._1) != Seq(0L, 1L)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val alpha0 = operators.WordPiece.alphabet(docs, "text")
+        pipeline.IndexVersions.publish(s, root)(p => operators.WordPiece
+          .write(alpha0,
+            operators.WordPiece.train(docs, "text", numMerges = 20), p, s))
+        pipeline.IndexVersions.publish(s, root)(p => operators.WordPiece
+          .write(alpha0,
+            operators.WordPiece.train(docs, "text", numMerges = 40), p, s))
+      }
+      val latest = pipeline.IndexVersions.latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no sealed version under $root"))
+      val versionOk = latest == s"$root/v1" &&
+        pipeline.IndexVersions.versions(s, root, sealedOnly = true)
+          .map(_._1) == Seq(0L, 1L)
+      val (storedAlpha, storedMerges) = operators.WordPiece.open(s, latest)
+      val trained = operators.WordPiece.train(docs, "text", numMerges = 40)
+      val storeEqualsTrained =
+        storedAlpha == operators.WordPiece.alphabet(docs, "text") &&
+        storedMerges == trained
+      val v0IsPrefix =
+        operators.WordPiece.open(s, s"$root/v0")._2 == trained.take(20)
+      docs.join(
+          operators.WordPiece.encode(docs, "doc_id", "text",
+            storedAlpha, storedMerges), Seq("doc_id"))
+        .select(size(col("pieces")).cast("long").as("np"),
+          aggregate(tokens(col("text")), lit(0L), (a, w) => a + length(w))
+            .as("nc"))
+        .agg(count(lit(1)).as("n_docs"), (sum("np") < sum("nc")).as("compressed"))
+        .select(col("n_docs"), col("compressed"),
+          lit(versionOk).as("version_ok"),
+          lit(storeEqualsTrained).as("store_equals_trained"),
+          lit(v0IsPrefix).as("v0_is_prefix"))
     })
   )
 
@@ -5493,6 +5582,41 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
         |  CAST(SUM(ca) AS BIGINT) AS tokens_a,
         |  CAST(SUM(cb) AS BIGINT) AS tokens_b
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q155: WordPiece base symbols (bare initial, ##-prefixed rest),
+    // frequency-weighted pair AND unit counts, score = cnt/(ua·ub) as one
+    // double division of exact integers — IEEE-identical in both engines,
+    // so the (score desc, a, b) top-50 cut is deterministic
+    "q155_wordpiece_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |sy AS (SELECT c, regexp_extract_all(w, '.') AS s FROM wc),
+        |un AS (SELECT CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS sym,
+        |         CAST(SUM(c) AS BIGINT) AS ucnt
+        |       FROM sy, UNNEST(generate_series(1, len(s))) AS u(i) GROUP BY sym),
+        |pr AS (SELECT CASE WHEN i = 1 THEN s[i] ELSE '##' || s[i] END AS a,
+        |         '##' || s[i+1] AS b, c
+        |       FROM sy, UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+        |pc AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM pr GROUP BY a, b),
+        |sc AS (SELECT a, b, cnt, ua.ucnt AS ua, ub.ucnt AS ub,
+        |         CAST(cnt AS DOUBLE) / CAST(ua.ucnt * ub.ucnt AS DOUBLE) AS score
+        |       FROM pc JOIN un ua ON ua.sym = pc.a JOIN un ub ON ub.sym = pc.b)
+        |SELECT a, b, cnt, ua, ub, round(score, 6) AS score
+        |FROM sc ORDER BY sc.score DESC, a, b LIMIT 50""".stripMargin,
+
+    // q156: maximal-munch self-encode is UNK-free and roundtrip-exact by
+    // construction; 40 merges strictly shrink the piece stream — booleans
+    // restated as constants (q109's gate pattern)
+    "q156_wordpiece_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_roundtrip,
+        |  true AS no_unk, true AS compressed FROM documents""".stripMargin,
+
+    // q157: sealed-version store answers exactly like the fresh training —
+    // constants, q126's lifecycle-gate pattern
+    "q157_wordpiece_lifecycle" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS compressed,
+        |  true AS version_ok, true AS store_equals_trained,
+        |  true AS v0_is_prefix FROM documents""".stripMargin
   )
 }
