@@ -2990,8 +2990,12 @@ object SparkEntry {
     // (score desc, a, b) order; scores surface pre-rounded to 6 dp ---
     "q155_wordpiece_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // materialize the word table: scoredPairs consumes it three times
+      // (pairs + two unit-count sides) — unmaterialized, each subtree
+      // would re-run the corpus scan (plan-audited; train's rounds
+      // checkpoint for the same reason)
       operators.WordPiece.scoredPairs(
-          operators.WordPiece.initialWords(docs, "text"))
+          operators.WordPiece.initialWords(docs, "text").localCheckpoint(true))
         .orderBy(desc("score"), asc("a"), asc("b"))
         .limit(50)
         .select(col("a"), col("b"), col("cnt"), col("ua"), col("ub"),
@@ -3006,8 +3010,9 @@ object SparkEntry {
     // character level (constant-true booleans the oracle restates) ---
     "q156_wordpiece_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = operators.WordPiece.train(docs, "text", numMerges = 40)
-      val alpha = operators.WordPiece.alphabet(docs, "text")
+      // model() derives alphabet + merges from ONE word-table build — the
+      // corpus is scanned once, not twice (train + alphabet separately)
+      val (alpha, merges) = operators.WordPiece.model(docs, "text", numMerges = 40)
       docs.join(
           operators.WordPiece.encode(docs, "doc_id", "text", alpha, merges),
           Seq("doc_id"))
@@ -3053,10 +3058,10 @@ object SparkEntry {
         pipeline.IndexVersions.versions(s, root, sealedOnly = true)
           .map(_._1) == Seq(0L, 1L)
       val (storedAlpha, storedMerges) = operators.WordPiece.open(s, latest)
-      val trained = operators.WordPiece.train(docs, "text", numMerges = 40)
+      val (freshAlpha, trained) =
+        operators.WordPiece.model(docs, "text", numMerges = 40)
       val storeEqualsTrained =
-        storedAlpha == operators.WordPiece.alphabet(docs, "text") &&
-        storedMerges == trained
+        storedAlpha == freshAlpha && storedMerges == trained
       val v0IsPrefix =
         operators.WordPiece.open(s, s"$root/v0")._2 == trained.take(20)
       docs.join(

@@ -103,6 +103,11 @@ object WordPiece {
     * double division (see class scaladoc for the exactness argument). The
     * unit-count side is symbol-inventory-sized, so AQE broadcasts both
     * joins on its own; pair rows never leave the vocab scale.
+    *
+    * `words` is consumed THREE times (pair counts + the two unit-count
+    * join sides) — pass a materialized table (`localCheckpoint`/cache) or
+    * each subtree re-derives it from the corpus; [[train]]'s rounds
+    * checkpoint theirs for exactly this reason.
     */
   def scoredPairs(words: DataFrame): DataFrame =
     Bpe.pairCounts(words)
@@ -144,7 +149,35 @@ object WordPiece {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minCount: Long = 2L, localVocabLimit: Long = 1L << 20): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges >= 0: $numMerges")
-    var words = initialWords(docs, textCol).localCheckpoint(true)
+    rounds(initialWords(docs, textCol).localCheckpoint(true),
+      numMerges, minCount, localVocabLimit)
+  }
+
+  /** Train AND extract the alphabet from ONE word-table build — the entry
+    * point for the usual "train a tokenizer, then encode with it" flow,
+    * where [[train]] + [[alphabet]] would scan the corpus twice for
+    * nothing (the corpus scan dominates everything else at scale; the
+    * word table itself is vocab-sized and serves both consumers).
+    */
+  def model(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L,
+            localVocabLimit: Long = 1L << 20): (Seq[String], Seq[Merge]) = {
+    require(numMerges >= 0, s"numMerges >= 0: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = initialWords(docs, textCol).localCheckpoint(true)
+    val alpha = words.select(explode(col("syms")).as("sym")).distinct()
+      .as[String].collect().sorted(graft.util.Utf8Order).toSeq
+    (alpha, rounds(words, numMerges, minCount, localVocabLimit))
+  }
+
+  /** The merge rounds over a prebuilt round-0 `(syms, cnt)` table (must be
+    * checkpointed/materialized by the caller — each distributed round
+    * re-checkpoints its successor).
+    */
+  private def rounds(words0: DataFrame, numMerges: Int, minCount: Long,
+                     localVocabLimit: Long): Seq[Merge] = {
+    var words = words0
     if (words.count() <= localVocabLimit) {
       val spark = words.sparkSession
       import spark.implicits._

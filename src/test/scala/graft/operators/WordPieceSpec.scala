@@ -113,6 +113,17 @@ class WordPieceSpec extends SparkSpec {
     assert(rt === Array(true))
   }
 
+  test("model() equals the separate alphabet + train pair") {
+    val (alpha, merges) = WordPiece.model(corpus, "text", numMerges = 10)
+    assert(alpha === WordPiece.alphabet(corpus, "text"))
+    assert(merges === WordPiece.train(corpus, "text", numMerges = 10))
+    // and through the distributed route too
+    val (alphaD, mergesD) = WordPiece.model(corpus, "text", numMerges = 10,
+      localVocabLimit = 0L)
+    assert(alphaD === alpha)
+    assert(mergesD === merges)
+  }
+
   test("store write/open round-trips the model bit-exactly") {
     val merges = WordPiece.train(corpus, "text", numMerges = 8)
     val alpha = WordPiece.alphabet(corpus, "text")
