@@ -3075,6 +3075,26 @@ object SparkEntry {
           lit(versionOk).as("version_ok"),
           lit(storeEqualsTrained).as("store_equals_trained"),
           lit(v0IsPrefix).as("v0_is_prefix"))
+    }),
+
+    // --- quality-filter FUNNEL (the release attrition table): four
+    // heterogeneous rules in chain order with first-failing attribution,
+    // ONE corpus scan folding into ≤5 rows by first-fail index (the naive
+    // build is K sequential filtered passes). Every rule removes docs at
+    // every sf and some docs survive the chain, so the gate exercises all
+    // rows non-trivially; the ttr rule's division is guarded by the
+    // min_tokens rule ahead of it (CASE chains stop at the first failing
+    // branch in both engines) ---
+    "q158_filter_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ts = tokens(col("text"))
+      quality.FilterFunnel.funnel(docs, Seq(
+        "min_tokens" -> (size(ts) >= 16),
+        "max_chars" -> (col("n_chars") <= 480),
+        "short_words" -> (array_max(transform(ts, w => length(w))) <= 7),
+        "type_token_ratio" -> (size(array_distinct(ts)).cast("double") /
+          size(ts).cast("double") >= 0.36)
+      ), size(ts).cast("long"))
     })
   )
 
@@ -5622,6 +5642,42 @@ object SparkEntry {
     "q157_wordpiece_lifecycle" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS compressed,
         |  true AS version_ok, true AS store_equals_trained,
-        |  true AS v0_is_prefix FROM documents""".stripMargin
+        |  true AS v0_is_prefix FROM documents""".stripMargin,
+
+    // q158: the same first-fail CASE chain (both engines stop at the first
+    // failing branch, so the ttr division never sees the sub-16-token docs
+    // min_tokens rejected), K-row prefix sums for in/out bookkeeping
+    "q158_filter_funnel" ->
+      """WITH d AS (SELECT n_chars, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |m AS (SELECT n_chars, len(ts) AS n_tok,
+        |        CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS ttr,
+        |        list_max(list_transform(ts, w -> len(w))) AS maxw
+        |      FROM d),
+        |f AS (SELECT CASE WHEN NOT coalesce(n_tok >= 16, false) THEN 0
+        |                  WHEN NOT coalesce(n_chars <= 480, false) THEN 1
+        |                  WHEN NOT coalesce(maxw <= 7, false) THEN 2
+        |                  WHEN NOT coalesce(ttr >= 0.36, false) THEN 3
+        |                  ELSE 4 END AS fi, n_tok FROM m),
+        |g AS (SELECT fi, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(n_tok) AS BIGINT) AS t FROM f GROUP BY fi),
+        |r AS (SELECT * FROM (VALUES (0, 'min_tokens'), (1, 'max_chars'),
+        |        (2, 'short_words'), (3, 'type_token_ratio')) AS v(rule_idx, rule)),
+        |tot AS (SELECT COALESCE(SUM(n), 0) AS tn, COALESCE(SUM(t), 0) AS tt FROM g),
+        |j AS (SELECT rule_idx, rule, COALESCE(g.n, 0) AS rem,
+        |        COALESCE(g.t, 0) AS trem FROM r LEFT JOIN g ON g.fi = r.rule_idx),
+        |c AS (SELECT rule_idx, rule, rem, trem,
+        |        SUM(rem) OVER (ORDER BY rule_idx) AS cn,
+        |        SUM(trem) OVER (ORDER BY rule_idx) AS ct FROM j)
+        |SELECT rule_idx, rule,
+        |  CAST(tn - cn + rem AS BIGINT) AS n_in,
+        |  CAST(rem AS BIGINT) AS n_removed,
+        |  CAST(tn - cn AS BIGINT) AS n_out,
+        |  CAST(tt - ct + trem AS BIGINT) AS tokens_in,
+        |  CAST(trem AS BIGINT) AS tokens_removed,
+        |  CAST(tt - ct AS BIGINT) AS tokens_out,
+        |  CASE WHEN tn - cn + rem > 0
+        |    THEN round(CAST(rem AS DOUBLE) / (tn - cn + rem), 6) END
+        |    AS frac_docs_removed
+        |FROM c, tot ORDER BY rule_idx""".stripMargin
   )
 }
