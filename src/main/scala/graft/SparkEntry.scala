@@ -3095,6 +3095,23 @@ object SparkEntry {
         "type_token_ratio" -> (size(array_distinct(ts)).cast("double") /
           size(ts).cast("double") >= 0.36)
       ), size(ts).cast("long"))
+    }),
+
+    // --- inter-rater agreement (Fleiss' κ) over synthesized label data:
+    // items are doc_id residues (no global sort — the generalized form
+    // handles unequal group sizes), labels are token-length buckets, so
+    // the "raters" disagree realistically and κ sits near 0 (noise) —
+    // the read an alignment-data QA pass is there to produce. Per-item
+    // P_i is ONE IEEE division of exact longs, micro-quantized before the
+    // cross-item mean; label squares quantize at 1e-12 — every fold
+    // order-independent, summary row hash-exact ---
+    "q159_rater_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = tokenCount(col("text"))
+      val ratings = docs.select((col("doc_id") % 97).as("item"),
+        when(nTok < 40, "short").when(nTok < 70, "mid")
+          .otherwise("long").as("label"))
+      quality.Agreement.fleiss(ratings, "item", "label")
     })
   )
 
@@ -5678,6 +5695,41 @@ object SparkEntry {
         |  CASE WHEN tn - cn + rem > 0
         |    THEN round(CAST(rem AS DOUBLE) / (tn - cn + rem), 6) END
         |    AS frac_docs_removed
-        |FROM c, tot ORDER BY rule_idx""".stripMargin
+        |FROM c, tot ORDER BY rule_idx""".stripMargin,
+
+    // q159: Fleiss' κ replayed closed-form — same one-division P_i, same
+    // 1e6/1e12 micro-quantizations before every fold, same two-division
+    // p_bar; κ composes from identical doubles so round(κ, 6) matches
+    "q159_rater_agreement" ->
+      """WITH rt AS (SELECT doc_id % 97 AS item,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) < 40 THEN 'short'
+        |         WHEN len(regexp_extract_all(lower(text), '\S+')) < 70 THEN 'mid'
+        |         ELSE 'long' END AS label
+        |  FROM documents),
+        |cnt AS (SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nij
+        |        FROM rt GROUP BY item, label),
+        |wn AS (SELECT item, label, nij, SUM(nij) OVER (PARTITION BY item) AS n
+        |       FROM cnt),
+        |ok AS (SELECT * FROM wn WHERE n >= 2),
+        |it AS (SELECT item, MAX(n) AS n, SUM(nij * nij) AS ss FROM ok GROUP BY item),
+        |pit AS (SELECT n, CAST(round(CAST(ss - n AS DOUBLE) /
+        |          CAST(n * (n - 1) AS DOUBLE) * 1e6) AS BIGINT) AS pim FROM it),
+        |itm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |          CAST(SUM(n) AS BIGINT) AS n_ratings, SUM(pim) AS pbarm FROM pit),
+        |tt AS (SELECT CAST(SUM(nij) AS BIGINT) AS tt FROM ok),
+        |lb AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS tj FROM ok GROUP BY label),
+        |pe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+        |         SUM(CAST(round((CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE)) *
+        |           (CAST(tj AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e12) AS BIGINT))
+        |           AS pem
+        |       FROM lb, tt)
+        |SELECT n_items, n_ratings, n_labels,
+        |  round(CAST(pbarm AS DOUBLE) / 1e6 / n_items, 6) AS p_bar,
+        |  round(CAST(pem AS DOUBLE) / 1e12, 6) AS p_e,
+        |  CASE WHEN CAST(pem AS DOUBLE) / 1e12 = 1.0 THEN NULL
+        |       ELSE round((CAST(pbarm AS DOUBLE) / 1e6 / n_items -
+        |         CAST(pem AS DOUBLE) / 1e12) /
+        |         (1.0 - CAST(pem AS DOUBLE) / 1e12), 6) END AS kappa
+        |FROM itm, pe""".stripMargin
   )
 }
