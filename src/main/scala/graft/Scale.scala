@@ -634,3 +634,44 @@ object ScaleCC {
     spark.stop()
   }
 }
+
+/** r16 rig: SFT render/truncate cost must scale with TURN rows (the one
+  * conversation-key exchange + window + same-key groupBy), not with
+  * conversation count x corpus and not with how turns distribute across
+  * conversations. Two probes on synthesized turn tables: (a) the SAME
+  * 4M turn rows as 1M small conversations (4 turns) vs 16k large ones
+  * (256 turns) — times should be comparable (the groupBy buffer grows,
+  * the exchange does not); (b) 4M -> 16M turn rows at fixed shape —
+  * time should grow ~linearly. truncate budget is set high so no row
+  * drops (cost, not semantics, is under test here; q141 gates semantics).
+  */
+object ScaleSft {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    def turns(nTurns: Long, perConv: Long) =
+      spark.range(nTurns).select(
+        (col("id") / perConv).cast("long").as("conv"),
+        pmod(col("id"), lit(perConv)).as("idx"),
+        when(pmod(col("id"), lit(2)) === 0, "user")
+          .otherwise("assistant").as("role"),
+        concat(lit("turn content number "),
+          pmod(col("id"), lit(997)).cast("string")).as("content"))
+    def run(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val fit = operators.Sft.truncateToBudget(df, "conv", "idx", "role",
+        "content", maxChars = 1L << 40)
+      val r = operators.Sft.render(fit, "conv", "idx", "role", "content")
+        .agg(sum(length(col("text"))).as("chars"),
+          sum(size(col("spans"))).as("spans")).head()
+      println(f"SCALE $name chars=${r.getLong(0)}%d spans=${r.getLong(1)}%d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    run("warmup")(turns(1L << 20, 4))
+    for (round <- 0 to 1) {
+      run(s"sft_4m_small_r$round")(turns(1L << 22, 4))    // 1M convs x 4
+      run(s"sft_4m_large_r$round")(turns(1L << 22, 256))  // 16k convs x 256
+      run(s"sft_16m_small_r$round")(turns(1L << 24, 4))   // 4x the rows
+    }
+    spark.stop()
+  }
+}

@@ -3112,6 +3112,62 @@ object SparkEntry {
         when(nTok < 40, "short").when(nTok < 70, "mid")
           .otherwise("long").as("label"))
       quality.Agreement.fleiss(ratings, "item", "label")
+    }),
+
+    // --- q142 with the DPO margin filter: 5-candidate prompts (constant
+    // per-prompt cardinality at EVERY sf, so the margin bites at all three
+    // scale factors — a %97 prompt key saturates the spread at sf0.1 and
+    // the filter goes vacuous), integer score atoms, minMargin = 80 drops
+    // near-tie pairs; the inclusive boundary sits ON a score atom so
+    // exactly-80 spreads are kept — any off-by-one in the comparison
+    // flips rows and breaks the hash ---
+    "q160_preference_margin" -> ((s, dir) => {
+      val cands = t(s, dir, "documents")
+        .select(expr("doc_id DIV 5").as("prompt_id"),
+          col("doc_id").as("cand"), (col("n_chars") % 101).as("score"))
+      operators.Sft.preferencePairs(cands, "prompt_id", "cand", "score",
+        minMargin = 80.0).orderBy("prompt_id")
+    }),
+
+    // --- SFT delivery capstone (q130's composition gate for the
+    // alignment family): context-fit truncation → chat-template render →
+    // deterministic shard shuffle → per-shard manifest. Every stage is
+    // individually oracled (q141/q140/q123); this gates the SEAMS — conv
+    // counts, rendered-char mass, span counts, loss-char mass, shard
+    // positions, and the min text md5 per shard are all hash-exact, so a
+    // conversation lost, duplicated, or misrouted at any seam (or a span
+    // rebased wrong after truncation) fails loudly ---
+    "q161_sft_delivery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 24)
+      val turns = docs
+        .withColumn("ti",
+          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+        .select(col("doc_id"), col("ti").as("idx"),
+          when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
+          concat_ws(" ",
+            slice(col("ts"), (col("ti") * 6 + 1).cast("int"), lit(6)))
+            .as("content"))
+      val fit = operators.Sft.truncateToBudget(turns, "doc_id", "idx",
+        "role", "content", maxChars = 120L)
+      val examples = operators.Sft.render(fit, "doc_id", "idx",
+          "role", "content")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("spans")).cast("long").as("n_spans"),
+          aggregate(col("spans"), lit(0L),
+            (acc, sp) => acc + sp("span_end") - sp("span_start"))
+            .as("span_chars"))
+      operators.Shards.assign(examples, "doc_id", numShards = 4, seed = 11L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_convs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_spans").as("sum_spans"),
+          sum("span_chars").as("sum_span_chars"),
+          max("pos").as("max_pos"),
+          min(md5(col("text"))).as("min_text_md5"))
+        .orderBy("shard")
     })
   )
 
@@ -5730,6 +5786,58 @@ object SparkEntry {
         |       ELSE round((CAST(pbarm AS DOUBLE) / 1e6 / n_items -
         |         CAST(pem AS DOUBLE) / 1e12) /
         |         (1.0 - CAST(pem AS DOUBLE) / 1e12), 6) END AS kappa
-        |FROM itm, pe""".stripMargin
+        |FROM itm, pe""".stripMargin,
+
+    // q160: q142's rank pairing over 5-candidate prompts, plus the margin
+    // predicate (inclusive at 80) on the paired scores
+    "q160_preference_margin" ->
+      """WITH c AS (SELECT doc_id // 5 AS prompt_id, doc_id AS cand,
+        |    n_chars % 101 AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |      (PARTITION BY prompt_id ORDER BY score DESC, cand ASC) AS rn,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n FROM c)
+        |SELECT a.prompt_id, a.cand AS chosen, a.score AS chosen_score,
+        |  b.cand AS rejected, b.score AS rejected_score,
+        |  CAST(a.n AS BIGINT) AS n_cands
+        |FROM r a JOIN r b ON a.prompt_id = b.prompt_id AND b.rn = b.n
+        |WHERE a.rn = 1 AND a.n >= 2 AND a.score - b.score >= 80
+        |ORDER BY a.prompt_id""".stripMargin,
+
+    // q161: q141's truncate+render chain folded to per-conversation
+    // example stats (rendered text assembled for the md5), then q130's
+    // shard expression (seed 11, 4 shards) and the per-shard manifest
+    "q161_sft_delivery" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE len(regexp_extract_all(lower(text), '\S+')) >= 24),
+        |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
+        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |p0 AS (SELECT doc_id, idx, role,
+        |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
+        |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,
+        |    len(content) AS clen
+        |  FROM tu),
+        |p AS (SELECT * FROM (SELECT p0.*,
+        |    SUM(len(piece)) OVER (PARTITION BY doc_id ORDER BY idx DESC) AS sfx
+        |  FROM p0) WHERE sfx <= 120),
+        |ex AS (SELECT doc_id,
+        |    string_agg(piece, '' ORDER BY idx) AS text,
+        |    CAST(SUM(len(piece)) AS BIGINT) AS n_chars,
+        |    CAST(COALESCE(COUNT(*) FILTER (role = 'assistant'), 0) AS BIGINT) AS n_spans,
+        |    CAST(COALESCE(SUM(clen) FILTER (role = 'assistant'), 0) AS BIGINT) AS span_chars
+        |  FROM p GROUP BY doc_id),
+        |sh AS (SELECT *,
+        |    CAST(CAST('0x' || substr(md5('11:shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS INT) AS shard,
+        |    md5('11:ord:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM ex),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos FROM sh)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_convs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_spans) AS BIGINT) AS sum_spans,
+        |  CAST(SUM(span_chars) AS BIGINT) AS sum_span_chars,
+        |  MAX(pos) AS max_pos, MIN(md5(text)) AS min_text_md5
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -80,15 +80,27 @@ object Sft {
     * null ordering field first — deterministically crowning an unscored
     * candidate as `chosen`, a silently corrupted pair.
     *
+    * `minMargin` (default 0 = keep everything) drops pairs whose
+    * `chosen_score − rejected_score` falls BELOW it — the conventional
+    * DPO-prep hygiene step: a near-tie pair is label noise (the preference
+    * signal is within rater/scorer error), and training on it teaches the
+    * margin model that noise. Applied AFTER pairing, so a prompt whose
+    * best and worst candidates are close emits nothing rather than
+    * reaching deeper into the candidate list for a wider-but-weaker pair.
+    * The boundary is inclusive (`margin >= minMargin` keeps) so an
+    * integer-scored corpus can gate exactly at a score atom.
+    *
     * Scale shape: ONE hash aggregation — min_by/max_by over a composite
-    * ordering struct, no window, no sort, no self-join.
+    * ordering struct, no window, no sort, no self-join; the margin filter
+    * is a scalar predicate on the prompts-sized output.
     */
   def preferencePairs(cands: DataFrame, promptCol: String, candCol: String,
-                      scoreCol: String): DataFrame = {
+                      scoreCol: String, minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0.0, s"minMargin >= 0: $minMargin")
     val scored = cands.where(col(scoreCol).isNotNull)
     val ord = struct((-col(scoreCol)).as("ns"), col(candCol).as("c"))
     val v = struct(col(candCol).as("cand"), col(scoreCol).as("score"))
-    scored.groupBy(promptCol)
+    val pairs = scored.groupBy(promptCol)
       .agg(count(lit(1)).as("n_cands"),
         min_by(v, ord).as("__ch"), max_by(v, ord).as("__rj"))
       .where(col("n_cands") >= 2)
@@ -96,6 +108,9 @@ object Sft {
         col("__ch.cand").as("chosen"), col("__ch.score").as("chosen_score"),
         col("__rj.cand").as("rejected"), col("__rj.score").as("rejected_score"),
         col("n_cands"))
+    if (minMargin == 0.0) pairs
+    else pairs.where(
+      col("chosen_score") - col("rejected_score") >= lit(minMargin))
   }
 
   /** Rejection-sampling selection (best-of-N): keep each prompt's top `k`

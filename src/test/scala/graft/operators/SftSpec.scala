@@ -118,6 +118,29 @@ class SftSpec extends SparkSpec {
     assert(out === Seq((10L, 3L, 9L, 1L, 5L, 2L)))
   }
 
+  test("preferencePairs: minMargin drops near-tie pairs, boundary inclusive") {
+    val cands = Seq(
+      (10L, 1L, 9L), (10L, 2L, 2L),  // margin 7: survives minMargin = 5
+      (20L, 3L, 8L), (20L, 4L, 5L),  // margin 3: drops
+      (30L, 5L, 6L), (30L, 6L, 1L)   // margin 5: AT the boundary — kept
+    ).toDF("prompt_id", "cand", "score")
+    val out = Sft.preferencePairs(cands, "prompt_id", "cand", "score",
+        minMargin = 5.0)
+      .orderBy("prompt_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (10L, 1L, 9L, 2L, 2L, 2L),
+      (30L, 5L, 6L, 6L, 1L, 2L)))
+    // default margin (0.0) keeps everything — q142's contract is unchanged
+    val all = Sft.preferencePairs(cands, "prompt_id", "cand", "score")
+      .count()
+    assert(all === 3L)
+    // a negative margin is a contract violation, not a wider filter
+    val e = intercept[IllegalArgumentException](
+      Sft.preferencePairs(cands, "prompt_id", "cand", "score", minMargin = -1.0))
+    assert(e.getMessage.contains("minMargin"))
+  }
+
   test("bestOfN: top-k with preferencePairs' tie-break and null exclusion") {
     val cands = Seq(
       (10L, 1L, Some(5L)), (10L, 2L, Some(9L)), (10L, 3L, Some(9L)),
