@@ -1966,10 +1966,16 @@ object SparkEntry {
     // whole release recipe is too ---
     "q114_curated_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      // materialize the cleaned stats ONCE: budgets + upsample (whose
+      // runningTokens makes several passes) would otherwise re-run the
+      // whole removeSpans chain per consumer. Bounded: three narrow
+      // columns per doc, the q143 refLosses convention — the TEXT is
+      // dropped before the reuse point
       val cleaned = operators.SubstringDedup
         .removeSpans(docs, "doc_id", "text", k = 8)
         .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tok"))
         .where(col("n_tok") >= 20)
+        .localCheckpoint(true)
       val budgets = operators.Mix
         .temperatureBudgets(cleaned, "source", "n_tok", alpha = 0.5, totalBudget = 30000L)
       operators.Mix.upsampleTokens(cleaned, "source", "doc_id", "n_tok",
