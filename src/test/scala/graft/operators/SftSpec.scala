@@ -83,6 +83,39 @@ class SftSpec extends SparkSpec {
     assert(spans.map { case (s, e) => text.substring(s.toInt, e.toInt) } === Seq("ok"))
   }
 
+  test("render: degenerate many-turn conversation assembles correctly " +
+      "and truncateToBudget bounds it") {
+    // the scaladoc'd memory bound: one conversation's text lives in ONE
+    // aggregation buffer row — a 4k-turn conversation must still render
+    // exactly (order, offsets, spans), and composing truncateToBudget
+    // first is the sanctioned way to bound that buffer
+    val n = 4096
+    val big = spark.range(n).select(
+      lit(7L).as("conv_id"), col("id").cast("int").as("idx"),
+      when(col("id") % 2 === 0, "user").otherwise("assistant").as("role"),
+      concat(lit("t"), col("id").cast("string")).as("content"))
+    val (text, spans) = Sft.render(big, "conv_id", "idx", "role", "content")
+      .as[(Long, String, Seq[(Long, Long)])].head() match {
+        case (_, tx, sp) => (tx, sp)
+      }
+    // every piece present, in idx order, every span = its turn's content
+    val expected = (0 until n).map { i =>
+      (if (i % 2 == 0) "<|user|>\n" else "<|assistant|>\n") + s"t$i\n"
+    }.mkString
+    assert(text === expected)
+    assert(spans.size === n / 2)
+    assert(spans.forall { case (s, e) =>
+      text.substring(s.toInt, e.toInt).matches("t\\d+") })
+    // the sanctioned composition: a 200-char budget keeps only the
+    // deepest fitting suffix, and the re-render's buffer is budget-bounded
+    val fit = Sft.truncateToBudget(big, "conv_id", "idx", "role",
+      "content", maxChars = 200L)
+    val small = Sft.render(fit, "conv_id", "idx", "role", "content")
+      .as[(Long, String, Seq[(Long, Long)])].head()
+    assert(small._2.length <= 200 && small._2.nonEmpty)
+    assert(text.endsWith(small._2)) // suffix rule: the tail survives
+  }
+
   test("preferencePairs: best/worst per prompt with deterministic tie-breaks") {
     val cands = Seq(
       (10L, 1L, 5L), (10L, 2L, 9L), (10L, 3L, 1L), // clear order
