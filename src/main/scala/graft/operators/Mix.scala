@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source-mixing quotas: cap each stratum (source, language, domain) of a
@@ -69,13 +70,22 @@ object Mix {
   def temperatureBudgets(df: DataFrame, strataCol: String, weightCol: String,
                          alpha: Double, totalBudget: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    // the normalizer is a WINDOW over the strata-sized fold, not a second
+    // aggregation of it: perStratum previously fed both the output and a
+    // crossJoin'd total, and each consumer re-folded the corpus — every
+    // caller paid two full scans for one strata-sized table (observed in
+    // q110's physical plan). The single-partition window holds K strata
+    // rows (the FilterFunnel dim-frame pattern), consumes the fold once,
+    // and stays lazy
     val perStratum = df.groupBy(strataCol)
       .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
       .withColumn("__pwm",
         round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6, 0)
           .cast("decimal(28,0)"))
     perStratum
-      .crossJoin(broadcast(perStratum.agg(sum("__pwm").as("__tot"))))
+      .withColumn("__tot", sum("__pwm").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("p", round(
         col("__pwm").cast("double") / col("__tot").cast("double"), 6))
       .withColumn("budget",
@@ -214,9 +224,14 @@ object Mix {
       .withColumn("__tiltm",
         round(exp(lit(eta) * col("mean_excess")) * 1e6, 0)
           .cast("decimal(28,0)"))
+    // same single-partition-window normalizer as [[temperatureBudgets]]:
+    // a crossJoin'd re-aggregation would re-fold the whole per-doc loss
+    // frame a second time; the window consumes the strata-sized fold once
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     perStratum
-      .crossJoin(broadcast(perStratum.agg(sum("__tiltm").as("__tot"),
-        count(lit(1)).as("__k"))))
+      .withColumn("__tot", sum("__tiltm").over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
       .withColumn("p",
         (lit(1.0 - smoothing) * col("__tiltm").cast("double") /
           col("__tot").cast("double")) + (lit(smoothing) / col("__k")))
