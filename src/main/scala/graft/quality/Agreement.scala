@@ -56,19 +56,17 @@ object Agreement {
   def fleiss(ratings: DataFrame, itemCol: String, labelCol: String,
              minRatings: Int = 2): DataFrame = {
     require(minRatings >= 2, s"minRatings >= 2: $minRatings")
-    // materialized EAGERLY: `counts` feeds THREE consumers below (per-item
-    // P_i, the label marginals, and their total) — unmaterialized, each
-    // would re-aggregate the full ratings frame, turning the documented
-    // one-scan fold into three corpus scans. The frame is one row per
-    // observed (item, label) pair — the post-fold size the scale story
-    // already budgets for everything downstream
+    // `counts` feeds three consumers below (per-item P_i, the label
+    // marginals, and their total). The ratings fold is NOT repeated at
+    // runtime: all three sit on the identical groupBy exchange, which
+    // ReuseExchange computes once — an eager checkpoint here was A/B'd
+    // and measured as pure overhead (design note 103)
     val counts = ratings
       .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("nij"))
       .withColumn("__n", sum("nij").over(
         org.apache.spark.sql.expressions.Window.partitionBy("item")))
       .where(col("__n") >= minRatings)
-      .localCheckpoint(true)
     // per-item P_i, micro-quantized before the cross-item fold
     val items = counts.groupBy("item")
       .agg(max("__n").as("n"), sum(col("nij") * col("nij")).as("ss"))

@@ -53,19 +53,17 @@ object FilterFunnel {
       case (((_, keep), i), acc) =>
         when(!coalesce(keep, lit(false)), lit(i)).otherwise(acc)
     }
-    // materialized EAGERLY: byFail is consumed twice below (the dim join
-    // and the totals), and without this the "one corpus scan" contract is
-    // a lie — each consumer would re-derive the fold from the corpus and
-    // the plan would carry TWO full scans (observed in q158's physical
-    // plan before this landed). The frame is <= k+1 rows, so the
-    // checkpoint is free; the internal multi-consumption is this
-    // operator's to fix, not the caller's (unlike the Mix/WordPiece
-    // caller-materializes convention, the reuse is invisible from outside)
+    // byFail is consumed twice below (the dim join and the totals). The
+    // STATIC plan therefore shows two corpus scans, but the runtime plan
+    // does not repeat the fold: both consumers sit on the identical
+    // groupBy exchange and Spark's ReuseExchange (on by default, AQE or
+    // not) computes it once — an eager checkpoint here was A/B'd and
+    // measured strictly SLOWER (one extra job + materialization for a
+    // fold the engine already shares; design note 103)
     val byFail = docs
       .select(failIdx.as("__f"), weight.cast("long").as("__w"))
       .groupBy("__f")
       .agg(count(lit(1)).as("__n"), sum("__w").as("__t"))
-      .localCheckpoint(true)
     // everything below runs on <= k+1 rows: broadcast totals, K-row
     // dimension join, single-partition prefix window — all funnel-sized
     val totals = byFail.agg(
