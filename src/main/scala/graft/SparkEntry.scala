@@ -1716,8 +1716,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val model = quality.NgramLm.train(
         docs.where(col("lang") === "en"), "doc_id", "text", k = 1.0)
+      // three narrow columns feeding exact, approx, AND the range audit —
+      // differently-shaped consumers (window / KLL agg / self-join), so
+      // exchange reuse cannot share the scoring chain; materialize it once
+      // (the note-102/103 rule, A/B'd: 4.19 → 1.36 s isolated min-of-five)
       val scored = quality.NgramLm.scoreAvgLogProb(docs, "doc_id", "text", model)
         .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(true)
       val exact = quality.CcnetBuckets.exact(scored, "lang", "avg_logp", "doc_id")
         .select(col("doc_id"), col("bucket").as("b_e"))
       val approx = quality.CcnetBuckets.approx(scored, "lang", "avg_logp")
@@ -1749,17 +1754,25 @@ object SparkEntry {
     // sketch rank error; the top-100 selection must survive it ---
     "q103_ensemble_approx" -> ((s, dir) => {
       val txt = col("text")
+      // the regex-heavy signal frame feeds two differently-shaped chains
+      // (windows vs KLL probes), and each blend is consumed twice below
+      // (top-100 overlap + the drift join) — all three are narrow per-doc
+      // frames; materialized once per the note-102/103 rule (A/B'd:
+      // 2.03 → 1.31 s isolated min-of-five)
       val sig = t(s, dir, "documents").select(
         col("doc_id"),
         qualityScore(txt).as("quality"),
         tokenCount(txt).cast("double").as("n_tokens"),
         (-round(punctRatio(txt), 6)).as("neg_punct"))
+        .localCheckpoint(true)
       val sigs = Seq("quality" -> 0.5, "n_tokens" -> 0.25, "neg_punct" -> 0.25)
       val exact = quality.Ensemble.percentileBlend(sig, sigs, tieCol = "doc_id",
           tieAverage = true)
         .select(col("doc_id"), col("blended").as("b_e"))
+        .localCheckpoint(true)
       val approx = quality.Ensemble.approxBlend(sig, sigs)
         .select(col("doc_id"), col("blended").as("b_a"))
+        .localCheckpoint(true)
       val overlap = exact.orderBy(col("b_e").desc, col("doc_id").asc).limit(100)
         .join(approx.orderBy(col("b_a").desc, col("doc_id").asc).limit(100)
           .select("doc_id"), "doc_id")
