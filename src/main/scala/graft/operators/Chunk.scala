@@ -27,7 +27,8 @@ object Chunk {
   /** `(all input columns, chunk_id, n_chunks, tok_start, tok_len,
     * chunk_text)` — `chunk_text` re-joins the window's tokens with single
     * spaces (the tokenizer-space form downstream embedders see; original
-    * whitespace is not reconstructed).
+    * whitespace is not reconstructed). Null text behaves like empty text:
+    * the row emits no chunks (spec-pinned).
     */
   def slidingTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {

@@ -50,7 +50,10 @@ object Pii {
 
   /** Adds `<outCol>` (redacted text) and one `n_<category>` long per rule
     * — the count of placeholders that rule inserted — plus `n_pii`, their
-    * sum. Input column order is preserved.
+    * sum. Input column order is preserved. Null text propagates: counts
+    * and `<outCol>` stay null (a null document is NOT a clean document,
+    * so an `n_pii = 0` release filter never silently admits one); map
+    * nulls to empty upstream if that is what they mean.
     */
   def annotate(df: DataFrame, textCol: String,
                outCol: String = "redacted"): DataFrame = {

@@ -21,7 +21,11 @@ class ChunkSpec extends SparkSpec {
   }
 
   test("slidingTokens: exact fit is one chunk; shorter docs too; empty drops") {
-    val docs = Seq((1L, toks(5)), (2L, toks(2)), (3L, "  ")).toDF("id", "text")
+    // null text behaves like empty: tokens(null) is null, size(null) is
+    // null under Spark 3+ semantics, and the >= 1 guard drops the row —
+    // a null document emits no chunks, same as a whitespace-only one
+    val docs = Seq((1L, Option(toks(5))), (2L, Option(toks(2))),
+      (3L, Option("  ")), (4L, Option.empty[String])).toDF("id", "text")
     val out = Chunk.slidingTokens(docs, "id", "text", 5, 3)
       .select("id", "n_chunks", "tok_len").as[(Long, Long, Long)]
       .collect().toSeq.sorted

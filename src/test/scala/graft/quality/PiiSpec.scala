@@ -34,6 +34,19 @@ class PiiSpec extends SparkSpec {
       "<EMAIL> from <IP> ssn <SSN>")))
   }
 
+  test("annotate: null text propagates null counts and redaction") {
+    // a null document is NOT a clean document — counts and redacted stay
+    // null (Spark regexp semantics), so a `n_pii === 0` release filter
+    // does not silently admit it; coalesce upstream if null means empty
+    val docs = Seq((1L, Option("x@y.io here")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val out = Pii.annotate(docs, "text").orderBy("id")
+      .select("id", "n_pii", "redacted")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(out === Seq((1L, Some(1L), Some("<EMAIL> here")),
+      (2L, None, None)))
+  }
+
   test("rule order: a card never double-counts as phones; email digits stay put") {
     // the card rule runs before phone, so the 16-digit run is consumed
     // whole; counts reflect inserted placeholders, not original-text scans
