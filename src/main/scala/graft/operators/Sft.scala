@@ -54,7 +54,7 @@ object Sft {
     val tag = tagFor(turns, convCol, roleCol, roleTags)
     // code-point count, matching Spark's length() on the columns (a
     // String.length of an astral-char separator counts UTF-16 units)
-    val pieceLen = (length(tag) + length(col(contentCol)) +
+    val pieceLen = (length(tag) + length(contentOf(convCol, contentCol)) +
       lit(turnSep.codePointCount(0, turnSep.length))).cast("long")
     val wDesc = Window.partitionBy(convCol)
       .orderBy(col(idxCol).desc)
@@ -139,6 +139,17 @@ object Sft {
       .where(col("rank") <= k)
   }
 
+  /** Null-content guard shared by [[render]] and [[truncateToBudget]]:
+    * a null turn would otherwise corrupt SILENTLY — concat nulls its
+    * piece, the null piece drops out of the assembled text, but the
+    * turn's mask span still emits with null offsets. Loud failure, the
+    * [[tagFor]] unknown-role discipline.
+    */
+  private def contentOf(convCol: String, contentCol: String) =
+    when(col(contentCol).isNull, raise_error(concat(
+      lit(s"null $contentCol for $convCol="), col(convCol).cast("string"))))
+      .otherwise(col(contentCol))
+
   /** Role → tag dispatch shared by [[render]] and [[truncateToBudget]];
     * unknown roles fail loudly (a silently dropped system turn is a
     * corrupted training example).
@@ -186,7 +197,7 @@ object Sft {
     require(roleTags.exists(_._1 == maskRole),
       s"maskRole '$maskRole' has no tag in roleTags")
     val tag = tagFor(turns, convCol, roleCol, roleTags)
-    val piece = concat(tag, col(contentCol), lit(turnSep))
+    val piece = concat(tag, contentOf(convCol, contentCol), lit(turnSep))
     val w = Window.partitionBy(convCol).orderBy(idxCol)
     val laid = turns
       .withColumn("__piece", piece)

@@ -196,6 +196,22 @@ class SftSpec extends SparkSpec {
     assert(e.getMessage.contains("rank"))
   }
 
+  test("render and truncateToBudget: null content fails loudly") {
+    // silent alternative: concat nulls the piece, the turn vanishes from
+    // the text, but the mask span still emits with null offsets — a
+    // corrupted training example; the guard raises instead
+    val bad = Seq((1L, 0, "user", Option("hi")),
+      (1L, 1, "assistant", Option.empty[String]))
+      .toDF("conv_id", "idx", "role", "content")
+    val e1 = intercept[Exception](
+      Sft.render(bad, "conv_id", "idx", "role", "content").collect())
+    assert(e1.getMessage.contains("null content for conv_id=1"))
+    val e2 = intercept[Exception](
+      Sft.truncateToBudget(bad, "conv_id", "idx", "role", "content",
+        maxChars = 100).collect())
+    assert(e2.getMessage.contains("null content for conv_id=1"))
+  }
+
   test("render: extra roles via roleTags; unknown role fails loudly") {
     val t = Seq((1L, 0, "system", "be nice"), (1L, 1, "user", "q"),
       (1L, 2, "assistant", "a")).toDF("conv_id", "idx", "role", "content")
