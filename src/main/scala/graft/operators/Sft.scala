@@ -98,7 +98,12 @@ object Sft {
                       scoreCol: String, minMargin: Double = 0.0): DataFrame = {
     require(minMargin >= 0.0, s"minMargin >= 0: $minMargin")
     val scored = cands.where(col(scoreCol).isNotNull)
-    val ord = struct((-col(scoreCol)).as("ns"), col(candCol).as("c"))
+    // null candidate id = structural corruption, not missing data: it
+    // sorts FIRST in the tie-break (null-first struct ordering), wins
+    // every tie, and the pair ships with chosen = null — raise instead
+    // (a null SCORE is expected missingness and is excluded above)
+    val ord = struct((-col(scoreCol)).as("ns"),
+      candGuard(promptCol, candCol).as("c"))
     val v = struct(col(candCol).as("cand"), col(scoreCol).as("score"))
     val pairs = scored.groupBy(promptCol)
       .agg(count(lit(1)).as("n_cands"),
@@ -133,11 +138,20 @@ object Sft {
     require(!cands.columns.contains("rank"),
       "bestOfN owns the output column 'rank'; rename the input's rank first")
     val w = Window.partitionBy(promptCol)
-      .orderBy(col(scoreCol).desc, col(candCol).asc)
+      .orderBy(col(scoreCol).desc, candGuard(promptCol, candCol).asc)
     cands.where(col(scoreCol).isNotNull)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Null-candidate-id guard shared by [[preferencePairs]] and
+    * [[bestOfN]] — see the pairing scaladoc; the [[contentOf]]
+    * discipline applied to the tie-break column.
+    */
+  private def candGuard(promptCol: String, candCol: String) =
+    when(col(candCol).isNull, raise_error(concat(
+      lit(s"null $candCol for $promptCol="), col(promptCol).cast("string"))))
+      .otherwise(col(candCol))
 
   /** Null-content guard shared by [[render]] and [[truncateToBudget]]:
     * a null turn would otherwise corrupt SILENTLY — concat nulls its

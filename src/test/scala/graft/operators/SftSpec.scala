@@ -174,6 +174,19 @@ class SftSpec extends SparkSpec {
     assert(e.getMessage.contains("minMargin"))
   }
 
+  test("preferencePairs and bestOfN: a null candidate id fails loudly") {
+    // null-first struct ordering would crown the null-id row on every tie
+    // and ship chosen = null — structural corruption, not missing data
+    val bad = Seq((10L, Option(1L), 5L), (10L, Option.empty[Long], 9L))
+      .toDF("prompt_id", "cand", "score")
+    val e1 = intercept[Exception](
+      Sft.preferencePairs(bad, "prompt_id", "cand", "score").collect())
+    assert(e1.getMessage.contains("null cand for prompt_id=10"))
+    val e2 = intercept[Exception](
+      Sft.bestOfN(bad, "prompt_id", "cand", "score", k = 1).collect())
+    assert(e2.getMessage.contains("null cand for prompt_id=10"))
+  }
+
   test("bestOfN: top-k with preferencePairs' tie-break and null exclusion") {
     val cands = Seq(
       (10L, 1L, Some(5L)), (10L, 2L, Some(9L)), (10L, 3L, Some(9L)),
