@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Agreement {
 
+  /** Null-rating exclusion shared by both entry points: a null label is a
+    * MISSING rating, not a label — grouped as a category it would let
+    * raters "agree on null" and inflate P̄; a null item cannot be scored
+    * at all. Both drop before counting (the preferencePairs null-score
+    * convention: expected missingness excludes, it never participates).
+    */
+  private def rated(ratings: DataFrame, itemCol: String, labelCol: String) =
+    ratings.where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+
   /** `(item, n, p_i)` — ratings per item and within-item agreement `P_i`,
     * items with at least `minRatings` ratings (≥ 2 required: `P_i` divides
     * by n(n−1)).
@@ -37,7 +46,7 @@ object Agreement {
   def fleissPerItem(ratings: DataFrame, itemCol: String, labelCol: String,
                     minRatings: Int = 2): DataFrame = {
     require(minRatings >= 2, s"minRatings >= 2: $minRatings")
-    ratings
+    rated(ratings, itemCol, labelCol)
       .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("nij"))
       .groupBy("item")
@@ -61,7 +70,7 @@ object Agreement {
     // runtime: all three sit on the identical groupBy exchange, which
     // ReuseExchange computes once — an eager checkpoint here was A/B'd
     // and measured as pure overhead (design note 103)
-    val counts = ratings
+    val counts = rated(ratings, itemCol, labelCol)
       .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
       .agg(count(lit(1)).as("nij"))
       .withColumn("__n", sum("nij").over(

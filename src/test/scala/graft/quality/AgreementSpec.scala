@@ -61,6 +61,29 @@ class AgreementSpec extends SparkSpec {
     assert(row._5 === 1.0 && row._6.isEmpty)
   }
 
+  test("null labels and null items are missing ratings, never categories") {
+    // grouped as a category, two raters skipping the same item would
+    // "agree on null" and inflate P-bar; a null item cannot be scored —
+    // both must fold to exactly the non-null subset's statistics
+    val clean = (Seq.fill(3)((1L, "a")) ++ Seq((1L, "b")) ++
+      Seq.fill(4)((2L, "b"))).toDF("item", "label")
+    val dirty = (Seq.fill(3)((Option(1L), Option("a"))) ++
+      Seq((Option(1L), Option("b"))) ++
+      Seq.fill(4)((Option(2L), Option("b"))) ++
+      Seq((Option(1L), Option.empty[String]),          // missing rating
+          (Option.empty[Long], Option("a")),           // unkeyed rating
+          (Option.empty[Long], Option.empty[String]))) // both
+      .toDF("item", "label")
+    val a = Agreement.fleiss(clean, "item", "label").collect().toSeq
+    val b = Agreement.fleiss(dirty, "item", "label").collect().toSeq
+    assert(a === b)
+    val pa = Agreement.fleissPerItem(clean, "item", "label")
+      .orderBy("item").collect().toSeq
+    val pb = Agreement.fleissPerItem(dirty, "item", "label")
+      .orderBy("item").collect().toSeq
+    assert(pa === pb)
+  }
+
   test("matches a plain-Scala reference with identical quantization (randomized)") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 5) {
