@@ -29,7 +29,9 @@ object FilterFunnel {
   /** The funnel table for `rules` applied in order to `docs`. A rule keeps
     * a document iff its predicate evaluates to TRUE — null (e.g. a
     * comparison against a null column) rejects, the conservative release
-    * semantics.
+    * semantics. A null `weight` contributes zero to the token columns
+    * (SQL sum-skips-null) while the document still counts in `n_*` —
+    * coalesce upstream if null weight should mean something else.
     *
     * Output, one row per rule in chain order: documents and `weight` mass
     * (e.g. token counts) reaching the rule (`n_in`/`tokens_in`), removed
