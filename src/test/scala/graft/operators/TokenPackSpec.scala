@@ -22,7 +22,10 @@ class TokenPackSpec extends SparkSpec {
   }
 
   test("empty-piece docs vanish; empty corpus returns an empty frame") {
-    val docs = Seq((1L, Seq("a")), (2L, Seq.empty[String])).toDF("doc_id", "pieces")
+    // null pieces behave like empty pieces: posexplode skips the row and
+    // the doc contributes no tokens (the Chunk null-text convention)
+    val docs = Seq((1L, Option(Seq("a"))), (2L, Option(Seq.empty[String])),
+      (3L, Option.empty[Seq[String]])).toDF("doc_id", "pieces")
     val out = TokenPack.sequences(docs, "doc_id", "pieces", seqLen = 2)
       .as[(Long, Seq[String], Seq[Int], Long, Long)].collect().toSeq
     assert(out === Seq((0L, Seq("a"), Seq(0), 1L, 1L)))
