@@ -650,7 +650,9 @@ object ScaleSft {
     val spark = Tables.localSession(16)
     def turns(nTurns: Long, perConv: Long) =
       spark.range(nTurns).select(
-        (col("id") / perConv).cast("long").as("conv"),
+        // integer DIV (the q160 convention): the intent is integer
+        // division, and double-divide-then-cast loses exactness past 2^53
+        expr(s"id div $perConv").as("conv"),
         pmod(col("id"), lit(perConv)).as("idx"),
         when(pmod(col("id"), lit(2)) === 0, "user")
           .otherwise("assistant").as("role"),

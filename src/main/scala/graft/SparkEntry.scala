@@ -2599,7 +2599,12 @@ object SparkEntry {
         .where(size(col("ts")) >= 24)
       val turns = docs
         .withColumn("ti",
-          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+          // greatest(0,…) guards the sequence bound: Spark's sequence
+          // DESCENDS on a negative bound (emitting rows) where DuckDB's
+          // generate_series is empty — with the clamp both sides emit a
+          // single idx-0 turn for a (hypothetical) negative doc_id
+          explode(sequence(lit(0L),
+            greatest(lit(0L), col("doc_id") % 3 + 1))))
         .select(col("doc_id"), col("ti").as("idx"),
           when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
           concat_ws(" ",
@@ -2626,7 +2631,12 @@ object SparkEntry {
         .where(size(col("ts")) >= 24)
       val turns = docs
         .withColumn("ti",
-          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+          // greatest(0,…) guards the sequence bound: Spark's sequence
+          // DESCENDS on a negative bound (emitting rows) where DuckDB's
+          // generate_series is empty — with the clamp both sides emit a
+          // single idx-0 turn for a (hypothetical) negative doc_id
+          explode(sequence(lit(0L),
+            greatest(lit(0L), col("doc_id") % 3 + 1))))
         .select(col("doc_id"), col("ti").as("idx"),
           when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
           concat_ws(" ",
@@ -3162,7 +3172,12 @@ object SparkEntry {
         .where(size(col("ts")) >= 24)
       val turns = docs
         .withColumn("ti",
-          explode(sequence(lit(0L), col("doc_id") % 3 + 1)))
+          // greatest(0,…) guards the sequence bound: Spark's sequence
+          // DESCENDS on a negative bound (emitting rows) where DuckDB's
+          // generate_series is empty — with the clamp both sides emit a
+          // single idx-0 turn for a (hypothetical) negative doc_id
+          explode(sequence(lit(0L),
+            greatest(lit(0L), col("doc_id") % 3 + 1))))
         .select(col("doc_id"), col("ti").as("idx"),
           when(col("ti") % 2 === 0, "user").otherwise("assistant").as("role"),
           concat_ws(" ",
@@ -5294,7 +5309,7 @@ object SparkEntry {
         |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
         |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
         |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
-        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |  FROM d, UNNEST(generate_series(0, GREATEST(0, CAST(doc_id % 3 + 1 AS BIGINT)))) AS u(i)),
         |p AS (SELECT doc_id, idx, role,
         |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
         |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,
@@ -5322,7 +5337,7 @@ object SparkEntry {
         |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
         |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
         |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
-        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |  FROM d, UNNEST(generate_series(0, GREATEST(0, CAST(doc_id % 3 + 1 AS BIGINT)))) AS u(i)),
         |p0 AS (SELECT doc_id, idx, role,
         |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
         |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,
@@ -5831,7 +5846,7 @@ object SparkEntry {
         |tu AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
         |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
         |    array_to_string(ts[(i*6+1):(i*6+6)], ' ') AS content
-        |  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS u(i)),
+        |  FROM d, UNNEST(generate_series(0, GREATEST(0, CAST(doc_id % 3 + 1 AS BIGINT)))) AS u(i)),
         |p0 AS (SELECT doc_id, idx, role,
         |    (CASE WHEN role = 'user' THEN '<|user|>' || chr(10)
         |          ELSE '<|assistant|>' || chr(10) END) || content || chr(10) AS piece,

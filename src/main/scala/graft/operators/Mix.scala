@@ -50,9 +50,15 @@ object Mix {
     * [[capTokens]] (or sample with replacement for α-upsampled strata whose
     * quota exceeds their supply).
     *
-    * Scale shape: one hash aggregation to strata size, then a broadcast
-    * singleton-stat cross join for the normalizer — the strata table is
-    * small by definition.
+    * Scale shape: one hash aggregation to strata size, then a
+    * single-partition window for the normalizer — the strata table is
+    * small by definition. BOUNDED-CARDINALITY CONTRACT: `strataCol` is a
+    * grouping dimension (source / language / domain — tens to low
+    * thousands of values); the normalizer window deliberately serializes
+    * the strata-sized fold through one task, which is the right plan at
+    * that cardinality but would bottleneck if a caller passed a
+    * document-grained column. Callers with >~10^5 strata should
+    * pre-bucket the dimension, not widen this window.
     *
     * Determinism contract: `n_s^α` is quantized to MICRO-units
     * (`round(pw·1e6)` as an integer) before the normalizer sum, and the
@@ -205,7 +211,11 @@ object Mix {
     * booleans, q118-style.
     *
     * Scale shape: one hash aggregation folds the corpus to strata size;
-    * the tilt normalizer is a broadcast singleton cross join.
+    * the tilt normalizer is a single-partition window over that fold.
+    * Same bounded-cardinality contract as [[temperatureBudgets]]:
+    * `strataCol` is a domain-grained dimension, and the normalizer
+    * window serializes the strata-sized fold through one task — correct
+    * for DoReMi's dozens of domains, wrong for a document-grained key.
     */
   def excessLossBudgets(perDoc: DataFrame, strataCol: String,
                         lossCol: String, refLossCol: String, eta: Double,
