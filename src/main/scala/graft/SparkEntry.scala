@@ -3202,6 +3202,60 @@ object SparkEntry {
           max("pos").as("max_pos"),
           min(md5(col("text"))).as("min_text_md5"))
         .orderBy("shard")
+    }),
+
+    // --- STREAMING NEAR-DUP ADMISSION under the driver gate (the last
+    // ungated streaming archetype after q144 upsert / q149 sessionize):
+    // the corpus lands as four NDJSON residue slices, one micro-batch
+    // each in stamped-mtime order; every batch is LSH-checked against the
+    // band index of everything ADMITTED so far, band collisions are
+    // verified with exact 3-shingle Jaccard, survivors publish and join
+    // the index (DedupStream). The gate hashes the FULL admission
+    // partition: admitted docs carry their store batch_id — so a broken
+    // checkpoint-to-store binding or misrouted dynamic overwrite fails
+    // loudly — and dropped docs surface as batch_id -1. Oracle replays
+    // the sequential admission closed-form: V = {band collision AND
+    // round6(jaccard) >= 0.5}; batch k drops x iff x has a V-edge to an
+    // earlier ADMITTED doc (a doc dropped earlier can't drop anyone —
+    // it never entered the index) or to a smaller batch-mate (keep-first,
+    // conservative on chains) ---
+    "q162_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = cachedIndexDir(s, dir, "documents", "streamdedup")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_done"))) {
+        fs.delete(rootP, true)
+        // q149's mtime-stamp trick: the file source orders by modification
+        // time, so each residue slice becomes one micro-batch, in order
+        def stampNew(i: Int): Unit = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$root/in"))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            f.getModificationTime > 1000000000L)
+          .foreach(f => fs.setTimes(f.getPath, 1000000L * (i + 1), -1))
+        (0 until 4).foreach { k =>
+          docs.where(col("doc_id") % 4 === k)
+            .coalesce(1).write.mode("append").json(s"$root/in")
+          stampNew(k)
+        }
+        streaming.DedupStream.run(s, s"$root/in",
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType))),
+          s"$root/idx", s"$root/out", s"$root/ckpt",
+          idCol = "doc_id", textCol = "text", shingleN = 3,
+          numHashes = 16, rowsPerBand = 4,
+          // cap high enough that no bucket is ever dropped at gate scale:
+          // the oracle replays candidacy WITHOUT the cap
+          maxBucketSize = 100000,
+          threshold = 0.5, maxFilesPerTrigger = Some(1))
+        fs.create(new org.apache.hadoop.fs.Path(s"$root/_done")).close()
+      }
+      val adm = streaming.DedupStream.admitted(s, s"$root/out")
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+      docs.select(col("doc_id")).join(adm, Seq("doc_id"), "left")
+        .na.fill(-1L, Seq("batch_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5872,6 +5926,71 @@ object SparkEntry {
         |  CAST(SUM(n_spans) AS BIGINT) AS sum_spans,
         |  CAST(SUM(span_chars) AS BIGINT) AS sum_span_chars,
         |  MAX(pos) AS max_pos, MIN(md5(text)) AS min_text_md5
-        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q162: the sequential streaming admission replayed closed-form. V =
+    // verified near-dup pairs (band collision from the q77 signature
+    // chain AND round6 3-shingle Jaccard >= 0.5, the q153 verify shape);
+    // the four-batch loop unrolls as CTEs a0..a3 — batch k admits x
+    // unless x has a V-edge to a PRIOR ADMITTED doc (docs dropped
+    // earlier never entered the index, so they can't drop anyone) or to
+    // a smaller batch-mate. Admitted docs carry batch_id = doc_id % 4 + 1:
+    // the residue IS the arrival order by construction, and StreamBinding
+    // maps engine batch b to append id base + 1 + b (1-based on a fresh
+    // store) — so a binding regression restarting ids at 0 fails the gate.
+    // Dropped docs carry -1.
+    "q162_stream_dedup" -> {
+      val sig = graft.expressions.OracleHashSql.minhashSig(3, 16)
+      s"""WITH sig AS (SELECT * FROM ($sig) tt),
+         |bnd AS (SELECT doc_id, j // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY j), ',') AS bv
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+         |        FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |       FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+         |       WHERE len(ts) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+         |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |ver AS (SELECT id_a, id_b
+         |        FROM cand JOIN inter ON ia = id_a AND ib = id_b
+         |        JOIN sz sa ON sa.doc_id = id_a
+         |        JOIN sz sb ON sb.doc_id = id_b
+         |        WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.5),
+         |ve AS (SELECT id_a AS x, id_b AS y FROM ver
+         |       UNION ALL SELECT id_b, id_a FROM ver),
+         |d AS (SELECT doc_id, doc_id % 4 AS bk FROM documents),
+         |a0 AS (SELECT doc_id FROM d WHERE bk = 0 AND NOT EXISTS (
+         |    SELECT 1 FROM ve JOIN d m ON ve.y = m.doc_id
+         |    WHERE ve.x = d.doc_id AND m.bk = 0 AND m.doc_id < d.doc_id)),
+         |a1 AS (SELECT doc_id FROM d WHERE bk = 1
+         |  AND NOT EXISTS (SELECT 1 FROM ve WHERE ve.x = d.doc_id
+         |    AND ve.y IN (SELECT doc_id FROM a0))
+         |  AND NOT EXISTS (SELECT 1 FROM ve JOIN d m ON ve.y = m.doc_id
+         |    WHERE ve.x = d.doc_id AND m.bk = 1 AND m.doc_id < d.doc_id)),
+         |a2 AS (SELECT doc_id FROM d WHERE bk = 2
+         |  AND NOT EXISTS (SELECT 1 FROM ve WHERE ve.x = d.doc_id
+         |    AND ve.y IN (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1))
+         |  AND NOT EXISTS (SELECT 1 FROM ve JOIN d m ON ve.y = m.doc_id
+         |    WHERE ve.x = d.doc_id AND m.bk = 2 AND m.doc_id < d.doc_id)),
+         |a3 AS (SELECT doc_id FROM d WHERE bk = 3
+         |  AND NOT EXISTS (SELECT 1 FROM ve WHERE ve.x = d.doc_id
+         |    AND ve.y IN (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+         |                 UNION ALL SELECT doc_id FROM a2))
+         |  AND NOT EXISTS (SELECT 1 FROM ve JOIN d m ON ve.y = m.doc_id
+         |    WHERE ve.x = d.doc_id AND m.bk = 3 AND m.doc_id < d.doc_id)),
+         |adm AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+         |        UNION ALL SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM a3)
+         |SELECT d.doc_id,
+         |  CASE WHEN adm.doc_id IS NULL THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(d.bk + 1 AS BIGINT) END AS batch_id
+         |FROM d LEFT JOIN adm ON d.doc_id = adm.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 }

@@ -35,12 +35,23 @@ import org.apache.spark.sql.types.StructType
   */
 object DedupStream {
 
+  /** @param maxFilesPerTrigger cap arriving files per micro-batch —
+    *   `Trigger.AvailableNow` honors source rate limits, so `Some(1)`
+    *   forces one batch per landed file (the gate shape: the admitted set
+    *   must be invariant to where batch boundaries fall only in the sense
+    *   the keep-first rule defines, so the gate pins the boundaries);
+    *   `None` lets a catch-up run fold the backlog into few batches.
+    */
   def run(spark: SparkSession, changesDir: String, schema: StructType,
           indexDir: String, outDir: String, checkpointDir: String,
           idCol: String, textCol: String, shingleN: Int = 3,
           numHashes: Int = 16, rowsPerBand: Int = 4,
-          maxBucketSize: Int = 1000, threshold: Double = 0.8): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).json(changesDir)
+          maxBucketSize: Int = 1000, threshold: Double = 0.8,
+          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .json(changesDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
