@@ -3256,6 +3256,53 @@ object SparkEntry {
       docs.select(col("doc_id")).join(adm, Seq("doc_id"), "left")
         .na.fill(-1L, Seq("batch_id"))
         .orderBy("doc_id")
+    }),
+
+    // --- TOKENIZE→PACK PRETRAINING DELIVERY capstone (q161's analog for
+    // the pretraining side): REAL WordPiece.encode pieces flow through
+    // TokenPack.sequences and Shards.assign into a per-shard manifest,
+    // hash-exact — a word mis-tiled, a token lost at a sequence boundary,
+    // or a sequence misrouted all shift min_seq_md5 or a count column.
+    // The model is a frequency-induced vocabulary (the top-12 words by
+    // (count desc, word asc) enter via chained prefix merges capped at 4
+    // chars), which keeps every multi-char piece WORD-INITIAL — so the
+    // oracle replays the engine's maximal-munch encode closed-form as
+    // longest-vocab-prefix + per-char continuations and re-derives every
+    // packed token from its own encode. The merge-TRAINED model family
+    // is gated by q156/q157; this entry pins the composition seam those
+    // leave open (q122's scaladoc: the tokenizer→pack composition was
+    // spec-only). On this corpus the tilings genuinely mix: whole-word
+    // (join), prefix+1 (batch→batc ##h), prefix+n (customer→cust ##o##m
+    // ##e##r), and char-tiled (sort→s ##o##r##t) ---
+    "q163_pretrain_delivery" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val top = operators.Bpe.wordCounts(docs, "text")
+        .where(length(col("word")) >= 2)
+        .orderBy(desc("cnt"), asc("word")).limit(12)
+        .select("word").as[String].collect() // bounded: 12 rows
+      val merges = top.toSeq.flatMap { w =>
+        (2 to math.min(w.length, 4)).map { k =>
+          operators.WordPiece.Merge(0, w.substring(0, k - 1),
+            operators.WordPiece.Continuation + w.substring(k - 1, k),
+            0L, 0.0) }
+      }
+      val alpha = operators.WordPiece.alphabet(docs, "text")
+      val enc = operators.WordPiece.encode(docs, "doc_id", "text",
+        alpha, merges)
+      val seqs = operators.TokenPack.sequences(enc, "doc_id", "pieces",
+          seqLen = 128)
+        .withColumn("seq_md5", md5(array_join(col("pieces"), " ")))
+        .withColumn("n_starts", size(col("doc_starts")).cast("long"))
+      operators.Shards.assign(seqs, "seq_id", numShards = 4, seed = 7L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("n_docs").as("sum_docs"),
+          sum("n_starts").as("sum_starts"),
+          max("pos").as("max_pos"),
+          min("seq_md5").as("min_seq_md5"))
+        .orderBy("shard")
     })
   )
 
@@ -5991,6 +6038,52 @@ object SparkEntry {
          |       ELSE CAST(d.bk + 1 AS BIGINT) END AS batch_id
          |FROM d LEFT JOIN adm ON d.doc_id = adm.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    }
+    },
+
+    // q163: the engine's maximal-munch encode replayed closed-form (the
+    // frequency-induced vocab keeps every multi-char piece word-initial,
+    // so the tiling is longest-vocab-prefix + per-char continuations),
+    // then q122's pack arithmetic over the PIECE stream and q123/q161's
+    // md5 shard expression (seed 7, 4 shards) with the per-shard manifest
+    "q163_pretrain_delivery" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents),
+        |wc AS (SELECT w AS word, COUNT(*) AS cnt
+        |       FROM (SELECT unnest(ts) AS w FROM t0) GROUP BY w),
+        |topw AS (SELECT word FROM wc WHERE len(word) >= 2
+        |         ORDER BY cnt DESC, word LIMIT 12),
+        |pref AS (SELECT DISTINCT substr(word, 1, CAST(k AS INT)) AS p
+        |         FROM topw, UNNEST(generate_series(2, LEAST(len(word), 4))) AS u(k)),
+        |lw AS (SELECT wc.word, COALESCE(MAX(len(pref.p)), 1) AS lp
+        |       FROM wc LEFT JOIN pref ON pref.p = substr(wc.word, 1, len(pref.p))
+        |       GROUP BY wc.word),
+        |pw AS (SELECT word, list_prepend(substr(word, 1, CAST(lp AS INT)),
+        |         list_transform(generate_series(lp + 1, len(word)),
+        |           i -> '##' || substr(word, CAST(i AS INT), 1))) AS pieces
+        |       FROM lw),
+        |tok AS (SELECT doc_id, ts[i] AS w, CAST(i AS BIGINT) AS i
+        |        FROM t0, UNNEST(generate_series(1, len(ts))) AS u(i)),
+        |tp AS (SELECT t.doc_id, t.i, CAST(j AS BIGINT) AS j,
+        |         pw.pieces[CAST(j AS INT)] AS piece
+        |       FROM tok t JOIN pw ON pw.word = t.w,
+        |       UNNEST(generate_series(1, len(pw.pieces))) AS v(j)),
+        |idx AS (SELECT doc_id, piece, (i = 1 AND j = 1) AS ds,
+        |         row_number() OVER (ORDER BY doc_id, i, j) - 1 AS g FROM tp),
+        |sq AS (SELECT g // 128 AS seq_id,
+        |        string_agg(piece, ' ' ORDER BY g) AS seq_text,
+        |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(SUM(CASE WHEN ds THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |       FROM idx GROUP BY g // 128),
+        |sh AS (SELECT *,
+        |        CAST(CAST('0x' || substr(md5('7:shard:' || CAST(seq_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS INT) AS shard,
+        |        md5('7:ord:' || CAST(seq_id AS VARCHAR)) AS ord FROM sq),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY shard ORDER BY ord, seq_id) AS BIGINT) AS pos FROM sh)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_docs) AS BIGINT) AS sum_docs,
+        |  CAST(SUM(n_starts) AS BIGINT) AS sum_starts,
+        |  MAX(pos) AS max_pos, MIN(md5(seq_text)) AS min_seq_md5
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
   )
 }
