@@ -677,3 +677,62 @@ object ScaleSft {
     spark.stop()
   }
 }
+
+/** Bucketed-upsert cost shape (the [[graft.streaming.UpsertStream.runBucketed]]
+  * contract): a CDC micro-batch against a bucketed snapshot costs
+  * O(delta-keys x bucket bytes), NOT O(snapshot) — under the fixed-bucket-
+  * SIZE policy a 100 TB table would use (buckets per snapshot grow with
+  * the data so each bucket stays a constant size, here ~64k rows).
+  *
+  * Probes: a fixed 8-key update delta against 4M rows / 64 buckets and
+  * 16M rows / 256 buckets. Bucketed batch time should stay ~FLAT across
+  * the 4x snapshot growth (the delta touches <= 8 constant-size buckets
+  * either way — 512k rows merged at both scales), while the versioned
+  * full-rewrite path grows ~linearly — the r16 verdict's "first thing to
+  * replace if streaming CDC ever meets a large snapshot", replaced and
+  * measured.
+  *
+  * Hash bucketing caveat, stated: xxhash64 destroys key locality, so
+  * "touched buckets" is bounded by the delta's DISTINCT KEY count, not by
+  * key adjacency. A delta with more distinct keys than buckets touches
+  * everything and degrades to the full-rewrite cost — the policy knob is
+  * bucket count, exactly as in MERGE-format tables.
+  */
+object ScaleBucketedUpsert {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_bup_")
+    def seed(n: Long) = spark.range(n).select(
+      col("id").as("k"),
+      concat(lit("payload "), (col("id") % 997).cast("string")).as("v"),
+      lit(0L).as("seq"),
+      lit(false).as(streaming.UpsertStream.DeleteCol))
+    def delta(of: Long) = spark.range(8).select(
+      (col("id") * (of / 8)).as("k"), lit("updated").as("v"),
+      lit(1L).as("seq"), lit(false).as(streaming.UpsertStream.DeleteCol))
+    for ((nSnap, nBuckets) <- Seq((1L << 22, 64), (1L << 24, 256))) {
+      val snapB = s"$tmp/bucketed_$nSnap"
+      val snapF = s"$tmp/full_$nSnap"
+      // seed both layouts, untimed
+      streaming.UpsertStream.processBucketedBatch(seed(nSnap), snapB,
+        Seq("k"), "seq", nBuckets)
+      seed(nSnap).drop(streaming.UpsertStream.DeleteCol)
+        .write.mode("overwrite").parquet(s"$snapF/v0")
+      for (round <- 0 to 1) {
+        var t0 = System.nanoTime()
+        streaming.UpsertStream.processBucketedBatch(delta(nSnap), snapB,
+          Seq("k"), "seq", nBuckets)
+        println(f"SCALE bucketed_${nSnap}_r$round " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+        t0 = System.nanoTime()
+        operators.Upsert.applyChanges(
+            spark.read.parquet(s"$snapF/v$round"), delta(nSnap),
+            Seq("k"), "seq", streaming.UpsertStream.DeleteCol)
+          .write.mode("overwrite").parquet(s"$snapF/v${round + 1}")
+        println(f"SCALE fullrewrite_${nSnap}_r$round " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.File
+import java.nio.file.Files
+
+/** The bucketed-snapshot CDC path: same merge semantics as the versioned
+  * path, O(delta) per-batch cost (untouched buckets never rewritten),
+  * retry-idempotent through the merge semantics alone, and emptied
+  * buckets swept rather than left stale.
+  */
+class BucketedUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", StringType),
+    StructField("seq", LongType),
+    StructField(UpsertStream.DeleteCol, BooleanType)))
+
+  private def bucketOf(k: Long, n: Int): Int =
+    Seq(k).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+
+  private def changes(rows: (Long, String, Long, Boolean)*): DataFrame =
+    rows.toDF("k", "v", "seq", UpsertStream.DeleteCol)
+
+  private def snapRows(snapDir: String): Set[(Long, String, Long)] =
+    UpsertStream.currentBucketed(spark, snapDir).get
+      .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
+
+  test("bucketed stream equals the versioned path on the same change log") {
+    val tmp = Files.createTempDirectory("graft_bup_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    var modT = System.currentTimeMillis() - 60000
+    def write(name: String, lines: String*): Unit = {
+      val f = new File(in, name)
+      Files.writeString(f.toPath, lines.mkString("\n"))
+      modT += 5000; assert(f.setLastModified(modT))
+    }
+    write("b0.ndjson",
+      """{"k":1,"v":"a","seq":1}""", """{"k":2,"v":"b","seq":1}""",
+      """{"k":3,"v":"c","seq":1}""")
+    // update, tombstone-then-reinsert inside one batch, fresh insert
+    write("b1.ndjson",
+      """{"k":2,"v":"b2","seq":2}""", """{"k":3,"seq":3,"__deleted":true}""",
+      """{"k":3,"v":"c2","seq":4}""", """{"k":4,"v":"d","seq":2}""")
+    // stale tombstone (seq below the standing row): must be a no-op
+    write("b2.ndjson", """{"k":2,"seq":1,"__deleted":true}""")
+
+    UpsertStream.run(spark, in.getAbsolutePath, schema, s"$tmp/snapv",
+      s"$tmp/ckptv", keys = Seq("k"), orderingCol = "seq",
+      maxFilesPerTrigger = Some(1))
+    UpsertStream.runBucketed(spark, in.getAbsolutePath, schema,
+      s"$tmp/snapb", s"$tmp/ckptb", keys = Seq("k"), orderingCol = "seq",
+      nBuckets = 4, maxFilesPerTrigger = Some(1))
+
+    val versioned = UpsertStream.current(spark, s"$tmp/snapv").get
+      .select("k", "v", "seq").as[(Long, String, Long)].collect().toSet
+    val bucketed = snapRows(s"$tmp/snapb")
+    assert(bucketed === versioned)
+    assert(bucketed.map(_._1) === Set(1L, 2L, 3L, 4L))
+    assert(bucketed.find(_._1 == 3L).get._2 === "c2")
+  }
+
+  test("a delta rewrites only the buckets it touches") {
+    val tmp = Files.createTempDirectory("graft_bupio_").toFile
+    val snap = s"$tmp/snap"
+    val n = 8
+    UpsertStream.processBucketedBatch(
+      changes((1L to 64L).map(k => (k, s"v$k", 1L, false)): _*),
+      snap, Seq("k"), "seq", nBuckets = n)
+    val dirs = new File(snap).listFiles()
+      .filter(_.getName.startsWith(s"${UpsertStream.BucketCol}="))
+    assert(dirs.nonEmpty)
+    // pin every bucket dir's content signature (names + mtimes)
+    def sig(d: File): Seq[(String, Long)] =
+      d.listFiles().map(f => (f.getName, f.lastModified())).toSeq.sorted
+    val before = dirs.map(d => d.getName -> sig(d)).toMap
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val touchedBucket = bucketOf(7L, n)
+    UpsertStream.processBucketedBatch(
+      changes((7L, "updated", 2L, false)), snap, Seq("k"), "seq", n)
+    val after = new File(snap).listFiles()
+      .filter(_.getName.startsWith(s"${UpsertStream.BucketCol}="))
+      .map(d => d.getName -> sig(d)).toMap
+    val touchedName = s"${UpsertStream.BucketCol}=$touchedBucket"
+    assert(after(touchedName) !== before(touchedName),
+      "the touched bucket must be rewritten")
+    (before.keySet - touchedName).foreach { name =>
+      assert(after(name) === before(name),
+        s"untouched bucket $name was rewritten — the O(delta) contract broke")
+    }
+    assert(snapRows(snap).find(_._1 == 7L).get._2 === "updated")
+    assert(snapRows(snap).size === 64)
+  }
+
+  test("a retried batch is a no-op (merge-semantics idempotency)") {
+    val tmp = Files.createTempDirectory("graft_bupretry_").toFile
+    val snap = s"$tmp/snap"
+    UpsertStream.processBucketedBatch(
+      changes((1L, "a", 1L, false), (2L, "b", 1L, false)),
+      snap, Seq("k"), "seq", nBuckets = 4)
+    val delta = changes((1L, "a2", 2L, false), (2L, "", 2L, true),
+      (3L, "c", 2L, false))
+    UpsertStream.processBucketedBatch(delta, snap, Seq("k"), "seq", 4)
+    val once = snapRows(snap)
+    // crash-after-write, checkpoint-not-committed: the batch replays whole
+    UpsertStream.processBucketedBatch(delta, snap, Seq("k"), "seq", 4)
+    assert(snapRows(snap) === once)
+    assert(once.map(t => (t._1, t._2)) === Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("tombstoning a whole bucket sweeps its partition dir") {
+    val tmp = Files.createTempDirectory("graft_bupsweep_").toFile
+    val snap = s"$tmp/snap"
+    val n = 4
+    val keys = 1L to 40L
+    UpsertStream.processBucketedBatch(
+      changes(keys.map(k => (k, s"v$k", 1L, false)): _*),
+      snap, Seq("k"), "seq", nBuckets = n)
+    val victim = bucketOf(1L, n)
+    val victims = keys.filter(k => bucketOf(k, n) == victim)
+    UpsertStream.processBucketedBatch(
+      changes(victims.map(k => (k, "", 2L, true)): _*),
+      snap, Seq("k"), "seq", n)
+    // dynamic overwrite writes no rows for the emptied bucket — the sweep
+    // must remove the stale dir, or deleted rows resurrect on read
+    assert(!new File(snap, s"${UpsertStream.BucketCol}=$victim").exists(),
+      "emptied bucket dir must be swept")
+    assert(snapRows(snap).map(_._1) === keys.toSet -- victims)
+  }
+}
