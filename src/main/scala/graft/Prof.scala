@@ -60,3 +60,76 @@ object Prof {
     spark.stop()
   }
 }
+
+/** Stage anatomy of the expensive release/lifecycle gates (q85, and the
+  * q93/q132 per-rep query paths) — the r16 verdict asked for this cost
+  * breakdown once, recorded in DESIGN, so future rounds stop re-auditing
+  * the same ~21 s of tape. Stage outputs are localCheckpoint'd so each
+  * timer covers exactly one stage, not its lineage.
+  */
+object ProfGates {
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.localSession(32)
+    GraftFunctions.register(spark)
+    import graft.operators._
+    val d = Tables.read(spark, "/root/testdata/sf0.1", "documents")
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $name = $r in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("warmup")(d.count())
+    // --- q85 stage anatomy ---
+    val (_, rpb) = TextDedup.tuneBands(0.05, 16)
+    var t0 = System.nanoTime()
+    val pairs = TextDedup.minHashNearDup(d, "doc_id", "text",
+      shingleN = 4, numHashes = 16, rowsPerBand = rpb, threshold = 0.05)
+      .localCheckpoint(true)
+    println(f"PROF q85.pairs(16x1 LSH + jaccard verify) = ${pairs.count()} " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val comp = ConnectedComponents.components(spark, d.select("doc_id"),
+      pairs, "doc_id", "id_a", "id_b", assumeEdgesClosed = true)
+      .localCheckpoint(true)
+    println(f"PROF q85.cc = ${comp.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val canon = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("component")
+      .agg(call_function("graft_kmin",
+        struct((-col("n_chars")).as("o"), col("doc_id")), lit(1)).as("tk"))
+      .select(col("component"), col("tk")(0)("doc_id").as("doc_id"))
+      .localCheckpoint(true)
+    println(f"PROF q85.canon = ${canon.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val bench = d.where(col("doc_id") % 29 === 0)
+    t0 = System.nanoTime()
+    val cleaned = Decontaminate.clean(
+      d.join(canon, "doc_id").where(col("doc_id") % 29 =!= 0),
+      bench, "doc_id", "text", shingleN = 4).localCheckpoint(true)
+    println(f"PROF q85.decontaminate = ${cleaned.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val w = Importance.weights(d,
+      d.where(col("source").isin("src0", "src1")), "doc_id", "text")
+      .localCheckpoint(true)
+    println(f"PROF q85.dsir_weights = ${w.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    time("q85.tail(top200 + join + split agg)") {
+      val sel = w.agg(call_function("graft_kmin",
+          struct((-col("weight")).as("o"), col("doc_id"), col("weight")),
+          lit(200)).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.weight").as("weight"))
+      cleaned.join(sel, "doc_id").count()
+    }
+    time("q85.total(as benched)")(
+      SparkEntry.queries("q85_corpus_release")(spark, "/root/testdata/sf0.1").count())
+    // --- q93/q132 per-rep anatomy: store cached, reps pay the DOUBLE
+    // query path (latest + rollback) the paths_equal gate requires ---
+    time("q93.total 1st(build if cold)")(
+      SparkEntry.queries("q93_index_lifecycle")(spark, "/root/testdata/sf0.1").count())
+    time("q93.total 2nd(store cached)")(
+      SparkEntry.queries("q93_index_lifecycle")(spark, "/root/testdata/sf0.1").count())
+    time("q132.total 1st(build if cold)")(
+      SparkEntry.queries("q132_winnow_lifecycle")(spark, "/root/testdata/sf0.1").count())
+    time("q132.total 2nd(store cached)")(
+      SparkEntry.queries("q132_winnow_lifecycle")(spark, "/root/testdata/sf0.1").count())
+    spark.stop()
+  }
+}
