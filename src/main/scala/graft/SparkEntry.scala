@@ -2259,10 +2259,10 @@ object SparkEntry {
     // the pipeline's final mile): the corpus's token streams concatenate
     // in doc order and split into exact 128-token sequences, each carrying
     // the doc-start offsets attention-reset needs. Hash-exact over
-    // whitespace tokens (the packing semantics are tokenizer-agnostic —
-    // the BPE composition is spec-gated in TokenPackSpec); every sequence
-    // row reconstructs its text and boundary list verbatim in both
-    // engines ---
+    // whitespace tokens (the packing semantics are tokenizer-agnostic;
+    // the tokenizer→pack composition is oracle-gated end-to-end by q163
+    // and spec-gated in TokenPackSpec); every sequence row reconstructs
+    // its text and boundary list verbatim in both engines ---
     "q122_sequence_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("pieces"))
