@@ -3277,7 +3277,10 @@ object SparkEntry {
     "q163_pretrain_delivery" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val top = operators.Bpe.wordCounts(docs, "text")
+      // ONE corpus fold serves both vocab-induction collects (top words +
+      // alphabet) — unmaterialized, each would re-scan the corpus
+      val words = operators.Bpe.wordCounts(docs, "text").localCheckpoint(true)
+      val top = words
         .where(length(col("word")) >= 2)
         .orderBy(desc("cnt"), asc("word")).limit(12)
         .select("word").as[String].collect() // bounded: 12 rows
@@ -3287,9 +3290,16 @@ object SparkEntry {
             operators.WordPiece.Continuation + w.substring(k - 1, k),
             0L, 0.0) }
       }
-      val alpha = operators.WordPiece.alphabet(docs, "text")
+      val alpha = words
+        .select(explode(operators.WordPiece.baseSymbols(col("word"))).as("sym"))
+        .distinct().as[String].collect().sorted(graft.util.Utf8Order)
+      // materialize the token streams: TokenPack consumes its input more
+      // than once (global bounds + the packed stream), and each pass
+      // would otherwise re-run the whole tokenize join. At 100 TB this
+      // checkpoint is the tokenized-corpus parquet a real pipeline
+      // persists between the tokenize and pack stages anyway.
       val enc = operators.WordPiece.encode(docs, "doc_id", "text",
-        alpha, merges)
+        alpha, merges.toSeq).localCheckpoint(true)
       val seqs = operators.TokenPack.sequences(enc, "doc_id", "pieces",
           seqLen = 128)
         .withColumn("seq_md5", md5(array_join(col("pieces"), " ")))
