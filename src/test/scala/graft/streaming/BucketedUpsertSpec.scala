@@ -116,6 +116,25 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(once.map(t => (t._1, t._2)) === Set((1L, "a2"), (3L, "c")))
   }
 
+  test("composite keys bucket on the full key and dedup within a batch") {
+    val tmp = Files.createTempDirectory("graft_bupck_").toFile
+    val snap = s"$tmp/snap"
+    def ck(rows: (Long, Long, String, Long, Boolean)*): DataFrame =
+      rows.toDF("k1", "k2", "v", "seq", UpsertStream.DeleteCol)
+    UpsertStream.processBucketedBatch(
+      ck((1L, 1L, "a", 1L, false), (1L, 2L, "b", 1L, false),
+        (2L, 1L, "c", 1L, false)),
+      snap, Seq("k1", "k2"), "seq", nBuckets = 4)
+    // one batch carrying duplicate composite keys: latest seq wins; the
+    // (1,2) row updates while (1,1) and (2,1) stand
+    UpsertStream.processBucketedBatch(
+      ck((1L, 2L, "stale", 2L, false), (1L, 2L, "fresh", 3L, false)),
+      snap, Seq("k1", "k2"), "seq", 4)
+    val cur = UpsertStream.currentBucketed(spark, snap).get
+      .select("k1", "k2", "v").as[(Long, Long, String)].collect().toSet
+    assert(cur === Set((1L, 1L, "a"), (1L, 2L, "fresh"), (2L, 1L, "c")))
+  }
+
   test("tombstoning a whole bucket sweeps its partition dir") {
     val tmp = Files.createTempDirectory("graft_bupsweep_").toFile
     val snap = s"$tmp/snap"
