@@ -115,7 +115,9 @@ object UpsertStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) guardLineage(spark, snapshotDir, checkpointDir)
-        processBucketedBatch(batch, snapshotDir, keys, orderingCol, nBuckets)
+        val touched = processBucketedBatch(batch, snapshotDir, keys,
+          orderingCol, nBuckets)
+        writeAudit(spark, snapshotDir, batchId, touched)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -123,7 +125,28 @@ object UpsertStream {
     q
   }
 
-  /** One micro-batch of the bucketed merge. Exposed so retry semantics
+  /** Per-batch merge audit: one tiny JSON file per micro-batch under
+    * `_audit/` (underscore-prefixed, invisible to parquet readers of the
+    * snapshot) recording which buckets the batch touched. This is the
+    * observable half of the O(delta) contract — at 100 TB it's the line a
+    * pipeline dashboard plots (buckets rewritten per batch vs buckets
+    * total), and it's what q164's oracle checks the partition pruning
+    * against. Same-name overwrite keeps a replayed batch idempotent.
+    */
+  private def writeAudit(spark: SparkSession, snapshotDir: String,
+                         batchId: Long, touched: Array[Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(snapshotDir,
+      s"_audit/batch-$batchId.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write((s"""{"batch_id":$batchId,"n_touched":${touched.length},""" +
+      s""""touched":[${touched.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** One micro-batch of the bucketed merge; returns the (sorted) bucket ids
+    * the delta touched — exactly the partitions read and rewritten, the
+    * measurable face of the O(delta) contract. Exposed so retry semantics
     * (same batch re-applied after a crash) are directly testable.
     *
     * Commit protocol (one merge computation, no snapshot-sized
@@ -141,12 +164,12 @@ object UpsertStream {
     */
   def processBucketedBatch(batch: DataFrame, snapshotDir: String,
                            keys: Seq[String], orderingCol: String,
-                           nBuckets: Int): Unit = {
+                           nBuckets: Int): Array[Int] = {
     require(nBuckets > 0, s"nBuckets > 0: $nBuckets")
     require(!batch.columns.contains(BucketCol),
       s"change batch already carries $BucketCol")
     val s = batch.sparkSession
-    if (batch.isEmpty) return
+    if (batch.isEmpty) return Array.empty
     val hasDeleteCol = batch.columns.contains(DeleteCol)
     val delta = batch.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int"))
@@ -156,6 +179,12 @@ object UpsertStream {
       .collect().map(_.getInt(0)).sorted
     val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = snapPath.getFileSystem(s.sessionState.newHadoopConf())
+    // the bucket spec is part of the snapshot's identity: a later run with
+    // a different nBuckets (or key order) would hash delta keys into
+    // buckets the standing rows don't live in — old rows never merge or
+    // tombstone and duplicate keys silently accumulate. First batch writes
+    // the spec next to the data; every batch require-matches it.
+    guardBucketSpec(fs, snapPath, keys, nBuckets)
     val staging = new org.apache.hadoop.fs.Path(snapshotDir, "_staging")
     val trash = new org.apache.hadoop.fs.Path(snapshotDir, "_trash")
     // recover a crashed swap: a bucket parked in _trash whose live dir is
@@ -163,7 +192,7 @@ object UpsertStream {
     if (fs.exists(trash)) {
       fs.listStatus(trash).foreach { st =>
         val live = new org.apache.hadoop.fs.Path(snapPath, st.getPath.getName)
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        if (!fs.exists(live)) renameOrThrow(fs, st.getPath, live)
       }
       fs.delete(trash, true)
     }
@@ -194,16 +223,66 @@ object UpsertStream {
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$BucketCol=")).toSet
     fs.mkdirs(trash)
+    // every rename is checked: Hadoop FileSystem.rename reports failure by
+    // returning FALSE, not throwing — an unchecked staged->live rename after
+    // a successful live->trash park would let the trash sweep below destroy
+    // the only remaining copy of the bucket
     touched.foreach { k =>
       val name = s"$BucketCol=$k"
       val live = new org.apache.hadoop.fs.Path(snapPath, name)
       if (fs.exists(live))
-        fs.rename(live, new org.apache.hadoop.fs.Path(trash, name))
+        renameOrThrow(fs, live, new org.apache.hadoop.fs.Path(trash, name))
       if (staged(name))
-        fs.rename(new org.apache.hadoop.fs.Path(staging, name), live)
+        renameOrThrow(fs, new org.apache.hadoop.fs.Path(staging, name), live)
+    }
+    // sweep the parked copies only after verifying the swap actually
+    // completed: every touched bucket either has a live dir again or was
+    // intentionally emptied (no staged dir — all its keys tombstoned). A
+    // failed verification leaves _trash in place for the recovery path
+    // above and aborts the batch, so the checkpoint never commits it.
+    touched.foreach { k =>
+      val name = s"$BucketCol=$k"
+      if (staged(name) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(snapPath, name)))
+        throw new java.io.IOException(
+          s"bucket swap incomplete: $name staged but not live under " +
+            s"$snapshotDir — parked copy retained in _trash")
     }
     fs.delete(trash, true)
     fs.delete(staging, true)
+    touched
+  }
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** The spec marker's file name, under the snapshot dir (underscore-
+    * prefixed: invisible to parquet readers, same convention as the
+    * lineage marker). */
+  val BucketSpecFile = "_bucketspec"
+
+  private def guardBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
+                              snapPath: org.apache.hadoop.fs.Path,
+                              keys: Seq[String], nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(snapPath, BucketSpecFile)
+    val spec = s"nBuckets=$nBuckets;keys=${keys.mkString(",")}"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      require(found == spec,
+        s"bucket spec mismatch under $snapPath: snapshot was written with " +
+          s"'$found' but this batch runs with '$spec' — delta keys would " +
+          "hash into buckets the standing rows don't live in")
+    } else {
+      fs.mkdirs(snapPath)
+      val out = fs.create(p, true)
+      out.write((spec + "\n").getBytes("UTF-8"))
+      out.close()
+    }
   }
 
   /** The bucketed snapshot, if it exists (all buckets, one live version). */

@@ -135,6 +135,75 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(cur === Set((1L, 1L, "a"), (1L, 2L, "fresh"), (2L, 1L, "c")))
   }
 
+  test("the returned touched set is exactly the delta's buckets") {
+    val tmp = Files.createTempDirectory("graft_buptouch_").toFile
+    val snap = s"$tmp/snap"
+    val n = 8
+    val t1 = UpsertStream.processBucketedBatch(
+      changes((1L to 64L).map(k => (k, s"v$k", 1L, false)): _*),
+      snap, Seq("k"), "seq", nBuckets = n)
+    assert(t1.toSeq === t1.toSeq.sorted)
+    assert(t1.toSet === (1L to 64L).map(bucketOf(_, n)).toSet)
+    val t2 = UpsertStream.processBucketedBatch(
+      changes((7L, "u", 2L, false), (9L, "u", 2L, false)),
+      snap, Seq("k"), "seq", n)
+    assert(t2.toSet === Set(bucketOf(7L, n), bucketOf(9L, n)))
+    // an empty batch touches nothing
+    assert(UpsertStream.processBucketedBatch(
+      changes().limit(0), snap, Seq("k"), "seq", n).isEmpty)
+  }
+
+  test("a drifted bucket spec is refused, matching spec accepted") {
+    val tmp = Files.createTempDirectory("graft_bupspec_").toFile
+    val snap = s"$tmp/snap"
+    UpsertStream.processBucketedBatch(
+      changes((1L, "a", 1L, false)), snap, Seq("k"), "seq", nBuckets = 8)
+    assert(new File(snap, UpsertStream.BucketSpecFile).exists())
+    // same spec: fine
+    UpsertStream.processBucketedBatch(
+      changes((2L, "b", 1L, false)), snap, Seq("k"), "seq", nBuckets = 8)
+    // different nBuckets: delta keys would hash into foreign buckets
+    val e1 = intercept[IllegalArgumentException] {
+      UpsertStream.processBucketedBatch(
+        changes((3L, "c", 2L, false)), snap, Seq("k"), "seq", nBuckets = 16)
+    }
+    assert(e1.getMessage.contains("bucket spec mismatch"))
+    // different key list: same failure mode
+    val e2 = intercept[IllegalArgumentException] {
+      UpsertStream.processBucketedBatch(
+        changes((3L, "c", 2L, false)).withColumnRenamed("k", "k2"),
+        snap, Seq("k2"), "seq", nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("bucket spec mismatch"))
+    // the refused batches left the snapshot untouched
+    assert(snapRows(snap).map(_._1) === Set(1L, 2L))
+  }
+
+  test("runBucketed writes a per-batch touched-bucket audit") {
+    val tmp = Files.createTempDirectory("graft_bupaudit_").toFile
+    val in = new File(tmp, "in"); in.mkdirs()
+    var modT = System.currentTimeMillis() - 60000
+    def write(name: String, lines: String*): Unit = {
+      val f = new File(in, name)
+      Files.writeString(f.toPath, lines.mkString("\n"))
+      modT += 5000; assert(f.setLastModified(modT))
+    }
+    write("b0.ndjson",
+      """{"k":1,"v":"a","seq":1}""", """{"k":2,"v":"b","seq":1}""")
+    write("b1.ndjson", """{"k":1,"v":"a2","seq":2}""")
+    UpsertStream.runBucketed(spark, in.getAbsolutePath, schema,
+      s"$tmp/snap", s"$tmp/ckpt", keys = Seq("k"), orderingCol = "seq",
+      nBuckets = 4, maxFilesPerTrigger = Some(1))
+    // glob to the files themselves: the underscore-prefixed DIR is hidden
+    // to listing, but explicitly-globbed batch-*.json files are not
+    val audit = spark.read.json(s"$tmp/snap/_audit/batch-*.json")
+      .select("batch_id", "n_touched")
+      .as[(Long, Long)].collect().toMap
+    assert(audit.keySet === Set(0L, 1L))
+    assert(audit(0L) === Set(bucketOf(1L, 4), bucketOf(2L, 4)).size.toLong)
+    assert(audit(1L) === 1L)
+  }
+
   test("tombstoning a whole bucket sweeps its partition dir") {
     val tmp = Files.createTempDirectory("graft_bupsweep_").toFile
     val snap = s"$tmp/snap"
