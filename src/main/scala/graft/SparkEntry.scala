@@ -3323,6 +3323,138 @@ object SparkEntry {
           max("pos").as("max_pos"),
           min("seq_md5").as("min_seq_md5"))
         .orderBy("shard")
+    }),
+
+    // --- bucketed O(delta) CDC under the driver gate (q144's scale-path
+    // sibling — THE 100 TB formulation): the same five-day change log,
+    // merged by runBucketed into a hash-bucketed hive layout where each
+    // micro-batch reads and rewrites ONLY the `__bucket=K` partitions its
+    // delta touches. Gated three ways per batch row: the per-batch audit's
+    // touched-bucket count (the oracle re-derives which buckets each day's
+    // delta hashes into by replaying Spark's xxhash64 in SQL — the
+    // partition PRUNING is proven, not just the answer), the final
+    // snapshot content (closed-form latest-wins truth), and the PHYSICAL
+    // partition assignment (each surviving row's on-disk __bucket dir vs
+    // the oracle's hash) ---
+    "q164_bucketed_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = cachedIndexDir(s, dir, "documents", "bucketedupsert")
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_done"))) {
+        fs.delete(rootP, true)
+        val days = Seq[(Long, org.apache.spark.sql.Column, String)](
+          (0L, col("doc_id") % 5 =!= 4, "v0"), // initial inserts
+          (1L, col("doc_id") % 5 === 4, "v0"), // late-arriving inserts
+          (2L, col("doc_id") % 3 === 0, "v1"), // updates
+          (3L, col("doc_id") % 7 === 0, null), // tombstones
+          (4L, col("doc_id") % 14 === 0, "v2")) // re-inserts after delete
+        // deterministic batch order (q149's stamp pattern): each day's
+        // part file gets a tiny strictly-increasing mtime, so batch i ==
+        // day i and the per-batch audit is closed-form replayable
+        def stampNew(i: Int): Unit = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$root/changes"))
+          .filter(f => f.getPath.getName.startsWith("part-") &&
+            f.getModificationTime > 1000000000L)
+          .foreach(f => fs.setTimes(f.getPath, 1000000L * (i + 1), -1))
+        days.zipWithIndex.foreach { case ((ts, pred, pre), i) =>
+          docs.where(pred).select(
+              col("doc_id"), lit(ts).as("ts"),
+              (if (pre == null) lit(null).cast("string")
+               else md5(concat(lit(pre + ":"), col("text")))).as("payload"),
+              lit(pre == null).as(streaming.UpsertStream.DeleteCol))
+            .coalesce(1).write.mode("append").json(s"$root/changes")
+          stampNew(i)
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("ts", LongType),
+          StructField("payload", StringType),
+          StructField(streaming.UpsertStream.DeleteCol, BooleanType)))
+        streaming.UpsertStream.runBucketed(s, s"$root/changes", schema,
+          s"$root/snap", s"$root/ckpt", keys = Seq("doc_id"),
+          orderingCol = "ts", nBuckets = 64, maxFilesPerTrigger = Some(1))
+        fs.create(new org.apache.hadoop.fs.Path(s"$root/_done")).close()
+      }
+      // read WITH the hive partition column: the gate hashes the on-disk
+      // bucket assignment, not a recomputation
+      val snap = s.read.parquet(s"$root/snap")
+      // lpad makes lexicographic == numeric order, so Spark's array_sort
+      // and DuckDB's ORDER BY doc_id agree on the digest input order
+      val sk = lpad(col("doc_id").cast("string"), 8, "0")
+      val digest = snap.agg(
+        count(lit(1)).as("snap_rows"),
+        md5(array_join(array_sort(collect_list(concat_ws(":",
+          sk, col("payload"), col("ts").cast("string")))), "|"))
+          .as("snap_md5"),
+        md5(array_join(array_sort(collect_list(concat_ws(":", sk,
+          col(streaming.UpsertStream.BucketCol).cast("string")))), "|"))
+          .as("bucket_md5"))
+      val auditSchema = StructType(Seq(StructField("batch_id", LongType),
+        StructField("n_touched", LongType)))
+      s.read.schema(auditSchema).json(s"$root/snap/_audit/batch-*.json")
+        .crossJoin(broadcast(digest)) // 5 x 1 broadcast singleton
+        .select(col("batch_id"), col("n_touched"), col("snap_rows"),
+          col("snap_md5"), col("bucket_md5"))
+        .orderBy("batch_id")
+    }),
+
+    // --- TRAINED-tokenizer delivery (q163's sibling with the real model):
+    // q163 uses a frequency-induced vocab so the oracle can replay encode
+    // closed-form; this entry pushes the q156/q157 40-merge TRAINED
+    // WordPiece through the same encode→pack→shard→manifest chain. A
+    // trained vocab is not DuckDB-replayable, so the seams are gated as
+    // engine-verified conservation booleans (the q156/q157 constant
+    // pattern) over a replayable doc count: total tokens survive packing,
+    // every doc starts exactly once, the packed stream is TOKEN-EXACT
+    // equal to the concatenated per-doc streams (g-th token vs g-th
+    // token, full-outer join on the global index), and the per-shard
+    // manifest sums back to the corpus ---
+    "q165_trained_delivery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (alpha, merges) =
+        operators.WordPiece.model(docs, "text", numMerges = 40)
+      // materialized once: every check below re-reads the token streams
+      // (the tokenized-corpus parquet a real pipeline persists anyway)
+      val enc = operators.WordPiece.encode(docs, "doc_id", "text",
+          alpha, merges)
+        .where(size(col("pieces")) > 0).localCheckpoint(true)
+      val seqs = operators.TokenPack.sequences(enc, "doc_id", "pieces",
+        seqLen = 128).localCheckpoint(true)
+      val totalTokens = enc.agg(sum(size(col("pieces")))).head.getLong(0)
+      val nDocs = enc.count()
+      val seqAgg = seqs.agg(sum("n_tokens").as("t"),
+        sum(size(col("doc_starts"))).cast("long").as("st")).head
+      val tokensConserved = seqAgg.getLong(0) == totalTokens
+      val startsConserved = seqAgg.getLong(1) == nDocs
+      // gate-side reference prefix-sum: one ordered window over #docs
+      // rows (not tokens) — the packer itself never runs a global window
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val offs = enc.select(col("doc_id"), size(col("pieces")).as("n"))
+        .withColumn("off", sum("n").over(w) - col("n"))
+      val docStream = enc.join(offs, "doc_id")
+        .select(col("off"), posexplode(col("pieces")).as(Seq("p", "piece")))
+        .select((col("off") + col("p")).as("g"), col("piece"))
+      val packStream = seqs
+        .select(col("seq_id"), posexplode(col("pieces")).as(Seq("p", "piece2")))
+        .select((col("seq_id") * 128 + col("p")).as("g"), col("piece2"))
+      val streamLossless = docStream
+        .join(packStream, Seq("g"), "full_outer")
+        .where(col("piece").isNull || col("piece2").isNull ||
+          col("piece") =!= col("piece2")).count() == 0L
+      val manifest = operators.Shards
+        .assign(seqs, "seq_id", numShards = 4, seed = 7L)
+        .groupBy("shard").agg(count(lit(1)).as("n_seqs"),
+          sum("n_tokens").as("toks"))
+      val mAgg = manifest.agg(sum("n_seqs"), sum("toks")).head
+      val manifestOk = mAgg.getLong(0) == seqs.count() &&
+        mAgg.getLong(1) == totalTokens
+      enc.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          lit(tokensConserved).as("tokens_conserved"),
+          lit(streamLossless).as("stream_lossless"),
+          lit(startsConserved).as("starts_conserved"),
+          lit(manifestOk).as("manifest_ok"))
     })
   )
 
@@ -6104,6 +6236,25 @@ object SparkEntry {
         |  CAST(SUM(n_docs) AS BIGINT) AS sum_docs,
         |  CAST(SUM(n_starts) AS BIGINT) AS sum_starts,
         |  MAX(pos) AS max_pos, MIN(md5(seq_text)) AS min_seq_md5
-        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM rk GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q164: the q144 latest-wins truth PLUS the bucket layout — the
+    // partition function pmod(xxhash64(doc_id), 64) is replayed in SQL
+    // (XXH64.hashLong in u64 CTE arithmetic, pinned by
+    // XxHash64OracleSpec) to re-derive both every row's physical bucket
+    // and each micro-batch's touched-bucket count
+    "q164_bucketed_upsert" ->
+      graft.expressions.OracleHashSql.bucketedCdc(64),
+
+    // q165: a TRAINED vocab is not replayable in SQL, so the pack/shard
+    // seams are engine-verified conservation booleans restated as
+    // constants (q156/q157's gate pattern) over the replayable count of
+    // docs that tokenize to >= 1 token
+    "q165_trained_delivery" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  true AS tokens_conserved, true AS stream_lossless,
+        |  true AS starts_conserved, true AS manifest_ok
+        |FROM documents
+        |WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1""".stripMargin
   )
 }

@@ -308,6 +308,80 @@ object OracleHashSql {
        |fpp AS (SELECT doc_id, h, fpos FROM selp JOIN cap USING (h))""".stripMargin
   }
 
+  // XXH64 primes (xxHash spec; same constants as Spark's
+  // catalyst.expressions.XXH64) in u64 decimal form
+  private val XxP1 = u64(0x9E3779B185EBCA87L).toString
+  private val XxP2 = u64(0xC2B2AE3D27D4EB4FL).toString
+  private val XxP3 = u64(0x165667B19E3779F9L).toString
+  private val XxP4 = u64(0x85EBCA77C2B2AE63L).toString
+  // seed(42) + PRIME64_5 + length(8) — hashLong's accumulator init
+  private val XxH0 = u64(42L + 0x27D4EB2F165667C5L + 8L).toString
+
+  // rotl in u64 space: the wrapped low part (mul already reduces mod 2^64)
+  // and the high part occupy disjoint bit ranges, so plain + suffices
+  private def rotl(c: String, r: Int): String =
+    s"(${mul(c, (BigInt(1) << r).toString)} + ($c) // ${BigInt(1) << (64 - r)})"
+
+  /** CTE layers computing Spark's `xxhash64` of ONE non-null BIGINT column
+    * — `XXH64.hashLong(v, seed = 42)` — over u64 HUGEINT column `c` of CTE
+    * `src`, in place; the final layer is `${prefix}11`. Used to replay the
+    * bucketed-CDC partition function `pmod(xxhash64(key), nBuckets)`: for
+    * a power-of-two nBuckets the signed pmod equals `c % nBuckets` taken
+    * in u64 space (low bits are sign-invariant), so no sign round-trip is
+    * needed after the chain.
+    */
+  def xxhash64LongCtes(prefix: String, src: String, c: String): String =
+    s"""${prefix}1 AS (SELECT * REPLACE (${mul(c, XxP2)} AS $c) FROM $src),
+       |${prefix}2 AS (SELECT * REPLACE (${rotl(c, 31)} AS $c) FROM ${prefix}1),
+       |${prefix}3 AS (SELECT * REPLACE (${mul(c, XxP1)} AS $c) FROM ${prefix}2),
+       |${prefix}4 AS (SELECT * REPLACE (${xor(XxH0, c)} AS $c) FROM ${prefix}3),
+       |${prefix}5 AS (SELECT * REPLACE (${rotl(c, 27)} AS $c) FROM ${prefix}4),
+       |${prefix}6 AS (SELECT * REPLACE ((${mul(c, XxP1)} + $XxP4) % $U AS $c) FROM ${prefix}5),
+       |${prefix}7 AS (SELECT * REPLACE (${xor(c, s"($c) // 8589934592")} AS $c) FROM ${prefix}6),
+       |${prefix}8 AS (SELECT * REPLACE (${mul(c, XxP2)} AS $c) FROM ${prefix}7),
+       |${prefix}9 AS (SELECT * REPLACE (${xor(c, s"($c) // 536870912")} AS $c) FROM ${prefix}8),
+       |${prefix}10 AS (SELECT * REPLACE (${mul(c, XxP3)} AS $c) FROM ${prefix}9),
+       |${prefix}11 AS (SELECT * REPLACE (${xor(c, s"($c) // 4294967296")} AS $c) FROM ${prefix}10)""".stripMargin
+
+  /** Oracle for q164 (bucketed O(delta) CDC): the q144 closed-form
+    * latest-wins truth of the five-day change log, PLUS the physical
+    * bucket assignment (`pmod(xxhash64(doc_id), nBuckets)` replayed via
+    * [[xxhash64LongCtes]]) and the per-batch touched-bucket counts — the
+    * oracle proves the partition pruning, not just the answer. One row
+    * per micro-batch; the snapshot digests repeat on every row.
+    */
+  def bucketedCdc(nBuckets: Int): String = {
+    require((nBuckets & (nBuckets - 1)) == 0,
+      s"power-of-two nBuckets keeps the signed pmod == u64 mod: $nBuckets")
+    val dayPreds = Seq("doc_id % 5 <> 4", "doc_id % 5 = 4", "doc_id % 3 = 0",
+      "doc_id % 7 = 0", "doc_id % 14 = 0")
+    val touchedRows = dayPreds.zipWithIndex.map { case (p, i) =>
+      s"SELECT CAST($i AS BIGINT) AS batch_id, " +
+        s"CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_touched FROM buck WHERE $p"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH xx0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
+       |${xxhash64LongCtes("xx", "xx0", "h")},
+       |buck AS (SELECT doc_id, CAST(h % $nBuckets AS BIGINT) AS bucket FROM xx11),
+       |truth AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 14 = 0 THEN md5('v2:' || text)
+       |         WHEN doc_id % 3 = 0 THEN md5('v1:' || text)
+       |         ELSE md5('v0:' || text) END AS payload,
+       |    CAST(CASE WHEN doc_id % 14 = 0 THEN 4
+       |         WHEN doc_id % 3 = 0 THEN 2
+       |         WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS ts
+       |  FROM documents
+       |  WHERE NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)),
+       |snap AS (SELECT CAST(COUNT(*) AS BIGINT) AS snap_rows,
+       |    md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || payload || ':' || ts,
+       |      '|' ORDER BY doc_id)) AS snap_md5 FROM truth),
+       |bs AS (SELECT md5(string_agg(lpad(CAST(t.doc_id AS VARCHAR), 8, '0') || ':' || b.bucket,
+       |      '|' ORDER BY t.doc_id)) AS bucket_md5
+       |  FROM truth t JOIN buck b USING (doc_id)),
+       |touched AS ($touchedRows)
+       |SELECT t.batch_id, t.n_touched, s.snap_rows, s.snap_md5, b.bucket_md5
+       |FROM touched t, snap s, bs b ORDER BY t.batch_id""".stripMargin
+  }
+
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority
     * (tie → 0), bits reassembled into a signed 64-bit value.
     */
