@@ -204,6 +204,46 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(audit(1L) === 1L)
   }
 
+  test("a crash mid-swap recovers: parked trash restores, replay merges") {
+    val tmp = Files.createTempDirectory("graft_bupcrash_").toFile
+    val snap = s"$tmp/snap"
+    val n = 4
+    UpsertStream.processBucketedBatch(
+      changes((1L to 20L).map(k => (k, s"v$k", 1L, false)): _*),
+      snap, Seq("k"), "seq", nBuckets = n)
+    val before = snapRows(snap)
+    // simulate a crash after live->trash parked but before staged->live
+    // landed: the victim bucket's live dir sits ONLY in _trash
+    val victim = bucketOf(3L, n)
+    val name = s"${UpsertStream.BucketCol}=$victim"
+    val trash = new File(snap, "_trash"); trash.mkdirs()
+    assert(new File(snap, name).renameTo(new File(trash, name)))
+    assert(!new File(snap, name).exists())
+    // the interrupted batch replays whole (checkpoint never committed):
+    // recovery must first restore the parked bucket, then re-merge
+    val delta = changes((3L, "updated", 2L, false))
+    UpsertStream.processBucketedBatch(delta, snap, Seq("k"), "seq", n)
+    val after = snapRows(snap)
+    assert(after.map(_._1) === before.map(_._1))
+    assert(after.find(_._1 == 3L).get._2 === "updated")
+    // every other key in the victim bucket survived the crash
+    (before.map(_._1) - 3L).foreach { k =>
+      assert(after.find(_._1 == k).get === before.find(_._1 == k).get)
+    }
+    assert(!new File(snap, "_trash").exists(),
+      "recovery + completed swap must clear _trash")
+    // a batch NOT touching the parked bucket also restores it first
+    assert(new File(snap, name).renameTo(new File(trash, name)) ||
+      { trash.mkdirs(); new File(snap, name).renameTo(new File(trash, name)) })
+    UpsertStream.processBucketedBatch(
+      changes((2L to 20L).filter(k => bucketOf(k, n) != victim).take(1)
+        .map(k => (k, "other", 3L, false)): _*),
+      snap, Seq("k"), "seq", n)
+    assert(new File(snap, name).exists(),
+      "untouched parked bucket must be restored by the next batch")
+    assert(snapRows(snap).find(_._1 == 3L).get._2 === "updated")
+  }
+
   test("tombstoning a whole bucket sweeps its partition dir") {
     val tmp = Files.createTempDirectory("graft_bupsweep_").toFile
     val snap = s"$tmp/snap"
