@@ -57,6 +57,18 @@ object Bench {
     * local[_] timing actually resolves. */
   def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
 
+  /** Drop every pinned block — cached relations AND localCheckpoint RDDs
+    * (the latter never leave [[org.apache.spark.SparkContext
+    * .getPersistentRDDs]] until unpersisted or GC'd). Harness-side
+    * isolation between independent queries in one long-lived session; a
+    * production pipeline sharing a session would NOT do this
+    * (JsonToParquet's scaladoc on why clearCache is everyone's cache). */
+  def releasePinnedBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** 1/5/15-minute load averages, empty off-Linux — recorded so a
     * loaded-host tape self-identifies instead of reading as regression. */
   def loadAvg(): Seq[Double] =
@@ -163,6 +175,13 @@ object Bench {
       val coldS = timeOne(name, fn)
       val times = (1 to reps).map(_ => timeOne(name, fn))
       println(perQueryLine(name, times, coldS))
+      // between QUERIES (never between reps): drop this query's pinned
+      // blocks. localCheckpoints and .cache()s otherwise accumulate
+      // across all 165 entries, and late-position queries pay the
+      // eviction/GC — q153 read 5.4 s in-suite vs 1.9 s isolated on the
+      // r18 tape. Disk state (content-addressed stores) is untouched,
+      // and within-query rep-to-rep cache reuse is preserved.
+      releasePinnedBlocks(spark)
       (name, times, coldS)
     }
     val detail = full.map { case (name, times, _) => name -> times }

@@ -58,6 +58,8 @@ object BenchRef {
       val coldS = once()
       val times = (1 to reps).map(_ => once())
       println(Bench.perQueryLine(name, times, coldS))
+      // between queries, never between reps (Bench's convention)
+      Bench.releasePinnedBlocks(spark)
       name -> times
     }
     val results = detail.map { case (n, ts) => n -> ts.min }

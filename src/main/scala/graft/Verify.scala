@@ -35,6 +35,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
+      } finally {
+        // queries are self-contained; without this, 165 entries' worth of
+        // localCheckpoint/cache blocks accumulate in the block manager
+        // and the tail of the run pays the eviction pressure
+        Bench.releasePinnedBlocks(spark)
       }
     }
     // Loud failure contract: a query that throws must be impossible to miss
