@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through VERBATIM instead of sbt's
+// LoggedOutput: the logger prefixes every line with "[info] ", which
+// turns Bench's one-JSON-line emission contract into "[info] {...}" —
+// unparseable as bare JSON and the prime suspect for the round
+// artifact's 17-rounds-running parsed:null. Stderr (Spark logging)
+// still flows to sbt's stderr.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
