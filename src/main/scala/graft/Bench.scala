@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs once UNTIMED (the warm pass — one-time
   * content-addressed store/stream builds land there and are recorded as
-  * `cold_s`), then `SPARK_GRAFT_BENCH_REPS` timed reps (default 2) whose
-  * MINIMUM is reported: local[_] timings at sub-second scale wobble with
+  * `cold_s`), then `SPARK_GRAFT_BENCH_REPS` timed reps (default 2; the
+  * 15 [[Headline]] members always get at least 3 — they are the
+  * regression-adjudication numbers, and a third draw hedges the min
+  * against a single mid-run load spike) whose MINIMUM is reported: local[_] timings at sub-second scale wobble with
   * JIT/GC/page-cache noise, and min-of-N is the standard way to read a
   * steady-state number. Two warm reps replace the previous three
   * mixed reps — rep 1 used to BE the cold run, so the old min was
@@ -64,9 +66,17 @@ object Bench {
     * production pipeline sharing a session would NOT do this
     * (JsonToParquet's scaladoc on why clearCache is everyone's cache). */
   def releasePinnedBlocks(spark: SparkSession): Unit = {
+    // unpersisting a localCheckpointed RDD logs a WARN per block batch
+    // ("lineage ... truncated", from org.apache.spark.rdd.RDD) — harmless
+    // here by construction (the owning query is finished), but hundreds
+    // of them bury real failures in the bench/verify logs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     spark.sharedState.cacheManager.clearCache()
+    // blocking: the release must COMPLETE here, not lag into the next
+    // query's untimed cold pass and contaminate its measurement
     spark.sparkContext.getPersistentRDDs.valuesIterator
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   /** 1/5/15-minute load averages, empty off-Linux — recorded so a
@@ -172,8 +182,14 @@ object Bench {
       // environment previously spent 3 minutes of "rep 1" on q84 alone
       // and the tape read as a regression. The build cost is still
       // recorded (cold_s), just not summed into the headline total.
+      // headline members get a third rep: reps=2 leaves the recorded min
+      // only two draws against the host's load cycles (the r18 tape read
+      // q85 as [18.8, 77.4] s on identical code), and these 15 are the
+      // numbers the regression protocol adjudicates — ~25 s of extra wall
+      // buys them a load-robust min. The other 150 stay at `reps`.
+      val nReps = if (Headline.contains(name)) math.max(reps, 3) else reps
       val coldS = timeOne(name, fn)
-      val times = (1 to reps).map(_ => timeOne(name, fn))
+      val times = (1 to nReps).map(_ => timeOne(name, fn))
       println(perQueryLine(name, times, coldS))
       // between QUERIES (never between reps): drop this query's pinned
       // blocks. localCheckpoints and .cache()s otherwise accumulate
@@ -209,13 +225,12 @@ object Bench {
       System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     val summary = summaryLine(results, sfDir, reps, loadAfter,
       outPath.toAbsolutePath.toString)
-    println(summary)
     spark.stop()
-    // re-emit the bare summary as the process's LAST stdout line, after
-    // Spark's shutdown logging has quiesced: 17 rounds of driver tapes
-    // recorded parsed:null even once the line fit the tail window, so the
-    // remaining hypothesis is that whatever the harness greps wants the
-    // final line. Direct System.out + flush, nothing after it.
+    // ONE bare summary line, emitted after Spark's shutdown logging has
+    // quiesced, as the process's last stdout line — the r18 round proved
+    // this is the form the driver parses, and a second pre-stop copy
+    // would double-count for any consumer that greps all metric lines
+    // instead of taking the last.
     System.out.println(summary)
     System.out.flush()
   }

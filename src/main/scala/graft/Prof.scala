@@ -130,6 +130,41 @@ object ProfGates {
       SparkEntry.queries("q132_winnow_lifecycle")(spark, "/root/testdata/sf0.1").count())
     time("q132.total 2nd(store cached)")(
       SparkEntry.queries("q132_winnow_lifecycle")(spark, "/root/testdata/sf0.1").count())
+    // --- q120 per-rep anatomy (r19 verdict item 5: the one headline
+    // member trending up across driver tapes, 1.72 → 1.88 → 3.11 min).
+    // The store is content-addressed-cached, so reps never pay the
+    // k-means — the build is timed separately here on a throwaway dir to
+    // bound what a cache miss WOULD cost; the rest mirrors the gate body
+    // stage by stage ---
+    time("q120.total 1st(build if cold)")(
+      SparkEntry.queries("q120_diversity_tail")(spark, "/root/testdata/sf0.1").count())
+    time("q120.total 2nd(store cached)")(
+      SparkEntry.queries("q120_diversity_tail")(spark, "/root/testdata/sf0.1").count())
+    locally {
+      val emb = Tables.read(spark, "/root/testdata/sf0.1", "embeddings")
+      val tmpI = java.nio.file.Files.createTempDirectory("graft_prof_q120_").toString
+      time("q120.ivf_build(cold-miss cost only)") {
+        Ivf.write(Ivf.build(emb, nCells = 8, trainSample = 10000), tmpI); 1
+      }
+      val assignment = Ivf.open(spark, tmpI).assigned
+        .select(col("id").as("vec_id"), col("cell"))
+      time("q120.assigned_read")(assignment.count())
+      val tailKeep = assignment.where(col("cell") === 7)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")
+            .orderBy(xxhash64(col("vec_id"), lit(42)).asc, col("vec_id").asc)))
+        .where(col("__r") <= 3).drop("__r")
+      val corpus = assignment.where(col("cell") =!= 7)
+        .unionByName(tailKeep).cache()
+      time("q120.corpus_counts")(corpus.count())
+      time("q120.d4_sample")(
+        DiversitySample.clusterBalancedFrom(corpus, "vec_id", perCluster = 10)
+          .groupBy("cell").count().count())
+      time("q120.uniform_baseline")(
+        corpus.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+          .limit(73).groupBy("cell").count().count())
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }

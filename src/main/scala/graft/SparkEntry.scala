@@ -3339,7 +3339,9 @@ object SparkEntry {
     "q164_bucketed_upsert" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val root = cachedIndexDir(s, dir, "documents", "bucketedupsert")
+      // name bump (r19): the manifest-commit layout replaced the flat
+      // bucket layout — force the cached store to rebuild under it
+      val root = cachedIndexDir(s, dir, "documents", "bucketedupsert-m1")
       val rootP = new org.apache.hadoop.fs.Path(root)
       val fs = rootP.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_done"))) {
@@ -3379,23 +3381,30 @@ object SparkEntry {
       // read WITH the hive partition column: the gate hashes the on-disk
       // bucket assignment, not a recomputation
       val snap = s.read.parquet(s"$root/snap")
-      // lpad makes lexicographic == numeric order, so Spark's array_sort
-      // and DuckDB's ORDER BY doc_id agree on the digest input order
-      val sk = lpad(col("doc_id").cast("string"), 8, "0")
+      // mergeable digest: per-row lower-64-bits of md5 (byte-reversed =
+      // little-endian, exactly DuckDB's md5_number_lower), summed as
+      // exact decimals — order-insensitive, multiplicity-sensitive, and
+      // map-side combinable, so no single reducer ever holds the row set
+      // (the r18 collect_list form did)
+      def md5Lower64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val h = md5(c)
+        conv(concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*),
+          16, 10).cast("decimal(20,0)")
+      }
+      val sk = col("doc_id").cast("string")
       val digest = snap.agg(
         count(lit(1)).as("snap_rows"),
-        md5(array_join(array_sort(collect_list(concat_ws(":",
-          sk, col("payload"), col("ts").cast("string")))), "|"))
-          .as("snap_md5"),
-        md5(array_join(array_sort(collect_list(concat_ws(":", sk,
-          col(streaming.UpsertStream.BucketCol).cast("string")))), "|"))
-          .as("bucket_md5"))
+        sum(md5Lower64(concat_ws(":", sk, col("payload"),
+          col("ts").cast("string")))).cast("decimal(38,0)").as("snap_sum"),
+        sum(md5Lower64(concat_ws(":", sk,
+          col(streaming.UpsertStream.BucketCol).cast("string"))))
+          .cast("decimal(38,0)").as("bucket_sum"))
       val auditSchema = StructType(Seq(StructField("batch_id", LongType),
         StructField("n_touched", LongType)))
       s.read.schema(auditSchema).json(s"$root/snap/_audit/batch-*.json")
         .crossJoin(broadcast(digest)) // 5 x 1 broadcast singleton
         .select(col("batch_id"), col("n_touched"), col("snap_rows"),
-          col("snap_md5"), col("bucket_md5"))
+          col("snap_sum"), col("bucket_sum"))
         .orderBy("batch_id")
     }),
 

@@ -309,18 +309,63 @@ object OracleHashSql {
   }
 
   // XXH64 primes (xxHash spec; same constants as Spark's
-  // catalyst.expressions.XXH64) in u64 decimal form
-  private val XxP1 = u64(0x9E3779B185EBCA87L).toString
-  private val XxP2 = u64(0xC2B2AE3D27D4EB4FL).toString
-  private val XxP3 = u64(0x165667B19E3779F9L).toString
-  private val XxP4 = u64(0x85EBCA77C2B2AE63L).toString
+  // catalyst.expressions.XXH64) as u64 BigInts — shared between the SQL
+  // generator below and XxHash64OracleSpec's reference evaluator
+  private[graft] val XxPrime1 = BigInt(u64(0x9E3779B185EBCA87L))
+  private[graft] val XxPrime2 = BigInt(u64(0xC2B2AE3D27D4EB4FL))
+  private[graft] val XxPrime3 = BigInt(u64(0x165667B19E3779F9L))
+  private[graft] val XxPrime4 = BigInt(u64(0x85EBCA77C2B2AE63L))
   // seed(42) + PRIME64_5 + length(8) — hashLong's accumulator init
-  private val XxH0 = u64(42L + 0x27D4EB2F165667C5L + 8L).toString
+  private[graft] val XxHash0 = BigInt(u64(42L + 0x27D4EB2F165667C5L + 8L))
 
   // rotl in u64 space: the wrapped low part (mul already reduces mod 2^64)
   // and the high part occupy disjoint bit ranges, so plain + suffices
   private def rotl(c: String, r: Int): String =
     s"(${mul(c, (BigInt(1) << r).toString)} + ($c) // ${BigInt(1) << (64 - r)})"
+
+  /** `XXH64.hashLong(seed 42)` as DATA: one step per SQL CTE layer and
+    * per reference-fold step. Both interpreters — [[xxhash64LongCtes]]
+    * (DuckDB SQL) and [[xxLongReference]] (BigInt, consumed by
+    * XxHash64OracleSpec) — fold over THIS list, so primes, rotation
+    * amounts, shift widths, and layer ORDER are single-sourced and cannot
+    * drift apart (r18 advisory: a typo in a hand-transcribed literal
+    * would previously pass the spec and surface only at the driver's
+    * DuckDB compare). The residual unshared surface is the u64 string
+    * algebra (`mul`/`xor`/`rotl`) — itself exercised hash-exactly by the
+    * MinHash/SimHash driver gates.
+    */
+  sealed private[graft] trait XxStep
+  private[graft] final case class XxMul(p: BigInt) extends XxStep
+  private[graft] final case class XxRotl(r: Int) extends XxStep
+  private[graft] final case class XxXorConst(k: BigInt) extends XxStep
+  private[graft] final case class XxMulAdd(p: BigInt, a: BigInt) extends XxStep
+  private[graft] final case class XxXorShr(s: Int) extends XxStep
+
+  private[graft] val XxLongSteps: Seq[XxStep] = Seq(
+    XxMul(XxPrime2), XxRotl(31), XxMul(XxPrime1), XxXorConst(XxHash0),
+    XxRotl(27), XxMulAdd(XxPrime1, XxPrime4), XxXorShr(33),
+    XxMul(XxPrime2), XxXorShr(29), XxMul(XxPrime3), XxXorShr(32))
+
+  /** Reference u64 evaluation of [[XxLongSteps]] over BigInt. */
+  private[graft] def xxLongReference(v: Long): BigInt = {
+    val u = BigInt(1) << 64
+    def mulU(a: BigInt, b: BigInt) = (a * b) % u
+    XxLongSteps.foldLeft(BigInt(u64(v))) { (c, st) => st match {
+      case XxMul(p) => mulU(c, p)
+      case XxRotl(r) => mulU(c, BigInt(1) << r) + (c >> (64 - r))
+      case XxXorConst(k) => c ^ k
+      case XxMulAdd(p, a) => (mulU(c, p) + a) % u
+      case XxXorShr(s) => c ^ (c >> s)
+    }}
+  }
+
+  private def xxStepSql(st: XxStep, c: String): String = st match {
+    case XxMul(p) => mul(c, p.toString)
+    case XxRotl(r) => rotl(c, r)
+    case XxXorConst(k) => xor(k.toString, c)
+    case XxMulAdd(p, a) => s"((${mul(c, p.toString)} + $a) % $U)"
+    case XxXorShr(s) => xor(c, s"($c) // ${BigInt(1) << s}")
+  }
 
   /** CTE layers computing Spark's `xxhash64` of ONE non-null BIGINT column
     * — `XXH64.hashLong(v, seed = 42)` — over u64 HUGEINT column `c` of CTE
@@ -331,17 +376,10 @@ object OracleHashSql {
     * needed after the chain.
     */
   def xxhash64LongCtes(prefix: String, src: String, c: String): String =
-    s"""${prefix}1 AS (SELECT * REPLACE (${mul(c, XxP2)} AS $c) FROM $src),
-       |${prefix}2 AS (SELECT * REPLACE (${rotl(c, 31)} AS $c) FROM ${prefix}1),
-       |${prefix}3 AS (SELECT * REPLACE (${mul(c, XxP1)} AS $c) FROM ${prefix}2),
-       |${prefix}4 AS (SELECT * REPLACE (${xor(XxH0, c)} AS $c) FROM ${prefix}3),
-       |${prefix}5 AS (SELECT * REPLACE (${rotl(c, 27)} AS $c) FROM ${prefix}4),
-       |${prefix}6 AS (SELECT * REPLACE ((${mul(c, XxP1)} + $XxP4) % $U AS $c) FROM ${prefix}5),
-       |${prefix}7 AS (SELECT * REPLACE (${xor(c, s"($c) // 8589934592")} AS $c) FROM ${prefix}6),
-       |${prefix}8 AS (SELECT * REPLACE (${mul(c, XxP2)} AS $c) FROM ${prefix}7),
-       |${prefix}9 AS (SELECT * REPLACE (${xor(c, s"($c) // 536870912")} AS $c) FROM ${prefix}8),
-       |${prefix}10 AS (SELECT * REPLACE (${mul(c, XxP3)} AS $c) FROM ${prefix}9),
-       |${prefix}11 AS (SELECT * REPLACE (${xor(c, s"($c) // 4294967296")} AS $c) FROM ${prefix}10)""".stripMargin
+    XxLongSteps.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) src else s"$prefix$i"
+      s"${prefix}${i + 1} AS (SELECT * REPLACE (${xxStepSql(st, c)} AS $c) FROM $from)"
+    }.mkString(",\n")
 
   /** Oracle for q164 (bucketed O(delta) CDC): the q144 closed-form
     * latest-wins truth of the five-day change log, PLUS the physical
@@ -372,13 +410,13 @@ object OracleHashSql {
        |  FROM documents
        |  WHERE NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)),
        |snap AS (SELECT CAST(COUNT(*) AS BIGINT) AS snap_rows,
-       |    md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || payload || ':' || ts,
-       |      '|' ORDER BY doc_id)) AS snap_md5 FROM truth),
-       |bs AS (SELECT md5(string_agg(lpad(CAST(t.doc_id AS VARCHAR), 8, '0') || ':' || b.bucket,
-       |      '|' ORDER BY t.doc_id)) AS bucket_md5
+       |    CAST(SUM(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || payload || ':' || ts))
+       |      AS DECIMAL(38,0)) AS snap_sum FROM truth),
+       |bs AS (SELECT CAST(SUM(md5_number_lower(CAST(t.doc_id AS VARCHAR) || ':' || b.bucket))
+       |      AS DECIMAL(38,0)) AS bucket_sum
        |  FROM truth t JOIN buck b USING (doc_id)),
        |touched AS ($touchedRows)
-       |SELECT t.batch_id, t.n_touched, s.snap_rows, s.snap_md5, b.bucket_md5
+       |SELECT t.batch_id, t.n_touched, s.snap_rows, s.snap_sum, b.bucket_sum
        |FROM touched t, snap s, bs b ORDER BY t.batch_id""".stripMargin
   }
 

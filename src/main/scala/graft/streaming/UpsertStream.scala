@@ -97,11 +97,21 @@ object UpsertStream {
     * SEMANTICS instead of versioned directories — a replayed batch
     * re-merges its own changes onto already-merged buckets, and
     * [[Upsert.applyChanges]]' symmetric staleness guard (ties go to the
-    * change row) makes that a no-op. Reader isolation is weaker: a reader
-    * racing the write can see a touched bucket mid-overwrite ([[run]]'s
-    * versioned dirs never expose that window); at 100 TB the same layout
-    * targets a MERGE-capable table format whose commit protocol restores
-    * snapshot isolation without changing this operator contract.
+    * change row) makes that a no-op. Reader isolation comes from a
+    * minimal table-format commit: each bucket's data lives in an
+    * immutable generation dir (`__bucket=K/g{v}/`), a batch stages NEW
+    * generations without touching the old ones, and the single atomic
+    * rename of `_manifest/v{v}` is the read transition — a reader that
+    * resolves the manifest mid-batch (or across a crash anywhere before
+    * the commit rename) sees the previous COMPLETE snapshot, never a
+    * half-swapped one. The one remaining window, disclosed: superseded
+    * generations are swept right after the commit, so a reader that
+    * resolved manifest v and is still listing files when v+1 commits can
+    * hit a deleted generation — the standard table-format GC race, whose
+    * production mitigation (retain the last N superseded generations,
+    * expire by age) changes only the sweep policy, not this commit
+    * protocol. Single writer assumed (the streaming checkpoint already
+    * serializes batches).
     */
   def runBucketed(spark: SparkSession, changesDir: String, schema: StructType,
                   snapshotDir: String, checkpointDir: String,
@@ -150,17 +160,38 @@ object UpsertStream {
     * (same batch re-applied after a crash) are directly testable.
     *
     * Commit protocol (one merge computation, no snapshot-sized
-    * materialization): the merged touched buckets land in an
-    * underscore-prefixed staging dir (invisible to parquet readers of the
-    * snapshot), then each touched bucket swaps via rename — live parks in
-    * `_trash`, staged becomes live, trash drops last. A bucket whose every
-    * key was tombstoned simply has no staged dir and its live dir is
-    * removed, so deleted rows cannot resurrect. A crash mid-swap is
-    * recovered on the next batch: parked trash dirs whose live is missing
-    * rename back, and the replayed batch re-merges idempotently
-    * ([[Upsert.applyChanges]]' ties-to-change-row guard). Readers racing a
-    * swap can see a touched bucket disappear for the rename window — the
-    * isolation trade [[runBucketed]]'s scaladoc states.
+    * materialization, no in-place mutation of live data):
+    *
+    *  1. RECOVER — restore any pre-manifest `_trash` parking (legacy
+    *     crash shape), adopt a pre-manifest flat layout into generation
+    *     dirs, then sweep every generation dir the current manifest does
+    *     NOT reference (a crashed batch's staged generations, or
+    *     superseded generations whose post-commit sweep crashed) plus any
+    *     leftover `_staging`. Recovery is pure garbage collection: live
+    *     data is never moved.
+    *  2. MERGE — read ONLY the touched buckets' live generation dirs
+    *     (explicit paths resolved through the manifest — the untouched
+    *     snapshot is never listed or opened), merge the delta, and write
+    *     the result to `_staging` in one job.
+    *  3. STAGE — rename each staged `__bucket=K` under its bucket dir as
+    *     a NEW generation `__bucket=K/g{v+1}`. Old generations are not
+    *     touched; readers resolving manifest v still see a complete,
+    *     consistent snapshot.
+    *  4. COMMIT — write the new bucket→generation map to
+    *     `_manifest/.tmp-v{v+1}` and rename it to `_manifest/v{v+1}`.
+    *     This single rename is the read transition. A bucket whose every
+    *     key was tombstoned simply leaves the new manifest, so deleted
+    *     rows cannot resurrect.
+    *  5. SWEEP — delete the superseded generations of touched buckets
+    *     (and the whole dir of emptied buckets), drop `_staging`, prune
+    *     old manifest versions.
+    *
+    * A crash anywhere before step 4's rename leaves the old manifest and
+    * every old generation intact — concurrent readers and the replayed
+    * batch both see the previous complete snapshot, and the replay
+    * re-merges idempotently ([[Upsert.applyChanges]]' ties-to-change-row
+    * guard). A crash after step 4 leaves only unreferenced garbage, swept
+    * by step 1 of the next batch.
     */
   def processBucketedBatch(batch: DataFrame, snapshotDir: String,
                            keys: Seq[String], orderingCol: String,
@@ -183,29 +214,22 @@ object UpsertStream {
     // a different nBuckets (or key order) would hash delta keys into
     // buckets the standing rows don't live in — old rows never merge or
     // tombstone and duplicate keys silently accumulate. First batch writes
-    // the spec next to the data; every batch require-matches it.
+    // the spec next to the data; every batch require-matches it. Guarded
+    // FIRST so a refused batch mutates nothing (not even recovery).
     guardBucketSpec(fs, snapPath, keys, nBuckets)
-    val staging = new org.apache.hadoop.fs.Path(snapshotDir, "_staging")
-    val trash = new org.apache.hadoop.fs.Path(snapshotDir, "_trash")
-    // recover a crashed swap: a bucket parked in _trash whose live dir is
-    // missing was mid-rename — restore it, then re-merge (idempotent)
-    if (fs.exists(trash)) {
-      fs.listStatus(trash).foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(snapPath, st.getPath.getName)
-        if (!fs.exists(live)) renameOrThrow(fs, st.getPath, live)
-      }
-      fs.delete(trash, true)
-    }
-    // "snapshot exists" = at least one bucket partition — the dir itself
-    // may pre-exist holding only the lineage marker guardLineage wrote
-    val hasData = fs.exists(snapPath) &&
-      fs.listStatus(snapPath).exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    restoreLegacyTrash(fs, snapPath)
+    adoptLegacyLayout(fs, snapPath)
+    val m = readManifest(fs, snapPath)
+    sweepUnreferenced(fs, snapPath, m.live)
+    // manifest-routed read of the touched buckets only: explicit generation
+    // paths, basePath re-infers the __bucket partition column. At 100 TB
+    // this skips even the nBuckets-wide directory listing a partition
+    // filter would do — the manifest IS the listing.
+    val livePaths = touched.toSeq.flatMap(k => m.live.get(k).map(g =>
+      new org.apache.hadoop.fs.Path(snapPath, s"$BucketCol=$k/$g").toString))
     val existing =
-      if (hasData)
-        // partition filter: only the touched __bucket=K dirs are listed
-        // and read — the untouched snapshot is never opened
-        s.read.parquet(snapshotDir)
-          .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+      if (livePaths.nonEmpty)
+        s.read.option("basePath", snapshotDir).parquet(livePaths: _*)
       else delta.drop(DeleteCol).limit(0)
     val merged =
       if (hasDeleteCol)
@@ -216,40 +240,41 @@ object UpsertStream {
     // write emits one file per bucket — without it every reduce task fans
     // out a file into every touched bucket dir (tasks x buckets small
     // files, the classic partitionBy mistake)
+    val staging = new org.apache.hadoop.fs.Path(snapshotDir, "_staging")
     merged.repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$BucketCol=")).toSet
-    fs.mkdirs(trash)
     // every rename is checked: Hadoop FileSystem.rename reports failure by
-    // returning FALSE, not throwing — an unchecked staged->live rename after
-    // a successful live->trash park would let the trash sweep below destroy
-    // the only remaining copy of the bucket
-    touched.foreach { k =>
-      val name = s"$BucketCol=$k"
-      val live = new org.apache.hadoop.fs.Path(snapPath, name)
-      if (fs.exists(live))
-        renameOrThrow(fs, live, new org.apache.hadoop.fs.Path(trash, name))
-      if (staged(name))
-        renameOrThrow(fs, new org.apache.hadoop.fs.Path(staging, name), live)
+    // returning FALSE, not throwing — a silently failed stage rename would
+    // commit a manifest pointing at a generation that does not exist
+    val gen = f"g${m.version + 1}%08d"
+    staged.foreach { name =>
+      val bdir = new org.apache.hadoop.fs.Path(snapPath, name)
+      fs.mkdirs(bdir)
+      renameOrThrow(fs, new org.apache.hadoop.fs.Path(staging, name),
+        new org.apache.hadoop.fs.Path(bdir, gen))
     }
-    // sweep the parked copies only after verifying the swap actually
-    // completed: every touched bucket either has a live dir again or was
-    // intentionally emptied (no staged dir — all its keys tombstoned). A
-    // failed verification leaves _trash in place for the recovery path
-    // above and aborts the batch, so the checkpoint never commits it.
+    // THE commit point: one atomic rename flips every reader to the new
+    // generation set. Touched buckets with no staged dir were fully
+    // tombstoned and leave the manifest.
+    val newLive = m.live -- touched.filterNot(k => staged(s"$BucketCol=$k")) ++
+      touched.filter(k => staged(s"$BucketCol=$k")).map(_ -> gen)
+    commitManifest(fs, snapPath, m.version + 1, newLive)
+    // post-commit sweep: the superseded generations (and emptied buckets'
+    // dirs) are garbage now — a crash here just defers them to step 1
     touched.foreach { k =>
-      val name = s"$BucketCol=$k"
-      if (staged(name) &&
-          !fs.exists(new org.apache.hadoop.fs.Path(snapPath, name)))
-        throw new java.io.IOException(
-          s"bucket swap incomplete: $name staged but not live under " +
-            s"$snapshotDir — parked copy retained in _trash")
+      val bdir = new org.apache.hadoop.fs.Path(snapPath, s"$BucketCol=$k")
+      newLive.get(k) match {
+        case Some(g) => m.live.get(k).filter(_ != g).foreach(old =>
+          fs.delete(new org.apache.hadoop.fs.Path(bdir, old), true))
+        case None => fs.delete(bdir, true)
+      }
     }
-    fs.delete(trash, true)
     fs.delete(staging, true)
+    pruneManifests(fs, snapPath, keep = 3)
     touched
   }
 
@@ -258,6 +283,154 @@ object UpsertStream {
                             dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Directory of versioned manifest files, under the snapshot dir
+    * (underscore-prefixed: invisible to parquet readers). Each committed
+    * version is one file `v%08d` holding `bucket<TAB>generation` lines —
+    * the complete live-generation map, not a diff, so a reader resolves
+    * the snapshot from the single highest version with no log replay.
+    */
+  val ManifestDir = "_manifest"
+
+  private final case class BucketManifest(version: Long, live: Map[Int, String])
+
+  // %08d is a sort-friendly pad, not a cap: accept any width on read
+  private val ManifestVersionRe = "v(\\d{8,})".r
+
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ManifestVersionRe(v) => v.toLong
+    }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           snapPath: org.apache.hadoop.fs.Path): BucketManifest = {
+    val dir = new org.apache.hadoop.fs.Path(snapPath, ManifestDir)
+    val versions = manifestVersions(fs, dir)
+    if (versions.isEmpty) return BucketManifest(0L, Map.empty)
+    val v = versions.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, f"v$v%08d"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val live = txt.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(k, g) => k.toInt -> g
+        case _ => throw new java.io.IOException(
+          s"corrupt manifest line under $dir (version $v): '$line'")
+      }
+    }.toMap
+    BucketManifest(v, live)
+  }
+
+  /** Write-then-rename: the rename of the complete tmp file to its final
+    * `v%08d` name is the snapshot's atomic read transition. */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             snapPath: org.apache.hadoop.fs.Path,
+                             version: Long, live: Map[Int, String]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(snapPath, ManifestDir)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp-v$version%08d")
+    val out = fs.create(tmp, true)
+    out.write(live.toSeq.sortBy(_._1)
+      .map { case (k, g) => s"$k\t$g" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    renameOrThrow(fs, tmp, new org.apache.hadoop.fs.Path(dir, f"v$version%08d"))
+  }
+
+  /** Retain the latest `keep` manifest versions (history for readers that
+    * resolved just before a commit), drop older ones and stale tmps. */
+  private def pruneManifests(fs: org.apache.hadoop.fs.FileSystem,
+                             snapPath: org.apache.hadoop.fs.Path,
+                             keep: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(snapPath, ManifestDir)
+    val versions = manifestVersions(fs, dir).sorted
+    versions.dropRight(keep).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"v$v%08d"), false))
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(".tmp-"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Recovery step: delete every generation dir the manifest does not
+    * reference — a crashed batch's staged-but-uncommitted generations, or
+    * superseded generations whose post-commit sweep crashed. Pure GC:
+    * referenced data is never moved, so readers racing recovery are safe.
+    */
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+                                snapPath: org.apache.hadoop.fs.Path,
+                                live: Map[Int, String]): Unit = {
+    if (!fs.exists(snapPath)) return
+    fs.listStatus(snapPath)
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+      .foreach { st =>
+        val k = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+        live.get(k) match {
+          case None => fs.delete(st.getPath, true)
+          case Some(g) => fs.listStatus(st.getPath)
+            .filter(_.getPath.getName != g)
+            .foreach(c => fs.delete(c.getPath, true))
+        }
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(snapPath, "_staging"), true)
+  }
+
+  /** Migration: a snapshot crashed mid-swap under the pre-manifest
+    * protocol may have a bucket dir parked in `_trash` with its live dir
+    * missing — restore it before adoption so no committed row is lost. */
+  private def restoreLegacyTrash(fs: org.apache.hadoop.fs.FileSystem,
+                                 snapPath: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(snapPath, "_trash")
+    if (!fs.exists(trash)) return
+    fs.listStatus(trash).foreach { st =>
+      val live = new org.apache.hadoop.fs.Path(snapPath, st.getPath.getName)
+      if (!fs.exists(live)) renameOrThrow(fs, st.getPath, live)
+    }
+    fs.delete(trash, true)
+  }
+
+  /** Migration: a pre-manifest snapshot holds parquet files DIRECTLY under
+    * each `__bucket=K/`. Wrap each such bucket's files into a `gadopt`
+    * generation dir (renames only — no data rewrite) and commit manifest
+    * v1 referencing them, after which the manifest protocol owns the
+    * snapshot. No-op once any manifest exists.
+    *
+    * The DISTINCT generation name makes adoption crash-idempotent: with
+    * no manifest on disk, a `gadopt` dir can only be crashed-adoption
+    * output (re-run finishes wrapping the still-flat buckets and commits
+    * over all of them), while `g%08d` dirs can only be a crashed FIRST
+    * batch's uncommitted staging (correctly left for the unreferenced
+    * sweep). Were both named `g00000001`, a crash mid-adoption would make
+    * committed legacy rows indistinguishable from sweepable garbage.
+    */
+  private def adoptLegacyLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                snapPath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(snapPath) ||
+        manifestVersions(fs,
+          new org.apache.hadoop.fs.Path(snapPath, ManifestDir)).nonEmpty)
+      return
+    val gen = "gadopt"
+    val bucketDirs = fs.listStatus(snapPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$BucketCol="))
+    // wrap flat files; a bucket already wrapped by a crashed prior
+    // adoption has none left and is skipped
+    bucketDirs.foreach { st =>
+      if (fs.listStatus(st.getPath).exists(_.isFile)) {
+        val gdir = new org.apache.hadoop.fs.Path(st.getPath, gen)
+        fs.mkdirs(gdir)
+        fs.listStatus(st.getPath).filter(_.isFile).foreach(f =>
+          renameOrThrow(fs, f.getPath,
+            new org.apache.hadoop.fs.Path(gdir, f.getPath.getName)))
+      }
+    }
+    val live = bucketDirs
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, gen)))
+      .map(st => st.getPath.getName.stripPrefix(s"$BucketCol=").toInt -> gen)
+      .toMap
+    if (live.nonEmpty) commitManifest(fs, snapPath, 1L, live)
+  }
 
   /** The spec marker's file name, under the snapshot dir (underscore-
     * prefixed: invisible to parquet readers, same convention as the
@@ -285,11 +458,25 @@ object UpsertStream {
     }
   }
 
-  /** The bucketed snapshot, if it exists (all buckets, one live version). */
+  /** The bucketed snapshot, if it exists and has live rows. Resolves
+    * through the manifest — the atomic read transition [[processBucketedBatch]]
+    * commits — so a reader racing a writer (or a crashed batch's leftover
+    * staging) sees exactly one complete committed snapshot, never a
+    * half-swapped or duplicated one. Pre-manifest snapshots fall back to
+    * the flat layout read (their first batch under this protocol adopts
+    * them). */
   def currentBucketed(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p)
+    if (!fs.exists(p)) return None
+    val m = readManifest(fs, p)
+    if (m.version > 0L) {
+      if (m.live.isEmpty) None
+      else Some(spark.read.option("basePath", snapshotDir)
+        .parquet(m.live.toSeq.sortBy(_._1).map { case (k, g) =>
+          new org.apache.hadoop.fs.Path(p, s"$BucketCol=$k/$g").toString }: _*)
+        .drop(BucketCol))
+    } else if (fs.listStatus(p)
         .exists(_.getPath.getName.startsWith(s"$BucketCol=")))
       Some(spark.read.parquet(snapshotDir).drop(BucketCol))
     else None

@@ -4,46 +4,22 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The q164 oracle replays Spark's `xxhash64` (XXH64.hashLong, seed 42)
-  * in DuckDB u64 arithmetic. This spec mirrors the exact SQL formula
-  * sequence (mod-2^64 multiply, disjoint-range rotl, xor via signed
-  * round-trip, floor-div shifts) in BigInt and pins it against BOTH
-  * Spark's catalyst XXH64 and the `xxhash64` Column function, so a
-  * drifted prime, rotation, or layer order in [[OracleHashSql]] fails
-  * here instead of (only) at the driver's DuckDB compare.
+  * in DuckDB u64 arithmetic. The chain itself lives ONCE, as
+  * [[OracleHashSql.XxLongSteps]]: the SQL generator and this spec's
+  * reference evaluator ([[OracleHashSql.xxLongReference]]) both fold over
+  * that step list, so primes, rotations, shift widths, and layer order
+  * cannot drift apart (r18 advisory closed — previously this spec pinned
+  * a hand-transcribed mirror, which a typo in the SQL literal generation
+  * could silently pass). Pinning the shared chain against BOTH catalyst
+  * XXH64 and the `xxhash64` Column function keeps the single source
+  * itself honest.
   */
 class XxHash64OracleSpec extends SparkSpec {
   import spark.implicits._
 
   private val U = BigInt(1) << 64
 
-  private def u64(x: Long): BigInt = {
-    val b = BigInt(x); if (x < 0) b + U else b
-  }
-
-  private def mul(a: BigInt, b: BigInt): BigInt = (a * b) % U
-  private def xr(a: BigInt, b: BigInt): BigInt = a ^ b // both < 2^64
-  private def rotl(c: BigInt, r: Int): BigInt =
-    mul(c, BigInt(1) << r) + c / (BigInt(1) << (64 - r))
-
-  /** The 11 SQL layers of OracleHashSql.xxhash64LongCtes, verbatim. */
-  private def chain(v: Long): BigInt = {
-    val p1 = u64(0x9E3779B185EBCA87L); val p2 = u64(0xC2B2AE3D27D4EB4FL)
-    val p3 = u64(0x165667B19E3779F9L); val p4 = u64(0x85EBCA77C2B2AE63L)
-    val h0 = u64(42L + 0x27D4EB2F165667C5L + 8L)
-    var c = u64(v)
-    c = mul(c, p2) //  1
-    c = rotl(c, 31) //  2
-    c = mul(c, p1) //  3
-    c = xr(h0, c) //  4
-    c = rotl(c, 27) //  5
-    c = (mul(c, p1) + p4) % U //  6
-    c = xr(c, c / (BigInt(1) << 33)) //  7
-    c = mul(c, p2) //  8
-    c = xr(c, c / (BigInt(1) << 29)) //  9
-    c = mul(c, p3) // 10
-    c = xr(c, c / (BigInt(1) << 32)) // 11
-    c
-  }
+  private def chain(v: Long): BigInt = OracleHashSql.xxLongReference(v)
 
   private def toSigned(b: BigInt): Long =
     (if (b >= (BigInt(1) << 63)) b - U else b).toLong

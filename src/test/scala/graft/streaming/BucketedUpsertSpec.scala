@@ -204,44 +204,114 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(audit(1L) === 1L)
   }
 
-  test("a crash mid-swap recovers: parked trash restores, replay merges") {
-    val tmp = Files.createTempDirectory("graft_bupcrash_").toFile
+  test("a reader racing a crashed mid-swap batch sees the OLD complete snapshot") {
+    val tmp = Files.createTempDirectory("graft_bupiso_").toFile
     val snap = s"$tmp/snap"
     val n = 4
     UpsertStream.processBucketedBatch(
       changes((1L to 20L).map(k => (k, s"v$k", 1L, false)): _*),
       snap, Seq("k"), "seq", nBuckets = n)
     val before = snapRows(snap)
-    // simulate a crash after live->trash parked but before staged->live
-    // landed: the victim bucket's live dir sits ONLY in _trash
+    // simulate a batch that crashed mid-swap: it STAGED a new generation
+    // under the victim bucket (step 3 of the commit protocol) and left
+    // its partitioned-write staging dir behind, but never committed the
+    // manifest (step 4). Under the pre-manifest protocol this was the
+    // window where the victim bucket vanished for concurrent readers.
     val victim = bucketOf(3L, n)
-    val name = s"${UpsertStream.BucketCol}=$victim"
-    val trash = new File(snap, "_trash"); trash.mkdirs()
-    assert(new File(snap, name).renameTo(new File(trash, name)))
-    assert(!new File(snap, name).exists())
+    val bname = s"${UpsertStream.BucketCol}=$victim"
+    Seq((3L, "uncommitted", 99L)).toDF("k", "v", "seq")
+      .write.parquet(s"$snap/$bname/g00000002")
+    Seq((3L, "junk", 99L)).toDF("k", "v", "seq")
+      .write.parquet(s"$snap/_staging/$bname")
+    // THE isolation contract: a reader resolving the snapshot now sees
+    // the previous COMPLETE snapshot — every key of the victim bucket
+    // present with its committed value, the crashed write invisible
+    assert(snapRows(snap) === before,
+      "reader in the crash window must see the old complete snapshot")
     // the interrupted batch replays whole (checkpoint never committed):
-    // recovery must first restore the parked bucket, then re-merge
-    val delta = changes((3L, "updated", 2L, false))
-    UpsertStream.processBucketedBatch(delta, snap, Seq("k"), "seq", n)
+    // recovery sweeps the uncommitted generation + staging, then re-merges
+    UpsertStream.processBucketedBatch(
+      changes((3L, "updated", 2L, false)), snap, Seq("k"), "seq", n)
     val after = snapRows(snap)
     assert(after.map(_._1) === before.map(_._1))
     assert(after.find(_._1 == 3L).get._2 === "updated")
-    // every other key in the victim bucket survived the crash
     (before.map(_._1) - 3L).foreach { k =>
       assert(after.find(_._1 == k).get === before.find(_._1 == k).get)
     }
-    assert(!new File(snap, "_trash").exists(),
-      "recovery + completed swap must clear _trash")
-    // a batch NOT touching the parked bucket also restores it first
-    assert(new File(snap, name).renameTo(new File(trash, name)) ||
-      { trash.mkdirs(); new File(snap, name).renameTo(new File(trash, name)) })
+    assert(!new File(snap, "_staging").exists(),
+      "recovery must sweep the crashed staging dir")
+    // steady state: exactly one committed generation per bucket dir
+    new File(snap).listFiles()
+      .filter(_.getName.startsWith(s"${UpsertStream.BucketCol}="))
+      .foreach { d =>
+        assert(d.listFiles().count(_.isDirectory) === 1,
+          s"${d.getName} must hold exactly one live generation, " +
+            s"found ${d.listFiles().map(_.getName).mkString(",")}")
+      }
+  }
+
+  test("the manifest commit is the read transition: versions advance, old ones pruned") {
+    val tmp = Files.createTempDirectory("graft_bupman_").toFile
+    val snap = s"$tmp/snap"
+    def versionsOnDisk: Seq[String] =
+      new File(snap, UpsertStream.ManifestDir).listFiles()
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    (1 to 5).foreach { i =>
+      UpsertStream.processBucketedBatch(
+        changes((1L, s"v$i", i.toLong, false)), snap, Seq("k"), "seq", 4)
+    }
+    // five commits, retention keeps the latest 3
+    assert(versionsOnDisk === Seq("v00000003", "v00000004", "v00000005"))
+    assert(snapRows(snap) === Set((1L, "v5", 5L)))
+    // a fully-tombstoned snapshot commits an empty manifest: readers get
+    // None, not a stale row set
     UpsertStream.processBucketedBatch(
-      changes((2L to 20L).filter(k => bucketOf(k, n) != victim).take(1)
-        .map(k => (k, "other", 3L, false)): _*),
-      snap, Seq("k"), "seq", n)
-    assert(new File(snap, name).exists(),
-      "untouched parked bucket must be restored by the next batch")
-    assert(snapRows(snap).find(_._1 == 3L).get._2 === "updated")
+      changes((1L, "", 6L, true)), snap, Seq("k"), "seq", 4)
+    assert(UpsertStream.currentBucketed(spark, snap).isEmpty)
+    assert(versionsOnDisk.last === "v00000006")
+  }
+
+  test("a pre-manifest flat snapshot is adopted: renames only, rows preserved") {
+    val tmp = Files.createTempDirectory("graft_bupadopt_").toFile
+    val snap = s"$tmp/snap"
+    val n = 4
+    // fabricate the legacy layout: parquet files DIRECTLY under each
+    // __bucket=K dir (what the pre-manifest protocol wrote) + its spec
+    changes((1L to 12L).map(k => (k, s"old$k", 1L, false)): _*)
+      .drop(UpsertStream.DeleteCol)
+      .withColumn(UpsertStream.BucketCol,
+        pmod(xxhash64(col("k")), lit(n.toLong)).cast("int"))
+      .repartition(col(UpsertStream.BucketCol))
+      .write.partitionBy(UpsertStream.BucketCol).parquet(snap)
+    Files.writeString(new File(snap, UpsertStream.BucketSpecFile).toPath,
+      s"nBuckets=$n;keys=k\n")
+    // legacy fallback read works before any batch runs
+    assert(snapRows(snap).size === 12)
+    // simulate a CRASHED prior adoption: one bucket already wrapped into
+    // its gadopt generation (distinct name — with no manifest, gadopt can
+    // only be adoption output, never sweepable batch staging). The re-run
+    // must finish the others and commit over ALL of them, losing nothing.
+    val firstBucket = new File(snap).listFiles()
+      .filter(_.getName.startsWith(s"${UpsertStream.BucketCol}="))
+      .minBy(_.getName)
+    val gdir = new File(firstBucket, "gadopt"); gdir.mkdirs()
+    firstBucket.listFiles().filter(_.isFile).foreach(f =>
+      assert(f.renameTo(new File(gdir, f.getName))))
+    // first batch under the manifest protocol adopts, then merges
+    UpsertStream.processBucketedBatch(
+      changes((3L, "updated", 2L, false)), snap, Seq("k"), "seq", n)
+    val rows = snapRows(snap)
+    assert(rows.size === 12)
+    assert(rows.find(_._1 == 3L).get._2 === "updated")
+    assert(rows.find(_._1 == 4L).get._2 === "old4")
+    assert(new File(snap, UpsertStream.ManifestDir).exists())
+    // every bucket dir now holds generation dirs only, no flat files
+    new File(snap).listFiles()
+      .filter(_.getName.startsWith(s"${UpsertStream.BucketCol}="))
+      .foreach { d =>
+        assert(d.listFiles().forall(_.isDirectory),
+          s"${d.getName} still holds flat legacy files")
+      }
   }
 
   test("tombstoning a whole bucket sweeps its partition dir") {
