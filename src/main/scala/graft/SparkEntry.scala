@@ -1547,10 +1547,15 @@ object SparkEntry {
         .orderBy("q_id", "rank")
       val viaLatest = rank(latest)
       // rollback-path equality: the uncompacted v0+appends store must
-      // answer identically to the compacted v1 (bounded: queries × k rows)
-      val pathsEqual = rank(s"$root/v0").collect().toSeq ==
-        viaLatest.collect().toSeq
-      viaLatest.withColumn("version_ok", lit(versionOk))
+      // answer identically to the compacted v1 (bounded: queries × k rows).
+      // The result frame is rebuilt from the collected rows (the q134
+      // idiom) so the latest-path store query executes ONCE — not again
+      // for every downstream consumer of the returned frame
+      val latestRows = viaLatest.collect()
+      val pathsEqual = rank(s"$root/v0").collect().toSeq == latestRows.toSeq
+      s.createDataFrame(java.util.Arrays.asList(latestRows: _*),
+          viaLatest.schema)
+        .withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
     }),
 
@@ -1878,10 +1883,14 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       val viaLatest = rank(latest)
       // rollback-path equality: v0 + its appended batches must answer
-      // identically to the compacted v1 (bounded: queries x k rows)
-      val pathsEqual = rank(s"$root/v0").collect().toSeq ==
-        viaLatest.collect().toSeq
-      viaLatest.withColumn("version_ok", lit(versionOk))
+      // identically to the compacted v1 (bounded: queries x k rows). The
+      // result frame is rebuilt from the collected rows (the q134 idiom)
+      // so the latest-path query executes once, not once per consumer
+      val latestRows = viaLatest.collect()
+      val pathsEqual = rank(s"$root/v0").collect().toSeq == latestRows.toSeq
+      s.createDataFrame(java.util.Arrays.asList(latestRows: _*),
+          viaLatest.schema)
+        .withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
     }),
 
@@ -2064,9 +2073,13 @@ object SparkEntry {
       def rep(p: String) = operators.SubstringDedup
         .reportAgainst(s, p, batch, "doc_id", "text").orderBy("doc_id")
       val viaLatest = rep(latest)
-      val pathsEqual = rep(s"$root/v0").collect().toSeq ==
-        viaLatest.collect().toSeq
-      viaLatest.withColumn("version_ok", lit(versionOk))
+      // rebuilt from the collected rows (the q134 idiom): the latest-path
+      // report executes once, not once per consumer of the returned frame
+      val latestRows = viaLatest.collect()
+      val pathsEqual = rep(s"$root/v0").collect().toSeq == latestRows.toSeq
+      s.createDataFrame(java.util.Arrays.asList(latestRows: _*),
+          viaLatest.schema)
+        .withColumn("version_ok", lit(versionOk))
         .withColumn("paths_equal", lit(pathsEqual))
     }),
 
@@ -2216,8 +2229,14 @@ object SparkEntry {
         .where(col("__r") <= 3).drop("__r")
       val corpus = assignment.where(col("cell") =!= tailCell)
         .unionByName(tailKeep).cache()
-      val corpusN = corpus.count()
-      val tailN = corpus.where(col("cell") === tailCell).count()
+      // ONE per-cell count job serves corpusN (its sum), tailN (its
+      // tailCell entry) and the cell inventory — previously three separate
+      // jobs (count, filtered count, distinct-collect) each rescanned the
+      // cached corpus
+      val perCell = corpus.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val corpusN = perCell.values.sum
+      val tailN = perCell.getOrElse(tailCell, 0L)
       val d4 = operators.DiversitySample
         .clusterBalancedFrom(corpus, "vec_id", perCluster = 10)
       val d4PerCell = d4.groupBy("cell").agg(count(lit(1)).as("n"))
@@ -2226,8 +2245,7 @@ object SparkEntry {
       val uniPerCell = corpus.orderBy(ord: _*).limit(n.toInt)
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val cells = corpus.select("cell").distinct()
-        .collect().map(_.getInt(0)).toSeq
+      val cells = perCell.keys.toSeq
       corpus.unpersist()
       val d4Min = cells.map(c => d4PerCell.getOrElse(c, 0L)).min
       val uniMin = cells.map(c => uniPerCell.getOrElse(c, 0L)).min
@@ -3510,10 +3528,14 @@ object SparkEntry {
     val batch = docs.where(col("doc_id") % 5 === 0)
     def cands(p: String) = query(p, batch).orderBy("kind", "id_a", "id_b")
     val viaLatest = cands(latest)
-    // bounded collect: candidate pairs at gate scale
-    val pathsEqual = cands(s"$root/v0").collect().toSeq ==
-      viaLatest.collect().toSeq
-    viaLatest.withColumn("version_ok", lit(versionOk))
+    // bounded collect: candidate pairs at gate scale. The result frame is
+    // rebuilt from the collected rows (the q134 idiom) so the latest-path
+    // candidates query executes once, not once per downstream consumer
+    val latestRows = viaLatest.collect()
+    val pathsEqual = cands(s"$root/v0").collect().toSeq == latestRows.toSeq
+    s.createDataFrame(java.util.Arrays.asList(latestRows: _*),
+        viaLatest.schema)
+      .withColumn("version_ok", lit(versionOk))
       .withColumn("paths_equal", lit(pathsEqual))
   }
 

@@ -77,6 +77,10 @@ object Bm25 {
   private[operators] def tokenCacheCount: Int =
     cachedTokens.synchronized(cachedTokens.size)
 
+  private[operators] def cachedTokenStorageLevels
+      : Seq[org.apache.spark.storage.StorageLevel] =
+    cachedTokens.synchronized(cachedTokens.values.map(_.storageLevel).toSeq)
+
   /** Top-k BM25 results per query: `(q_id, doc_id, score, rank)`, scores
     * rounded to 6 decimals, ties broken by ascending doc_id. Queries with
     * no matching document produce no rows. Query terms are deduplicated
@@ -103,6 +107,12 @@ object Bm25 {
         .select(col(idCol).as("doc_id"), shinglesAllFast(col(textCol), 1).as("__ts"))
         .where(size(col("__ts")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // a harness-side cache release (Bench/Verify clear every pinned
+      // block between queries) unpersists the frame but leaves this map
+      // entry — a later hit would then silently serve an UNCACHED frame
+      // and every consumer would re-run the tokenizer; re-pin it here
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LRU: move the hit to the tail, then evict from the head past cap
       cachedTokens.remove(key); cachedTokens.put(key, df)
       while (cachedTokens.size > maxTokenCaches) {

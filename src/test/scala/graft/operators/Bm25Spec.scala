@@ -255,6 +255,26 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.tokenCacheCount === 0)
   }
 
+  test("topK re-pins the token cache after a harness-style block release") {
+    Bm25.releaseCaches()
+    val qs = Seq((1L, "zebra")).toDF("q_id", "q_text")
+    val before = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    // simulate Bench/Verify's between-query release: every pinned block is
+    // dropped but Bm25's registry entry survives with storageLevel NONE
+    graft.Bench.releasePinnedBlocks(spark)
+    val after = Bm25.topK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+    assert(after.select("doc_id", "score").as[(Long, Double)].collect().toSet
+      === before, "answers must be unchanged across the release")
+    assert(Bm25.tokenCacheCount === 1)
+    // the map hit must have RE-PINNED the projection, not served an
+    // unpersisted frame that silently re-tokenizes per consumer
+    assert(Bm25.cachedTokenStorageLevels.forall(
+      _ != org.apache.spark.storage.StorageLevel.NONE),
+      "token cache must be re-persisted after an external unpersist")
+    Bm25.releaseCaches()
+  }
+
   test("allowedDocs filter: global IDF, dense ranks over survivors only") {
     val idx = Bm25.buildIndex(docs, "doc_id", "text")
     val qs = Seq((1L, "brown plain")).toDF("q_id", "q_text")
