@@ -624,8 +624,11 @@ object ScaleCC {
     run("warmup")(vertices(1L << 25).count())
     for (round <- 0 to 1; (tag, n) <- Seq("1x" -> (1L << 21), "16x" -> (1L << 25))) {
       run(s"cc_${tag}_r$round") {
+        // localEdgeLimit=0: this rig measures the DISTRIBUTED iteration's
+        // per-round cost shape — the local union-find fallback would
+        // otherwise serve this 65k-edge set and measure nothing
         val (res, iters) = ConnectedComponents.componentsAndRounds(
-          spark, vertices(n), edges, "id", "a", "b")
+          spark, vertices(n), edges, "id", "a", "b", localEdgeLimit = 0)
         val out = res.where(col("component") =!= col("id")).count()
         println(s"SCALE cc_${tag}_r$round rounds=$iters")
         out

@@ -58,19 +58,90 @@ object ConnectedComponents {
                  maxIter: Int = 25,
                  checkpointDir: Option[String] = None,
                  pointerJump: Boolean = true,
-                 assumeEdgesClosed: Boolean = false): DataFrame =
+                 assumeEdgesClosed: Boolean = false,
+                 localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame =
     componentsAndRounds(spark, vertices, edges, idCol, aCol, bCol, maxIter,
-      checkpointDir, pointerJump, assumeEdgesClosed)._1
+      checkpointDir, pointerJump, assumeEdgesClosed, localEdgeLimit)._1
+
+  /** Edge-count bound for the driver-side union-find fallback (the
+    * WordPiece `localVocabLimit` hybrid pattern: bounds checked BEFORE
+    * collecting). In dedup workloads the verified near-dup pair set is a
+    * sliver of the corpus — hundreds of pairs at gate scale, and bounded
+    * by the LSH/posting caps at any scale — while the distributed
+    * iteration pays 3–5 Spark stages PER ROUND plus a convergence probe
+    * (measured: ~20 of q85's 60 stage-jobs were CC rounds over 260
+    * edges). Below the limit one bounded collect + driver union-find
+    * replaces the loop and returns the identical min-reachable-id
+    * labeling (GraphDedupPropertySpec pins equality against exactly this
+    * reference); above it, or in reliable-checkpoint mode, or for
+    * non-long id types, the distributed path runs unchanged. 2^19 edges
+    * ≈ tens of MB of driver rows — well under any sane driver heap, and
+    * callers with bigger verified-pair sets are past the point where
+    * per-round stage overhead matters anyway.
+    */
+  val DefaultLocalEdgeLimit: Int = 1 << 19
 
   /** [[components]] plus the number of rounds run — for diagnostics and for
     * asserting the O(log diameter) convergence pointer jumping buys.
+    * Returns 0 rounds when the local union-find fallback served the call
+    * (pass `localEdgeLimit = 0` to force the distributed iteration).
     */
   def componentsAndRounds(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                           idCol: String, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None,
                           pointerJump: Boolean = true,
-                          assumeEdgesClosed: Boolean = false): (DataFrame, Int) = {
+                          assumeEdgesClosed: Boolean = false,
+                          localEdgeLimit: Int = DefaultLocalEdgeLimit): (DataFrame, Int) = {
+    // ---- bounded local fallback ----
+    // Only when ids are all LongType (every dedup call site; the local
+    // min must reproduce Spark's ordering, trivial for longs), never in
+    // reliable-checkpoint mode (the caller asked for durable rounds).
+    val longIds = Seq(vertices.schema(idCol).dataType,
+      edges.schema(aCol).dataType, edges.schema(bCol).dataType)
+      .forall(_ == org.apache.spark.sql.types.LongType)
+    if (checkpointDir.isEmpty && localEdgeLimit > 0 && longIds) {
+      // null endpoints conduct nothing in the distributed path (null
+      // never equi-joins); dropping them here preserves that semantics
+      val collected = edges.select(col(aCol), col(bCol))
+        .where(col(aCol).isNotNull && col(bCol).isNotNull)
+        .limit(localEdgeLimit + 1).collect()
+      if (collected.length <= localEdgeLimit) {
+        // union-find with min-root-wins unions: the final root of every
+        // node IS the min reachable id — the same labeling the iterative
+        // path converges to (and the property spec's reference)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+          var y = x0 // path compression, iterative (no recursion depth)
+          while (parent(y) != x) { val p = parent(y); parent(y) = x; y = p }
+          x
+        }
+        collected.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val labelRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(parent.keysIterator.map(id =>
+            org.apache.spark.sql.Row(id, find(id))).toArray: _*)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lbl",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val act = spark.createDataFrame(labelRows, schema)
+        // identical tail to the distributed path: one corpus-sized join,
+        // isolated vertices keep their own id
+        return (vertices.select(col(idCol))
+          .join(act, col(idCol) === col("__cc_id"), "left")
+          .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("component")),
+          0)
+      }
+      // over the limit: fall through to the distributed iteration (the
+      // partial pass above cost one bounded scan, same order as the sym
+      // materialization it precedes)
+    }
     // reliable rounds go into a per-run scratch subdir so superseded rounds
     // can be deleted as iteration advances, and so concurrent runs on the
     // same SparkSession never collide. Materialization is a parquet

@@ -51,10 +51,17 @@ object Decontaminate {
     // is silently shingled and deduped twice
     val key = (bench.queryExecution.analyzed.canonicalized, textCol, shingleN)
     val benchShingles = cached.synchronized {
-      cached.getOrElseUpdate(key, bench
+      val df = cached.getOrElseUpdate(key, bench
         .select(explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))
         .distinct()
         .cache())
+      // a harness-side cache release between queries unpersists the frame
+      // but leaves this map entry — re-pin on hit or the bench corpus is
+      // silently shingled+deduped once per consumer again (Bm25.topK's
+      // re-pin rationale, same fix)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.cache()
+      df
     }
     val trainShingles = train
       .select(col(idCol), explode(shingleSetFast(col(textCol), shingleN)).as("__shingle"))

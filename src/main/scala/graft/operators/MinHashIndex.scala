@@ -164,6 +164,11 @@ object MinHashIndex {
         bands(batch, idCol, textCol, index.shingleN, index.numHashes,
             index.rowsPerBand).withColumn("is_new", lit(true))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // a harness-side cache release between queries unpersists the frame
+      // but leaves this map entry — re-pin on hit or the batch is shingled
+      // once per plan position again (Bm25.topK's re-pin rationale)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LRU: move the hit to the tail, then evict from the head past cap
       cachedBands.remove(key); cachedBands.put(key, df)
       while (cachedBands.size > maxBandCaches) {

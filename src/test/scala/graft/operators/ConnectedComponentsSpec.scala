@@ -31,17 +31,51 @@ class ConnectedComponentsSpec extends SparkSpec {
     val n = 64L
     val vertices = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    // localEdgeLimit=0 forces the distributed iteration — this test pins
+    // the ROUNDS behavior, which the local union-find fallback bypasses
     val (out, rounds) = ConnectedComponents.componentsAndRounds(
-      spark, vertices, edges, "id", "a", "b")
+      spark, vertices, edges, "id", "a", "b", localEdgeLimit = 0)
     assert(out.as[(Long, Long)].collect().toMap.values.toSet === Set(1L))
     // diameter 63: plain propagation needs 63 rounds; each jump round at
     // least doubles reach, so log2(63)≈6 plus slack for the convergence scan
-    assert(rounds <= 9, s"expected ~log2 rounds, took $rounds")
+    assert(rounds > 0 && rounds <= 9, s"expected ~log2 rounds, took $rounds")
     // and without the jump it degrades to the diameter (sanity check the
     // rounds counter itself)
     val (_, plainRounds) = ConnectedComponents.componentsAndRounds(
-      spark, vertices, edges, "id", "a", "b", maxIter = 70, pointerJump = false)
+      spark, vertices, edges, "id", "a", "b", maxIter = 70,
+      pointerJump = false, localEdgeLimit = 0)
     assert(plainRounds > rounds)
+  }
+
+  test("local union-find fallback: identical labels, zero rounds, crossover at the limit") {
+    val vertices = (1L to 8L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L)
+    // under the limit: the local path serves the call (rounds == 0)
+    val (local, lr) = ConnectedComponents.componentsAndRounds(
+      spark, vertices, edges, "id", "a", "b", localEdgeLimit = 100)
+    assert(lr === 0)
+    assert(local.as[(Long, Long)].collect().toMap === expected)
+    // over the limit: falls through to the distributed iteration (rounds
+    // > 0) with the identical result
+    val (dist, dr) = ConnectedComponents.componentsAndRounds(
+      spark, vertices, edges, "id", "a", "b", localEdgeLimit = 2)
+    assert(dr > 0)
+    assert(dist.as[(Long, Long)].collect().toMap === expected)
+  }
+
+  test("local fallback: null endpoints conduct nothing, as in the distributed path") {
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, None))
+      .toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    val local = ConnectedComponents.components(spark, vertices, edges,
+      "id", "a", "b").as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.components(spark, vertices, edges,
+      "id", "a", "b", localEdgeLimit = 0).as[(Long, Long)].collect().toMap
+    assert(local === expected)
+    assert(dist === expected)
   }
 
   test("reliable checkpointing produces identical components") {

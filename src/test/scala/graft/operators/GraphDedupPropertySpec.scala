@@ -43,11 +43,15 @@ class GraphDedupPropertySpec extends SparkSpec {
 
       val vdf = vertexIds.toDF("id")
       val edf = edgesRaw.toDF("a", "b")
-      for (pj <- Seq(true, false)) {
+      // localEdgeLimit = 0 forces the distributed iteration; the default
+      // takes the local union-find fallback — BOTH must equal the
+      // reference (and therefore each other) on every random graph
+      for (pj <- Seq(true, false); lim <- Seq(0, 1 << 19)) {
         val got = ConnectedComponents.components(spark, vdf, edf,
-            idCol = "id", aCol = "a", bCol = "b", pointerJump = pj)
+            idCol = "id", aCol = "a", bCol = "b", pointerJump = pj,
+            localEdgeLimit = lim)
           .as[(Long, Long)].collect().toMap
-        assert(got === expected, s"seed=$seed pointerJump=$pj")
+        assert(got === expected, s"seed=$seed pointerJump=$pj limit=$lim")
       }
       val _ = nV
     }
