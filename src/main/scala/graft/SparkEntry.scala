@@ -1486,9 +1486,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val rot = operators.Pca.balancedForPq(
         operators.Pca.fit(emb, "embedding", k = 64, center = false), mSub = 8)
+      // materialized once: the rotated corpus feeds MANY consumers (IVF
+      // assignment, PQ train sample, the coded table read twice by
+      // query's ADC + rerank, the probe side) and each is its own action
+      // — left lazy, every one re-runs the 64×64 projection expression
+      // over the corpus scan (r19 probe: 19 stage-jobs in this entry)
       val rotated = operators.Pca.project(emb, "vec_id", "embedding", rot)
         .select(col("vec_id"),
           transform(col("proj"), _.cast("float")).as("embedding"))
+        .localCheckpoint(true)
       val idx = operators.IvfPq.build(rotated, nCells = 16, m = 8, kc = 16,
         trainSample = 10000)
       val approx = operators.IvfPq
@@ -3448,10 +3454,14 @@ object SparkEntry {
         .where(size(col("pieces")) > 0).localCheckpoint(true)
       val seqs = operators.TokenPack.sequences(enc, "doc_id", "pieces",
         seqLen = 128).localCheckpoint(true)
-      val totalTokens = enc.agg(sum(size(col("pieces")))).head.getLong(0)
-      val nDocs = enc.count()
+      // one agg action per materialized frame (was two apiece): both
+      // frames are localCheckpointed, so the saving is pure action count
+      val encAgg = enc.agg(sum(size(col("pieces"))).as("t"),
+        count(lit(1)).as("n")).head
+      val (totalTokens, nDocs) = (encAgg.getLong(0), encAgg.getLong(1))
       val seqAgg = seqs.agg(sum("n_tokens").as("t"),
-        sum(size(col("doc_starts"))).cast("long").as("st")).head
+        sum(size(col("doc_starts"))).cast("long").as("st"),
+        count(lit(1)).as("n")).head
       val tokensConserved = seqAgg.getLong(0) == totalTokens
       val startsConserved = seqAgg.getLong(1) == nDocs
       // gate-side reference prefix-sum: one ordered window over #docs
@@ -3474,7 +3484,7 @@ object SparkEntry {
         .groupBy("shard").agg(count(lit(1)).as("n_seqs"),
           sum("n_tokens").as("toks"))
       val mAgg = manifest.agg(sum("n_seqs"), sum("toks")).head
-      val manifestOk = mAgg.getLong(0) == seqs.count() &&
+      val manifestOk = mAgg.getLong(0) == seqAgg.getLong(2) &&
         mAgg.getLong(1) == totalTokens
       enc.agg(count(lit(1)).as("n_docs"))
         .select(col("n_docs"),
