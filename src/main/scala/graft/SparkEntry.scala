@@ -3402,27 +3402,39 @@ object SparkEntry {
           orderingCol = "ts", nBuckets = 64, maxFilesPerTrigger = Some(1))
         fs.create(new org.apache.hadoop.fs.Path(s"$root/_done")).close()
       }
-      // read WITH the hive partition column: the gate hashes the on-disk
-      // bucket assignment, not a recomputation
-      val snap = s.read.parquet(s"$root/snap")
+      // read WITH the hive partition column (the gate hashes the on-disk
+      // bucket assignment, not a recomputation), resolved THROUGH the
+      // manifest: a crash between manifest-commit and sweep legitimately
+      // leaves unreferenced generation dirs on disk (swept at the next
+      // batch), and a flat directory read would double-count them
+      val snap = streaming.UpsertStream
+        .currentBucketed(s, s"$root/snap", dropBucket = false).get
       // mergeable digest: per-row lower-64-bits of md5 (byte-reversed =
-      // little-endian, exactly DuckDB's md5_number_lower), summed as
-      // exact decimals — order-insensitive, multiplicity-sensitive, and
-      // map-side combinable, so no single reducer ever holds the row set
-      // (the r18 collect_list form did)
+      // little-endian), summed exactly — order-insensitive,
+      // multiplicity-sensitive, and map-side combinable, so no single
+      // reducer ever holds the row set (the r18 collect_list form did).
+      // The EMITTED value is the sum folded mod 2^62 as a plain BIGINT:
+      // 23-digit DECIMAL(38,0) values exceed float64's 15.9 significant
+      // digits, so any compare path that renders the two sides through
+      // different numeric types mismatches while the values are equal
+      // (exactly the r19 driver-gate failure); a sub-2^63 integer is
+      // representation-stable everywhere. Fold preserves all three
+      // digest properties (mod distributes over the sum).
       def md5Lower64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
         val h = md5(c)
         conv(concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*),
           16, 10).cast("decimal(20,0)")
       }
+      val mod62 = lit("4611686018427387904").cast("decimal(38,0)") // 2^62
       val sk = col("doc_id").cast("string")
       val digest = snap.agg(
         count(lit(1)).as("snap_rows"),
-        sum(md5Lower64(concat_ws(":", sk, col("payload"),
-          col("ts").cast("string")))).cast("decimal(38,0)").as("snap_sum"),
-        sum(md5Lower64(concat_ws(":", sk,
+        pmod(sum(md5Lower64(concat_ws(":", sk, col("payload"),
+          col("ts").cast("string")))).cast("decimal(38,0)"), mod62)
+          .cast("long").as("snap_sum"),
+        pmod(sum(md5Lower64(concat_ws(":", sk,
           col(streaming.UpsertStream.BucketCol).cast("string"))))
-          .cast("decimal(38,0)").as("bucket_sum"))
+          .cast("decimal(38,0)"), mod62).cast("long").as("bucket_sum"))
       val auditSchema = StructType(Seq(StructField("batch_id", LongType),
         StructField("n_touched", LongType)))
       s.read.schema(auditSchema).json(s"$root/snap/_audit/batch-*.json")

@@ -397,6 +397,18 @@ object OracleHashSql {
       s"SELECT CAST($i AS BIGINT) AS batch_id, " +
         s"CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_touched FROM buck WHERE $p"
     }.mkString("\n  UNION ALL ")
+    // per-row lower-64-bits of md5, byte-reversed (little-endian) —
+    // the same version-stable substr(md5) hex algebra the shard oracles
+    // use, NOT the md5_number_* builtins (DuckDB-version-sensitive byte
+    // order). Summed in HUGEINT, folded mod 2^62, emitted as BIGINT so
+    // the compare never crosses a float64 boundary.
+    val lo64Hex = (0 until 8).map(i => s"substr(h, ${31 - 2 * i}, 2)")
+      .mkString(" || ")
+    val mod62 = BigInt(1) << 62
+    def digestCol(hashedExpr: String, from: String, as: String): String =
+      s"""(SELECT CAST(SUM(v) % $mod62 AS BIGINT) AS $as
+         |    FROM (SELECT CAST(CAST('0x' || $lo64Hex AS UBIGINT) AS HUGEINT) AS v
+         |          FROM (SELECT md5($hashedExpr) AS h FROM $from)))""".stripMargin
     s"""WITH xx0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
        |${xxhash64LongCtes("xx", "xx0", "h")},
        |buck AS (SELECT doc_id, CAST(h % $nBuckets AS BIGINT) AS bucket FROM xx11),
@@ -409,15 +421,14 @@ object OracleHashSql {
        |         WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS ts
        |  FROM documents
        |  WHERE NOT (doc_id % 7 = 0 AND doc_id % 14 <> 0)),
-       |snap AS (SELECT CAST(COUNT(*) AS BIGINT) AS snap_rows,
-       |    CAST(SUM(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || payload || ':' || ts))
-       |      AS DECIMAL(38,0)) AS snap_sum FROM truth),
-       |bs AS (SELECT CAST(SUM(md5_number_lower(CAST(t.doc_id AS VARCHAR) || ':' || b.bucket))
-       |      AS DECIMAL(38,0)) AS bucket_sum
-       |  FROM truth t JOIN buck b USING (doc_id)),
+       |snap AS (SELECT CAST(COUNT(*) AS BIGINT) AS snap_rows FROM truth),
+       |ss AS ${digestCol("CAST(doc_id AS VARCHAR) || ':' || payload || ':' || ts",
+                          "truth", "snap_sum")},
+       |bs AS ${digestCol("CAST(t.doc_id AS VARCHAR) || ':' || b.bucket",
+                          "truth t JOIN buck b USING (doc_id)", "bucket_sum")},
        |touched AS ($touchedRows)
-       |SELECT t.batch_id, t.n_touched, s.snap_rows, s.snap_sum, b.bucket_sum
-       |FROM touched t, snap s, bs b ORDER BY t.batch_id""".stripMargin
+       |SELECT t.batch_id, t.n_touched, s.snap_rows, ss.snap_sum, bs.bucket_sum
+       |FROM touched t, snap s, ss, bs ORDER BY t.batch_id""".stripMargin
   }
 
   /** Oracle for `graft_simhash(text)`: per-token hash, per-bit ±1 majority

@@ -464,21 +464,26 @@ object UpsertStream {
     * staging) sees exactly one complete committed snapshot, never a
     * half-swapped or duplicated one. Pre-manifest snapshots fall back to
     * the flat layout read (their first batch under this protocol adopts
-    * them). */
-  def currentBucketed(spark: SparkSession, snapshotDir: String): Option[DataFrame] = {
+    * them). `dropBucket = false` keeps the physical [[BucketCol]]
+    * partition column for callers auditing the on-disk bucket assignment
+    * (q164's gate) — still through the manifest, so an unreferenced
+    * generation left by a crash between commit and sweep is never read. */
+  def currentBucketed(spark: SparkSession, snapshotDir: String,
+                      dropBucket: Boolean = true): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
+    def shed(df: DataFrame): DataFrame =
+      if (dropBucket) df.drop(BucketCol) else df
     val m = readManifest(fs, p)
     if (m.version > 0L) {
       if (m.live.isEmpty) None
-      else Some(spark.read.option("basePath", snapshotDir)
+      else Some(shed(spark.read.option("basePath", snapshotDir)
         .parquet(m.live.toSeq.sortBy(_._1).map { case (k, g) =>
-          new org.apache.hadoop.fs.Path(p, s"$BucketCol=$k/$g").toString }: _*)
-        .drop(BucketCol))
+          new org.apache.hadoop.fs.Path(p, s"$BucketCol=$k/$g").toString }: _*)))
     } else if (fs.listStatus(p)
         .exists(_.getPath.getName.startsWith(s"$BucketCol=")))
-      Some(spark.read.parquet(snapshotDir).drop(BucketCol))
+      Some(shed(spark.read.parquet(snapshotDir)))
     else None
   }
 

@@ -250,6 +250,33 @@ class BucketedUpsertSpec extends SparkSpec {
       }
   }
 
+  test("gate read (dropBucket=false) resolves through the manifest, not the listing") {
+    val tmp = Files.createTempDirectory("graft_bupgate_").toFile
+    val snap = s"$tmp/snap"
+    val n = 4
+    UpsertStream.processBucketedBatch(
+      changes((1L to 20L).map(k => (k, s"v$k", 1L, false)): _*),
+      snap, Seq("k"), "seq", nBuckets = n)
+    def gateRows: Set[(Long, String, Long, Int)] =
+      UpsertStream.currentBucketed(spark, snap, dropBucket = false).get
+        .select(col("k"), col("v"), col("seq"),
+          col(UpsertStream.BucketCol).cast("int"))
+        .as[(Long, String, Long, Int)].collect().toSet
+    val before = gateRows
+    // physical bucket column must match the hash assignment
+    before.foreach { case (k, _, _, b) => assert(b === bucketOf(k, n)) }
+    // crash between manifest-commit and sweep: an UNREFERENCED generation
+    // sits on disk under a live bucket. A flat directory read would
+    // double-count it; the manifest-resolved gate read must not.
+    val victim = bucketOf(3L, n)
+    Seq((3L, "garbage", 99L)).toDF("k", "v", "seq")
+      .write.parquet(s"$snap/${UpsertStream.BucketCol}=$victim/g99999999")
+    assert(spark.read.parquet(snap).count() > before.size.toLong,
+      "planted generation must be visible to a flat read (else the test is vacuous)")
+    assert(gateRows === before,
+      "gate read saw an unreferenced generation — digest would drift on a crash")
+  }
+
   test("the manifest commit is the read transition: versions advance, old ones pruned") {
     val tmp = Files.createTempDirectory("graft_bupman_").toFile
     val snap = s"$tmp/snap"
